@@ -1,0 +1,260 @@
+"""TPU-native model wrapper: the reference's BaseModel contract re-designed.
+
+The reference contract (reference models/base.py:4-85): parse_args,
+prepare(is_training, scales, global_step), save/restore, train_step,
+upscale, get_next_train_scale, plus family extensions train_step_larva /
+test / fwd_runtime / get_lr.
+
+TPU redesign:
+  * One Flax module per model family, NHWC, built once in `prepare`.
+  * `train_step` is a single jit-compiled function (params, opt_state,
+    lr, batch) -> (params, opt_state, loss). The learning rate is a
+    traced scalar argument, so host-side schedules (step decay,
+    ReduceLROnPlateau-on-PSNR) never trigger recompilation. Multi-exit
+    losses compile into the same graph (no per-exit Python backward).
+  * `upscale` converts host CHW float32 [0,255] (the reference's data
+    contract) to a batched NHWC device array, runs the jitted forward
+    (cached per input shape) and converts back.
+  * Checkpoints serialize {params, opt_state, global_step, total_volume,
+    scheduler state} with flax msgpack, keeping the reference filename
+    contract (`model_<step>.ckpt`, `model_step<N>_vol<G>G.ckpt`).
+  * Optimizer parity: torch Adam/AdamW defaults (betas 0.9/0.999,
+    eps 1e-8; AdamW weight_decay=0.01 on *all* params).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+from flax.core import FrozenDict
+
+
+def l1_loss(pred, target):
+    """Mean absolute error (torch nn.L1Loss parity)."""
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def robust_sqrt_loss(pred, target, eps: float = 1e-5):
+    """mean((|pred-target| + eps)^0.5) — reference models/edsr_loss.py:35-37."""
+    return jnp.mean(jnp.sqrt(jnp.abs(pred - target) + eps))
+
+
+def chw_list_to_nhwc(images: Sequence[np.ndarray]) -> jnp.ndarray:
+    """Host CHW float32 list -> NHWC device batch (stackable shapes)."""
+    arr = np.stack([np.asarray(im, dtype=np.float32) for im in images])
+    return jnp.asarray(arr.transpose(0, 2, 3, 1))
+
+
+def nhwc_to_chw_numpy(batch: jax.Array) -> np.ndarray:
+    return np.asarray(batch).transpose(0, 3, 1, 2)
+
+
+def make_optimizer(kind: str, weight_decay: Optional[float] = None) -> optax.GradientTransformation:
+    """torch-parity Adam/AdamW with runtime-injected learning rate."""
+    if kind == "adam":
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8
+        )
+    if kind == "adamw":
+        wd = 0.01 if weight_decay is None else weight_decay
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd
+        )
+    raise ValueError("unknown optimizer %r" % (kind,))
+
+
+class SRModel:
+    """Base class for every model wrapper in the zoo."""
+
+    # subclasses set these in prepare()
+    module = None
+    loss = staticmethod(l1_loss)
+    optimizer_kind = "adam"
+    supported_scales = (2, 3, 4)
+    single_scale_only = True
+
+    def __init__(self):
+        self.global_step = 0
+        self.total_volume = 0.0
+        self.temp_volume = 0.0
+        self.volume_per_step = 0
+        self.params = None
+        self.opt_state = None
+        self.tx = None
+        self.args = None
+        self.scale_list: List[int] = []
+        self.scale: int = 4
+        self.is_training = False
+        self._fwd_jit = None
+        self._train_jit = None
+        self._rng = np.random.default_rng()
+
+    # ---- plugin protocol -------------------------------------------------
+
+    def parse_args(self, args):
+        raise NotImplementedError
+
+    def build_module(self):
+        """Return the Flax module for the configured args/scale."""
+        raise NotImplementedError
+
+    def prepare(self, is_training: bool, scales: Sequence[int], global_step: int = 0, seed: int = 0):
+        self.global_step = global_step
+        self.total_volume = 0.0
+        self.temp_volume = 0.0
+        self.scale_list = list(scales)
+        for s in self.scale_list:
+            if s not in self.supported_scales:
+                raise ValueError("Unsupported scale is provided.")
+        if self.single_scale_only and len(self.scale_list) != 1:
+            raise ValueError("Only one scale should be provided.")
+        self.scale = self.scale_list[0]
+        self.is_training = is_training
+
+        self.module = self.build_module()
+        init_rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        variables = self.module.init(init_rng, dummy)
+        self.params = variables["params"]
+
+        if is_training:
+            self.tx = make_optimizer(self.optimizer_kind)
+            self.opt_state = self.tx.init(self.params)
+            self._train_jit = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._fwd_jit = jax.jit(self._forward_impl)
+
+    # ---- forward/train ---------------------------------------------------
+
+    def _forward_impl(self, params, x):
+        return self.module.apply({"params": params}, x)
+
+    def _compute_loss(self, params, inputs, targets):
+        out = self.module.apply({"params": params}, inputs)
+        return self.loss(out, targets)
+
+    def _train_step_impl(self, params, opt_state, lr, inputs, targets):
+        loss, grads = jax.value_and_grad(self._compute_loss)(params, inputs, targets)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def get_learning_rate(self) -> float:
+        raise NotImplementedError
+
+    def train_step(self, input_list, scale, truth_list, summary=None):
+        """One optimizer step on a batch of CHW host arrays
+        (reference models/base.py:65-76 contract)."""
+        inputs = chw_list_to_nhwc(input_list)
+        targets = chw_list_to_nhwc(truth_list)
+        lr = self.get_learning_rate()
+        self.params, self.opt_state, loss = self._train_jit(
+            self.params, self.opt_state, lr, inputs, targets
+        )
+        self.global_step += 1
+        loss_val = float(loss)
+        if summary is not None:
+            summary.scalar("loss", loss_val, self.global_step)
+            summary.scalar("lr", lr, self.global_step)
+        return loss_val
+
+    def upscale(self, input_list, scale):
+        """SR a list of CHW host images -> CHW float numpy
+        (reference models/base.py:78-85 contract)."""
+        x = chw_list_to_nhwc(input_list)
+        out = self._fwd_jit(self.params, x)
+        return nhwc_to_chw_numpy(out)
+
+    def test(self, input_list):
+        """Forward returning the device batch (reference models/LarvaNet.py:173-181)."""
+        x = chw_list_to_nhwc(input_list)
+        return self._fwd_jit(self.params, x)
+
+    def fwd_runtime(self, input_batch_nhwc):
+        """Raw jitted forward on an already-device NHWC batch
+        (reference models/edsr.py:120-122); caller blocks on the result."""
+        return self._fwd_jit(self.params, input_batch_nhwc)
+
+    def get_model(self):
+        return self.module
+
+    def get_next_train_scale(self):
+        return self.scale_list[self._rng.integers(len(self.scale_list))]
+
+    # ---- checkpointing ----------------------------------------------------
+
+    def _state_dict(self) -> Dict[str, Any]:
+        state = {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "global_step": self.global_step,
+            "total_volume": self.total_volume,
+        }
+        if self.opt_state is not None:
+            state["opt_state"] = jax.tree_util.tree_map(np.asarray, self.opt_state)
+        return state
+
+    def _load_state_dict(self, state: Dict[str, Any], strict: bool = True) -> None:
+        if strict:
+            self.params = serialization.from_state_dict(self.params, serialization.to_state_dict(state["params"]))
+        else:
+            # Partial restore: only keys present in both (reference
+            # models/LarvaNetV2.py:198-207 filters the loaded dict).
+            loaded = serialization.to_state_dict(state["params"])
+            current = serialization.to_state_dict(self.params)
+            merged = _merge_partial(current, loaded)
+            self.params = serialization.from_state_dict(self.params, merged)
+        self.global_step = int(state.get("global_step", self.global_step))
+        self.total_volume = float(state.get("total_volume", self.total_volume))
+        if self.opt_state is not None and "opt_state" in state:
+            self.opt_state = serialization.from_state_dict(self.opt_state, serialization.to_state_dict(state["opt_state"]))
+
+    def checkpoint_name(self) -> str:
+        return "model_%d.ckpt" % (self.global_step,)
+
+    def save(self, base_path: str) -> str:
+        os.makedirs(base_path, exist_ok=True)
+        path = os.path.join(base_path, self.checkpoint_name())
+        payload = serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, serialization.to_state_dict(self._state_dict()))
+        )
+        with open(path, "wb") as f:
+            f.write(payload)
+        return path
+
+    def restore(self, ckpt_path: str, target=None, strict: bool = True) -> None:
+        with open(ckpt_path, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+        self._load_state_dict(state, strict=strict)
+
+
+def _merge_partial(current: Dict, loaded: Dict) -> Dict:
+    out = {}
+    for k, v in current.items():
+        if k in loaded:
+            if isinstance(v, dict) and isinstance(loaded[k], dict):
+                out[k] = _merge_partial(v, loaded[k])
+            else:
+                out[k] = loaded[k]
+        else:
+            out[k] = v
+    return out
+
+
+class StepDecayMixin:
+    """lr = base * decay^(step // decay_steps) (reference models/edsr.py:124-125)."""
+
+    lr_flag = "lr"
+    decay_flag = "lr_decay"
+    decay_steps_flag = "lr_step"
+
+    def get_learning_rate(self) -> float:
+        base = getattr(self.args, self.lr_flag)
+        decay = getattr(self.args, self.decay_flag)
+        steps = getattr(self.args, self.decay_steps_flag)
+        return base * (decay ** (self.global_step // steps))
