@@ -1,0 +1,52 @@
+"""Shared CLI plumbing: the three-stage flag cascade and plugin setup.
+
+Mirrors reference train.py:36-60 / validate.py:54-80: the script parses
+its flags, the dataloader parses what's left, then the model, then a
+warning for leftovers. `--cuda_device` is accepted for flag parity but
+is a no-op here (device selection is JAX platform config; SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional, Sequence, Tuple
+
+from larvanet_tpu.core.config import parse_scale_list
+from larvanet_tpu.core.registry import get_loader, get_model
+
+
+def add_common_flags(parser: argparse.ArgumentParser, default_loader: Optional[str], default_model: str = "edsr") -> None:
+    if default_loader is not None:
+        parser.add_argument("--dataloader", type=str, default=default_loader,
+                            help="Name of the data loader.")
+    parser.add_argument("--model", type=str, default=default_model,
+                        help="Name of the model.")
+    parser.add_argument("--scales", type=str, default="4",
+                        help="Scales of the input images. Use the ',' character to specify multiple scales (e.g., 2,3,4).")
+    parser.add_argument("--cuda_device", type=str, default="-1",
+                        help="Accepted for reference-CLI parity; ignored (device selection is via JAX platform flags).")
+
+
+def setup_loader(name: str, remaining: Sequence[str], scales: List[int]):
+    print("prepare data loader - %s" % (name,))
+    loader = get_loader(name)
+    loader_args, remaining = loader.parse_args(list(remaining))
+    loader.prepare(scales=scales)
+    return loader, loader_args, remaining
+
+
+def setup_model(name: str, remaining: Sequence[str], scales: List[int], is_training: bool, global_step: int = 0):
+    print("prepare model - %s" % (name,))
+    model = get_model(name)
+    model_args, remaining = model.parse_args(list(remaining))
+    model.prepare(is_training=is_training, scales=scales, global_step=global_step)
+    return model, model_args, remaining
+
+
+def warn_leftovers(remaining: Sequence[str]) -> None:
+    if remaining:
+        print("WARNING: found unhandled arguments: %s" % (list(remaining),))
+
+
+def scales_of(args) -> List[int]:
+    return parse_scale_list(args.scales)

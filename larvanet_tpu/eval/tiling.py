@@ -1,0 +1,158 @@
+"""Tiled full-frame inference.
+
+Two engines:
+
+1. `upscale_with_chop_forward` — exact reference semantics (reference
+   utils/image_utils.py:7-65): split the CHW image into 2x2 quadrants,
+   each extended by overlap/2, upscale each separately, paste trimmed
+   quadrants. Kept for CLI/flag parity (--chop_forward).
+
+2. `TiledUpscaler` — the TPU-native generalization (SURVEY.md §5
+   "long-context" analog): fixed-size overlapping tiles gathered into
+   ONE batched NHWC tensor and pushed through a single jitted forward.
+   Fixed tile shape means one XLA compilation covers every image size
+   (the per-image-shape recompilation a naive full-frame eval would hit),
+   and the batch dimension keeps the MXU fed. Tiles are clamped to lie
+   fully inside the image (no padding), so with `overlap/2 >= the
+   model's receptive radius` outputs are bit-identical to a full-frame
+   forward; ownership of overlapping rows/cols is split at the midpoint
+   between neighboring tiles.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity chop forward (2x2 + overlap)
+# ---------------------------------------------------------------------------
+
+def split_image_2x2(image_chw: np.ndarray, overlap_size: int) -> List[np.ndarray]:
+    """2x2 overlapping quadrants (reference utils/image_utils.py:30-45)."""
+    _, height, width = image_chw.shape
+    sh, sw = height // 2, width // 2
+    ho = overlap_size // 2
+    return [
+        image_chw[:, : sh + ho, : sw + ho].copy(),
+        image_chw[:, : sh + ho, sw - ho :].copy(),
+        image_chw[:, sh - ho :, : sw + ho].copy(),
+        image_chw[:, sh - ho :, sw - ho :].copy(),
+    ]
+
+
+def combine_images_2x2(
+    outputs: Sequence[np.ndarray], input_image_chw: np.ndarray, scale: int, overlap_size: int
+) -> np.ndarray:
+    """Paste trimmed quadrants (reference utils/image_utils.py:47-65)."""
+    _, height, width = input_image_chw.shape
+    sh, sw = (height // 2) * scale, (width // 2) * scale
+    nh, nw = height * scale, width * scale
+    ho = (overlap_size // 2) * scale
+    out = np.zeros((3, nh, nw), dtype=outputs[0].dtype)
+    out[:, :sh, :sw] = outputs[0][:, :sh, :sw]
+    out[:, :sh, sw:] = outputs[1][:, :sh, ho:]
+    out[:, sh:, :sw] = outputs[2][:, ho:, :sw]
+    out[:, sh:, sw:] = outputs[3][:, ho:, ho:]
+    return out
+
+
+def upscale_with_chop_forward(model, input_image: np.ndarray, scale: int, overlap_size: int) -> np.ndarray:
+    """Reference-parity chop-forward (utils/image_utils.py:7-27)."""
+    splits = split_image_2x2(input_image, overlap_size)
+    outputs = [model.upscale(input_list=[s], scale=scale)[0] for s in splits]
+    return combine_images_2x2(outputs, input_image, scale, overlap_size)
+
+
+# ---------------------------------------------------------------------------
+# TPU-native batched tiling
+# ---------------------------------------------------------------------------
+
+def _tile_starts(extent: int, tile: int, stride: int) -> List[int]:
+    """Clamped tile starts covering [0, extent) with tiles fully inside."""
+    if extent <= tile:
+        return [0]
+    n = math.ceil((extent - tile) / stride) + 1
+    return [min(i * stride, extent - tile) for i in range(n)]
+
+
+def _owned_ranges(starts: List[int], tile: int, extent: int) -> List[Tuple[int, int, int, int]]:
+    """(out_start, out_end, tile_off_start) ownership per tile: overlap is
+    split at the midpoint between neighboring tile starts."""
+    ranges = []
+    for i, s in enumerate(starts):
+        lo = 0 if i == 0 else (starts[i - 1] + tile + s) // 2
+        hi = extent if i == len(starts) - 1 else (s + tile + starts[i + 1]) // 2
+        ranges.append((lo, hi, lo - s, hi - s))
+    return ranges
+
+
+class TiledUpscaler:
+    """Batched overlapping-tile SR over a jitted NHWC forward function."""
+
+    def __init__(
+        self,
+        forward_nhwc: Callable[[np.ndarray], np.ndarray],
+        scale: int,
+        tile_size: int = 128,
+        overlap: int = 24,
+        max_batch: int = 64,
+    ):
+        if overlap >= tile_size:
+            raise ValueError("overlap must be smaller than tile_size")
+        self.forward = forward_nhwc
+        self.scale = scale
+        self.tile = tile_size
+        self.stride = tile_size - overlap
+        self.max_batch = max_batch
+
+    def upscale_hwc(self, image_hwc: np.ndarray) -> np.ndarray:
+        """SR one HWC image of arbitrary size; returns HWC float32."""
+        h, w, c = image_hwc.shape
+        t, s = self.tile, self.scale
+        if h < t or w < t:
+            # Small image: single full-frame call (shape-specific compile).
+            out = self.forward(np.asarray(image_hwc, np.float32)[None])
+            return np.asarray(out[0])
+
+        ys = _tile_starts(h, t, self.stride)
+        xs = _tile_starts(w, t, self.stride)
+        tiles = np.empty((len(ys) * len(xs), t, t, c), np.float32)
+        k = 0
+        for y in ys:
+            for x in xs:
+                tiles[k] = image_hwc[y : y + t, x : x + t]
+                k += 1
+
+        outs = []
+        for i in range(0, len(tiles), self.max_batch):
+            chunk = tiles[i : i + self.max_batch]
+            # Pad to a power-of-two bucket so the number of distinct
+            # compiled batch shapes is O(log max_batch), not O(#images).
+            bucket = min(self.max_batch, 1 << max(0, (len(chunk) - 1).bit_length()))
+            if len(chunk) < bucket:
+                pad = np.zeros((bucket - len(chunk), t, t, c), np.float32)
+                out = np.asarray(self.forward(np.concatenate([chunk, pad])))[: len(chunk)]
+            else:
+                out = np.asarray(self.forward(chunk))
+            outs.append(out)
+        out_tiles = np.concatenate(outs)
+
+        result = np.empty((h * s, w * s, c), np.float32)
+        yr = _owned_ranges(ys, t, h)
+        xr = _owned_ranges(xs, t, w)
+        k = 0
+        for (oy0, oy1, ty0, ty1) in yr:
+            for (ox0, ox1, tx0, tx1) in xr:
+                result[oy0 * s : oy1 * s, ox0 * s : ox1 * s] = out_tiles[k][
+                    ty0 * s : ty1 * s, tx0 * s : tx1 * s
+                ]
+                k += 1
+        return result
+
+    def upscale_chw(self, image_chw: np.ndarray) -> np.ndarray:
+        out = self.upscale_hwc(np.asarray(image_chw, np.float32).transpose(1, 2, 0))
+        return out.transpose(2, 0, 1)

@@ -120,7 +120,7 @@ class SRModel:
         self.module = self.build_module()
         init_rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, 16, 16, 3), jnp.float32)
-        variables = self.module.init(init_rng, dummy)
+        variables = self._init_variables(init_rng, dummy)
         self.params = variables["params"]
 
         if is_training:
@@ -128,6 +128,11 @@ class SRModel:
             self.opt_state = self.tx.init(self.params)
             self._train_jit = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._fwd_jit = jax.jit(self._forward_impl)
+
+    def _init_variables(self, rng, dummy):
+        """Initialize ALL module parameters (overridden by multi-exit
+        families, whose default call path would lazily skip some legs)."""
+        return self.module.init(rng, dummy)
 
     # ---- forward/train ---------------------------------------------------
 
@@ -200,6 +205,11 @@ class SRModel:
         return state
 
     def _load_state_dict(self, state: Dict[str, Any], strict: bool = True) -> None:
+        _validate_param_shapes(
+            serialization.to_state_dict(self.params),
+            serialization.to_state_dict(state["params"]),
+            strict=strict,
+        )
         if strict:
             self.params = serialization.from_state_dict(self.params, serialization.to_state_dict(state["params"]))
         else:
@@ -220,8 +230,17 @@ class SRModel:
     def save(self, base_path: str) -> str:
         os.makedirs(base_path, exist_ok=True)
         path = os.path.join(base_path, self.checkpoint_name())
+
+        def to_host(leaf):
+            # Device arrays -> numpy; leave Python scalars/strings alone
+            # (msgpack handles them natively; np.asarray('max') would
+            # produce a str ndarray msgpack can't round-trip).
+            if isinstance(leaf, (jax.Array, np.ndarray)):
+                return np.asarray(leaf)
+            return leaf
+
         payload = serialization.msgpack_serialize(
-            jax.tree_util.tree_map(np.asarray, serialization.to_state_dict(self._state_dict()))
+            jax.tree_util.tree_map(to_host, serialization.to_state_dict(self._state_dict()))
         )
         with open(path, "wb") as f:
             f.write(payload)
@@ -231,6 +250,28 @@ class SRModel:
         with open(ckpt_path, "rb") as f:
             state = serialization.msgpack_restore(f.read())
         self._load_state_dict(state, strict=strict)
+
+
+def _validate_param_shapes(current: Dict, loaded: Dict, strict: bool, prefix: str = "") -> None:
+    """Fail loudly on architecture mismatch instead of silently loading
+    wrong-shaped weights. strict additionally requires every current key
+    to be present in the checkpoint."""
+    for k, cur in current.items():
+        path = "%s/%s" % (prefix, k) if prefix else str(k)
+        if k not in loaded:
+            if strict:
+                raise ValueError("checkpoint is missing parameter %r" % (path,))
+            continue
+        ld = loaded[k]
+        if isinstance(cur, dict):
+            _validate_param_shapes(cur, ld, strict, path)
+        else:
+            cs, ls = np.shape(cur), np.shape(ld)
+            if cs != ls:
+                raise ValueError(
+                    "checkpoint shape mismatch at %r: model %s vs checkpoint %s"
+                    % (path, cs, ls)
+                )
 
 
 def _merge_partial(current: Dict, loaded: Dict) -> Dict:

@@ -1,0 +1,101 @@
+"""EDSR-baseline, TPU-native (reference models/edsr.py and models/edsr_loss.py).
+
+Network (reference models/edsr.py:195-207): mean-shift -> conv3->F ->
+N x ResBlock(res_weight) -> conv + global skip -> UpsampleBlock
+(PixelShuffle) -> conv F->3 -> inverse mean-shift.
+
+Flags keep the reference names: --edsr_conv_features (64),
+--edsr_res_blocks (16), --edsr_res_weight (1.0), --edsr_learning_rate
+(1e-4) with step decay (0.5 every 200k steps), Adam + L1
+(reference models/edsr.py:25-31,49-56,124-125).
+
+`edsr_loss` is the same network trained with the robust sqrt loss
+mean((|o-t|+1e-5)^0.5) (reference models/edsr_loss.py:35-37).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from flax import linen as nn
+
+from larvanet_tpu.core.registry import register_model
+from larvanet_tpu.core.config import parse_known
+from larvanet_tpu.models.base import SRModel, l1_loss, robust_sqrt_loss
+from larvanet_tpu.models.layers import (
+    MeanShift,
+    ResBlock,
+    UpsampleBlock,
+    conv3x3,
+)
+
+
+class EDSRModule(nn.Module):
+    features: int = 64
+    num_blocks: int = 16
+    res_weight: float = 1.0
+    scale: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        x = MeanShift(sign=1.0)(x)
+        x = conv3x3(self.features, name="first_conv", in_features=3)(x)
+        res = x
+        for i in range(self.num_blocks):
+            res = ResBlock(self.features, res_weight=self.res_weight, name="res_block_%d" % i)(res)
+        res = conv3x3(self.features, name="after_res_conv", in_features=self.features)(res)
+        x = x + res
+        x = UpsampleBlock(self.features, self.scale, name="upsample")(x)
+        x = conv3x3(3, name="final_conv", in_features=self.features)(x)
+        x = MeanShift(sign=-1.0)(x)
+        return x
+
+
+class EDSR(SRModel):
+    optimizer_kind = "adam"
+    loss = staticmethod(l1_loss)
+
+    def parse_args(self, args):
+        parser = argparse.ArgumentParser()
+        parser.add_argument("--edsr_conv_features", type=int, default=64,
+                            help="The number of convolutional features.")
+        parser.add_argument("--edsr_res_blocks", type=int, default=16,
+                            help="The number of residual blocks.")
+        parser.add_argument("--edsr_res_weight", type=float, default=1.0,
+                            help="The scaling factor.")
+        parser.add_argument("--edsr_learning_rate", type=float, default=1e-4,
+                            help="Initial learning rate.")
+        parser.add_argument("--edsr_learning_rate_decay", type=float, default=0.5,
+                            help="Learning rate decay factor.")
+        parser.add_argument("--edsr_learning_rate_decay_steps", type=int, default=200000,
+                            help="The number of training steps to perform learning rate decay.")
+        self.args, remaining = parse_known(parser, args)
+        return self.args, remaining
+
+    def build_module(self):
+        return EDSRModule(
+            features=self.args.edsr_conv_features,
+            num_blocks=self.args.edsr_res_blocks,
+            res_weight=self.args.edsr_res_weight,
+            scale=self.scale,
+        )
+
+    def get_learning_rate(self):
+        return self.args.edsr_learning_rate * (
+            self.args.edsr_learning_rate_decay
+            ** (self.global_step // self.args.edsr_learning_rate_decay_steps)
+        )
+
+
+@register_model("edsr")
+def create_edsr():
+    return EDSR()
+
+
+class EDSRLoss(EDSR):
+    loss = staticmethod(robust_sqrt_loss)
+
+
+@register_model("edsr_loss")
+def create_edsr_loss():
+    return EDSRLoss()

@@ -1,0 +1,52 @@
+"""Training observability: TensorBoard when available, JSONL always.
+
+The reference logs scalars (loss, lr) and input/output/truth image
+triplets to per-scale TensorBoard event dirs `<train_path>/x<scale>/`
+(reference train.py:68-72, models/edsr.py:98-106). This writer keeps
+that layout and additionally appends every scalar to `scalars.jsonl`
+in the same directory so runs remain inspectable without TensorBoard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class SummaryWriter:
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter as TBWriter
+
+                self._tb = TBWriter(log_dir=log_dir)
+            except Exception:
+                self._tb = None
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        self._jsonl.write(
+            json.dumps({"tag": tag, "value": float(value), "step": int(step), "time": time.time()})
+            + "\n"
+        )
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def image(self, tag: str, image_chw: np.ndarray, step: int) -> None:
+        """CHW uint8/float [0,255] image (reference summary.add_image contract)."""
+        img = np.clip(np.round(np.asarray(image_chw)), 0, 255).astype(np.uint8)
+        if self._tb is not None:
+            self._tb.add_image(tag, img, step)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -1,0 +1,166 @@
+"""Data pipeline tests: loader contract, filename schemes, augmentation
+semantics, queue-runner prefetching (incl. exception propagation)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from larvanet_tpu.core.registry import get_loader, list_loaders
+from larvanet_tpu.data import io
+
+
+@pytest.fixture
+def div2k_dirs(tmp_path, rng):
+    """Tiny synthetic DIV2K-style tree: 3 images, x2 and x4 inputs."""
+    truth_dir = tmp_path / "HR"
+    input_dir = tmp_path / "LR"
+    truth_dir.mkdir()
+    for s in (2, 4):
+        (input_dir / ("X%d" % s)).mkdir(parents=True)
+    for i in range(3):
+        name = "%04d" % i
+        hr = rng.integers(0, 256, size=(64, 80, 3), dtype=np.uint8)
+        io.save_image_hwc(hr, str(truth_dir / ("%s.png" % name)))
+        for s in (2, 4):
+            lr = hr[::s, ::s]
+            io.save_image_hwc(lr, str(input_dir / ("X%d" % s) / ("%sx%d.png" % (name, s))))
+    return str(input_dir), str(truth_dir)
+
+
+def _make(name, input_dir, truth_dir, extra=()):
+    loader = get_loader(name)
+    args, remaining = loader.parse_args(
+        ["--data_input_path", input_dir, "--data_truth_path", truth_dir, *extra]
+    )
+    assert remaining == []
+    loader.prepare(scales=[4])
+    return loader
+
+
+def test_loader_registry():
+    names = list_loaders()
+    for required in [
+        "div2k_train_loader",
+        "div2k_val_loader",
+        "div2k_train_loader_queue",
+        "combined_loader",
+        "basic_loader",
+        "div2k_train_loader_tensor",
+    ]:
+        assert required in names
+
+
+def test_image_pair_contract(div2k_dirs):
+    loader = _make("div2k_train_loader", *div2k_dirs)
+    assert loader.get_num_images() == 3
+    inp, tru, name = loader.get_image_pair(0, scale=4)
+    # CHW float32 [0,255] (reference div2k_train_loader.py:143-148)
+    assert inp.shape == (3, 16, 20) and inp.dtype == np.float32
+    assert tru.shape == (3, 64, 80)
+    assert name == "0000"
+    assert inp.max() > 1.0  # [0,255] range, not [0,1]
+
+
+def test_patch_batch_shapes_and_alignment(div2k_dirs):
+    loader = _make("div2k_train_loader", *div2k_dirs, extra=["--data_seed", "7"])
+    input_list, truth_list = loader.get_patch_batch(4, scale=4, input_patch_size=8)
+    assert len(input_list) == 4 and len(truth_list) == 4
+    for ip, tp in zip(input_list, truth_list):
+        assert ip.shape == (3, 8, 8)
+        assert tp.shape == (3, 32, 32)
+
+
+def test_patch_crop_is_scale_aligned(div2k_dirs, rng):
+    """The HR patch must be the exact x4 region of the LR patch. With LR =
+    HR[::4] decimation, the *un-augmented* patches satisfy
+    ip == tp[:, ::4, ::4]; the applied rot90/flip is unknown per sample, so
+    de-augment with each of the 8 dihedral ops and require one to align."""
+    loader = _make("div2k_train_loader", *div2k_dirs, extra=["--data_seed", "3"])
+    for _ in range(10):
+        ip, tp = loader.get_random_image_patch_pair(scale=4, input_patch_size=8)
+        aligned = False
+        for k in range(4):
+            for flip in (False, True):
+                iu = ip[:, :, ::-1] if flip else ip
+                tu = tp[:, :, ::-1] if flip else tp
+                iu = np.rot90(iu, k=-k, axes=(1, 2))
+                tu = np.rot90(tu, k=-k, axes=(1, 2))
+                if np.array_equal(iu, tu[:, ::4, ::4]):
+                    aligned = True
+        assert aligned
+
+
+def test_augmentation_covers_orientations(div2k_dirs):
+    loader = _make("div2k_train_loader", *div2k_dirs, extra=["--data_seed", "0"])
+    seen = set()
+    for _ in range(64):
+        ip, _ = loader.get_random_image_patch_pair(scale=4, input_patch_size=8)
+        seen.add(ip.tobytes())
+    assert len(seen) > 8  # many distinct crops/orientations
+
+
+def test_seeded_determinism(div2k_dirs):
+    a = _make("div2k_train_loader", *div2k_dirs, extra=["--data_seed", "11"])
+    b = _make("div2k_train_loader", *div2k_dirs, extra=["--data_seed", "11"])
+    pa = a.get_patch_batch(2, 4, 8)
+    pb = b.get_patch_batch(2, 4, 8)
+    np.testing.assert_array_equal(np.stack(pa[0]), np.stack(pb[0]))
+
+
+def test_nhwc_fast_path_matches_contract(div2k_dirs):
+    loader = _make("div2k_train_loader", *div2k_dirs)
+    ins, trs = loader.get_patch_batch_nhwc(3, 4, 8)
+    assert ins.shape == (3, 8, 8, 3) and ins.dtype == np.float32
+    assert trs.shape == (3, 32, 32, 3)
+
+
+def test_queue_runner_produces_batches(div2k_dirs):
+    loader = _make(
+        "div2k_train_loader_queue", *div2k_dirs,
+        extra=["--data_num_queue_runners", "2", "--data_cached"],
+    )
+    assert loader.is_threaded
+    loader.start_training_queue_runner(batch_size=2, input_patch_size=8)
+    try:
+        for _ in range(5):
+            ins, trs = loader.get_queue_data(scale=4)
+            assert ins.shape == (2, 8, 8, 3)
+            assert trs.shape == (2, 32, 32, 3)
+    finally:
+        loader.stop_queue_runners()
+
+
+def test_queue_runner_propagates_errors(div2k_dirs, tmp_path):
+    loader = _make("div2k_train_loader_queue", *div2k_dirs,
+                   extra=["--data_num_queue_runners", "1"])
+    # Sabotage: point the shared dataset at a missing directory post-prepare.
+    loader.dataset.input_path = str(tmp_path / "missing")
+    loader.start_training_queue_runner(batch_size=2, input_patch_size=8)
+    try:
+        with pytest.raises(Exception):
+            loader.get_queue_data(scale=4)
+    finally:
+        loader.stop_queue_runners()
+
+
+def test_basic_loader_flat_scheme(tmp_path, rng):
+    lr_dir, hr_dir = tmp_path / "LR", tmp_path / "HR"
+    for d in (lr_dir, hr_dir):
+        d.mkdir()
+    hr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    io.save_image_hwc(hr, str(hr_dir / "img.png"))
+    io.save_image_hwc(hr[::4, ::4], str(lr_dir / "img.png"))
+    loader = _make("basic_loader", str(lr_dir), str(hr_dir))
+    inp, tru, name = loader.get_image_pair(0, scale=4)
+    assert name == "img"
+    assert inp.shape == (3, 8, 8) and tru.shape == (3, 32, 32)
+
+
+def test_png_roundtrip(tmp_path, rng):
+    img = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    io.save_image_hwc(img, p)
+    np.testing.assert_array_equal(io.load_image_u8(p), img)
+    chw = io.load_image_chw(p)
+    assert chw.shape == (3, 10, 12) and chw.dtype == np.float32
