@@ -1,0 +1,87 @@
+"""Inference-only CLI: PNG dir -> SR PNG dir (reference get_sr.py).
+
+Reads every PNG under --input_path, upscales (optionally chop-forward
+or batched tiles), writes PNGs to --output_path, reports mean latency
+(reference get_sr.py:62-97).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from larvanet_tpu.cli import common
+from larvanet_tpu.data import io
+from larvanet_tpu.eval.tiling import TiledUpscaler, upscale_with_chop_forward
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, default="edsr", help="Name of the model.")
+    parser.add_argument("--scales", type=str, default="4", help="Scales of the input images.")
+    parser.add_argument("--cuda_device", type=str, default="-1",
+                        help="Accepted for reference-CLI parity; ignored.")
+    parser.add_argument("--input_path", type=str, required=True,
+                        help="Base path of the input images.")
+    parser.add_argument("--output_path", type=str, required=True,
+                        help="Base path of the output images.")
+    parser.add_argument("--restore_path", type=str, required=True,
+                        help="Checkpoint path to be restored.")
+    parser.add_argument("--restore_target", type=str, help="Target of the restoration.")
+    parser.add_argument("--restore_global_step", type=int, default=0,
+                        help="Global step of the restored model.")
+    parser.add_argument("--chop_forward", action="store_true",
+                        help="Employ chop-forward to reduce the memory usage.")
+    parser.add_argument("--chop_overlap_size", type=int, default=20,
+                        help="The overlapping size for the chop-forward process.")
+    parser.add_argument("--tile_forward", action="store_true",
+                        help="Batched fixed-shape tiled inference (TPU fast path).")
+    parser.add_argument("--tile_size", type=int, default=128)
+    parser.add_argument("--tile_overlap", type=int, default=24)
+    args, remaining = parser.parse_known_args(argv)
+
+    scale_list = common.scales_of(args)
+    scale = scale_list[0]
+    model, _, remaining = common.setup_model(
+        args.model, remaining, scale_list, is_training=False,
+        global_step=args.restore_global_step,
+    )
+    common.warn_leftovers(remaining)
+    model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+    print("restored the model")
+
+    image_names = io.list_pngs(args.input_path)
+    print("%d images are prepared" % (len(image_names),))
+    os.makedirs(args.output_path, exist_ok=True)
+
+    tiler = None
+    if args.tile_forward:
+        tiler = TiledUpscaler(
+            lambda batch: model.fwd_runtime(np.asarray(batch, np.float32)),
+            scale=scale, tile_size=args.tile_size, overlap=args.tile_overlap,
+        )
+
+    duration_list = []
+    for i, name in enumerate(image_names):
+        input_image = io.load_image_chw(os.path.join(args.input_path, name + ".png"))
+        start_time = time.perf_counter()
+        if args.chop_forward:
+            output = upscale_with_chop_forward(model, input_image, scale, args.chop_overlap_size)
+        elif tiler is not None:
+            output = tiler.upscale_chw(input_image)
+        else:
+            output = model.upscale(input_list=[input_image], scale=scale)[0]
+        duration = time.perf_counter() - start_time
+        duration_list.append(duration)
+        io.save_image_chw(output, os.path.join(args.output_path, name + ".png"))
+        print("%d/%d, %s, duration=%.4f" % (i + 1, len(image_names), name, duration))
+
+    print("mean duration=%.4f" % (float(np.mean(duration_list)),))
+    print("finished")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Step-driven training CLI (reference train.py).
+
+Flag-compatible: --dataloader --model --batch_size --input_patch_size
+--scales --cuda_device --train_path --max_steps --log_freq
+--summary_freq --save_freq --sleep_ratio --restore_path --restore_target
+--global_step (reference train.py:17-34).
+
+TPU notes: the hot loop feeds device-ready NHWC batches straight into
+the jitted train step; `--sleep_ratio` (a GPU-cooling throttle,
+reference train.py:30,97-98) is accepted and honored but defaults to 0
+— TPUs don't need it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from larvanet_tpu.cli import common
+from larvanet_tpu.core.config import dump_arguments_json
+from larvanet_tpu.utils.summary import SummaryWriter
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    common.add_common_flags(parser, default_loader="div2k_train_loader", default_model="edsr")
+    parser.add_argument("--batch_size", type=int, default=16,
+                        help="Size of the batches for each training step.")
+    parser.add_argument("--input_patch_size", type=int, default=48,
+                        help="Size of each input image patch.")
+    parser.add_argument("--train_path", type=str, required=True,
+                        help="Base path of the trained model to be saved.")
+    parser.add_argument("--max_steps", type=int, default=300000,
+                        help="The maximum number of training steps.")
+    parser.add_argument("--log_freq", type=int, default=10,
+                        help="The frequency of logging.")
+    parser.add_argument("--summary_freq", type=int, default=1000,
+                        help="The frequency of logging on TensorBoard.")
+    parser.add_argument("--save_freq", type=int, default=10000,
+                        help="The frequency of saving the trained model.")
+    parser.add_argument("--sleep_ratio", type=float, default=0.0,
+                        help="Per-step sleep ratio (GPU-era thermal throttle; default off on TPU).")
+    parser.add_argument("--restore_path", type=str,
+                        help="Checkpoint path to be restored.")
+    parser.add_argument("--restore_target", type=str,
+                        help="Target of the restoration.")
+    parser.add_argument("--global_step", type=int, default=0,
+                        help="Initial global step. Specify this to resume the training.")
+    args, remaining = parser.parse_known_args(argv)
+
+    scale_list = common.scales_of(args)
+    os.makedirs(args.train_path, exist_ok=True)
+
+    dataloader, loader_args, remaining = common.setup_loader(args.dataloader, remaining, scale_list)
+    model, model_args, remaining = common.setup_model(
+        args.model, remaining, scale_list, is_training=True, global_step=args.global_step
+    )
+    common.warn_leftovers(remaining)
+
+    if args.restore_path is not None:
+        model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+        print("restored the model")
+
+    summary_writers = {
+        scale: SummaryWriter(os.path.join(args.train_path, "x%d" % scale))
+        for scale in scale_list
+    }
+    dump_arguments_json(os.path.join(args.train_path, "arguments.json"), args, loader_args, model_args)
+
+    print("begin training")
+    local_step = 0
+    while model.global_step < args.max_steps:
+        local_step += 1
+        start_time = time.time()
+
+        scale = model.get_next_train_scale()
+        summary = summary_writers[scale] if (local_step % args.summary_freq == 0) else None
+        input_list, truth_list = dataloader.get_patch_batch(
+            batch_size=args.batch_size, scale=scale, input_patch_size=args.input_patch_size
+        )
+        loss = model.train_step(input_list=input_list, scale=scale, truth_list=truth_list, summary=summary)
+
+        duration = time.time() - start_time
+        if args.sleep_ratio > 0 and duration > 0:
+            time.sleep(min(10.0, duration * args.sleep_ratio))
+
+        if local_step % args.log_freq == 0:
+            print("step %d, lr %f, loss %.6f (%.3f sec/batch)"
+                  % (model.global_step, model.get_learning_rate(), loss, duration))
+        if local_step % args.save_freq == 0:
+            model.save(base_path=args.train_path)
+            print("saved a model checkpoint at step %d" % (model.global_step,))
+
+    print("finished")
+    for w in summary_writers.values():
+        w.close()
+
+
+if __name__ == "__main__":
+    main()

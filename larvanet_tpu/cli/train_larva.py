@@ -1,0 +1,135 @@
+"""Volume-driven multi-exit training CLI (reference train_larva.py).
+
+Loads a train loader (default combined_loader, threaded) AND a val
+loader (default div2k_val_loader), computes volume_per_step =
+patch^2 * batch * 3 (reference train_larva.py:73), starts queue runners
+when the loader is threaded (:99-100), then loops
+model.train_step_larva forever until KeyboardInterrupt (:140) or
+--max_steps. Per-phase timing (dataload / host->device+train) is
+printed during early steps like the reference's
+dataload_time/np2ts_time/train_time breakdown (:113-139).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+from larvanet_tpu.cli import common
+from larvanet_tpu.core.config import dump_arguments_json
+from larvanet_tpu.utils.summary import SummaryWriter
+
+
+def round_to_1(x):
+    if x <= 0:
+        return x
+    return round(x, -int(math.floor(math.log10(abs(x)))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataloader", type=str, default="combined_loader",
+                        help="Name of the data loader.")
+    parser.add_argument("--val_dataloader", type=str, default="div2k_val_loader",
+                        help="Name of the validation data loader.")
+    parser.add_argument("--val_data_input_path", type=str, default="data/DIV2K_valid_LR_bicubic",
+                        help="Base path of the validation input images (the reference hardcoded "
+                             "c:/aim2020 paths in div2k_val_loader.py:28; here it is a flag).")
+    parser.add_argument("--val_data_truth_path", type=str, default="data/DIV2K_valid_HR",
+                        help="Base path of the validation ground-truth images.")
+    parser.add_argument("--model", type=str, default="LarvaNet",
+                        help="Name of the model.")
+    parser.add_argument("--batch_size", type=int, default=16,
+                        help="Size of the batches for each training step.")
+    parser.add_argument("--input_patch_size", type=int, default=48,
+                        help="Size of each input image patch.")
+    parser.add_argument("--scales", type=str, default="4",
+                        help="Scale of the input images.")
+    parser.add_argument("--cuda_device", type=str, default="-1",
+                        help="Accepted for reference-CLI parity; ignored.")
+    parser.add_argument("--train_path", type=str, required=True,
+                        help="Base path of the trained model to be saved.")
+    parser.add_argument("--max_steps", type=int, default=0,
+                        help="Stop after this many steps (0 = run until interrupted, like the reference).")
+    parser.add_argument("--log_freq", type=int, default=10,
+                        help="The frequency of logging.")
+    parser.add_argument("--summary_freq", type=int, default=1000,
+                        help="The frequency of logging on TensorBoard.")
+    parser.add_argument("--restore_path", type=str,
+                        help="Checkpoint path to be restored.")
+    parser.add_argument("--restore_target", type=str,
+                        help="Target of the restoration.")
+    parser.add_argument("--global_step", type=int, default=0,
+                        help="Initial global step.")
+    args, remaining = parser.parse_known_args(argv)
+
+    scale_list = common.scales_of(args)
+    os.makedirs(args.train_path, exist_ok=True)
+
+    dataloader, loader_args, remaining = common.setup_loader(args.dataloader, remaining, scale_list)
+    print("prepare validation data loader - %s" % (args.val_dataloader,))
+    val_loader, _, _ = common.setup_loader(
+        args.val_dataloader,
+        ["--data_input_path", args.val_data_input_path,
+         "--data_truth_path", args.val_data_truth_path],
+        scale_list,
+    )
+
+    model, model_args, remaining = common.setup_model(
+        args.model, remaining, scale_list, is_training=True, global_step=args.global_step
+    )
+    common.warn_leftovers(remaining)
+    model.volume_per_step = args.input_patch_size ** 2 * args.batch_size * 3
+
+    if args.restore_path is not None:
+        model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+        print("restored the model")
+
+    summary = SummaryWriter(os.path.join(args.train_path, "x%d" % scale_list[0]))
+    dump_arguments_json(os.path.join(args.train_path, "arguments.json"), args, loader_args, model_args)
+
+    scale = scale_list[0]
+    threaded = getattr(dataloader, "is_threaded", False)
+    if threaded:
+        dataloader.start_training_queue_runner(
+            batch_size=args.batch_size, input_patch_size=args.input_patch_size
+        )
+
+    print("begin training")
+    local_step = 0
+    try:
+        while True:
+            local_step += 1
+            t0 = time.perf_counter()
+            if threaded:
+                inputs, truths = dataloader.get_queue_data(scale)
+            else:
+                inputs, truths = dataloader.get_patch_batch_nhwc(
+                    args.batch_size, scale, args.input_patch_size
+                )
+            t1 = time.perf_counter()
+            loss = model.train_step_larva(args, val_loader, inputs, truths,
+                                          summary if local_step % args.summary_freq == 0 else None)
+            t2 = time.perf_counter()
+
+            if local_step % args.log_freq == 0:
+                print(
+                    "step %d, loss %.6f, lr %.8f (data %ss, train %ss)"
+                    % (model.global_step, loss, model.get_learning_rate(),
+                       round_to_1(t1 - t0), round_to_1(t2 - t1))
+                )
+            if args.max_steps and model.global_step >= args.max_steps:
+                break
+    except KeyboardInterrupt:
+        print("interrupted")
+    finally:
+        if threaded:
+            dataloader.stop_queue_runners()
+    print("finished")
+    summary.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Full-image validation CLI (reference validate.py).
+
+Per image: upscale (optionally chop-forward or batched-tile), uint8
+round/clip, crop truth to output, RGB PSNR; optional PNG save; mean
+PSNR/duration per scale (reference validate.py:83-123).
+
+TPU addition: --tile_forward runs the batched fixed-shape tile engine
+(one XLA compile for the whole run) instead of per-image-shape
+compilation; --chop_forward keeps the reference's exact 2x2 semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from larvanet_tpu.cli import common
+from larvanet_tpu.data import io
+from larvanet_tpu.eval import metrics
+from larvanet_tpu.eval.tiling import TiledUpscaler, upscale_with_chop_forward
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    common.add_common_flags(parser, default_loader="div2k_val_loader", default_model="edsr")
+    parser.add_argument("--restore_path", type=str, required=True,
+                        help="Checkpoint path to be restored.")
+    parser.add_argument("--restore_target", type=str,
+                        help="Target of the restoration.")
+    parser.add_argument("--restore_global_step", type=int, default=0,
+                        help="Global step of the restored model.")
+    parser.add_argument("--save_path", type=str,
+                        help="Base output path of the upscaled images.")
+    parser.add_argument("--chop_forward", action="store_true",
+                        help="Employ chop-forward to reduce the memory usage.")
+    parser.add_argument("--chop_overlap_size", type=int, default=20,
+                        help="The overlapping size for the chop-forward process. Should be even.")
+    parser.add_argument("--tile_forward", action="store_true",
+                        help="Batched fixed-shape tiled inference (TPU fast path, one compile).")
+    parser.add_argument("--tile_size", type=int, default=128,
+                        help="LR tile size for --tile_forward.")
+    parser.add_argument("--tile_overlap", type=int, default=24,
+                        help="LR tile overlap for --tile_forward; half of it should exceed the model's receptive radius for bit-exact results.")
+    args, remaining = parser.parse_known_args(argv)
+
+    scale_list = common.scales_of(args)
+    dataloader, _, remaining = common.setup_loader(args.dataloader, remaining, scale_list)
+    model, _, remaining = common.setup_model(
+        args.model, remaining, scale_list, is_training=False, global_step=args.restore_global_step
+    )
+    common.warn_leftovers(remaining)
+
+    model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+    print("restored the model")
+
+    print("begin validation")
+    num_images = dataloader.get_num_images()
+    average_psnr_dict = {}
+    average_duration_dict = {}
+    for scale in scale_list:
+        tiler = None
+        if args.tile_forward:
+            tiler = TiledUpscaler(
+                lambda batch: model.fwd_runtime(np.asarray(batch, np.float32)),
+                scale=scale, tile_size=args.tile_size, overlap=args.tile_overlap,
+            )
+        duration_list, psnr_list = [], []
+        for image_index in range(num_images):
+            input_image, truth_image, image_name = dataloader.get_image_pair(
+                image_index=image_index, scale=scale
+            )
+            start_time = time.perf_counter()
+            if args.chop_forward:
+                output_image = upscale_with_chop_forward(
+                    model=model, input_image=input_image, scale=scale,
+                    overlap_size=args.chop_overlap_size,
+                )
+            elif tiler is not None:
+                output_image = tiler.upscale_chw(input_image)
+            else:
+                output_image = model.upscale(input_list=[input_image], scale=scale)[0]
+            duration = time.perf_counter() - start_time
+            duration_list.append(duration)
+
+            truth_u8 = metrics.image_to_uint8(truth_image)
+            output_u8 = metrics.image_to_uint8(output_image)
+            if args.save_path is not None:
+                out_dir = os.path.join(args.save_path, "x%d" % scale)
+                io.save_image_chw(output_u8, os.path.join(out_dir, image_name + ".png"))
+            truth_u8 = metrics.fit_truth_to_output(output_u8, truth_u8)
+            psnr = metrics.psnr_rgb(output_u8, truth_u8)
+            psnr_list.append(psnr)
+            print("x%d, %d/%d, psnr=%.2f, duration=%.4f"
+                  % (scale, image_index + 1, num_images, psnr, duration))
+
+        average_psnr_dict[scale] = float(np.mean(psnr_list))
+        average_duration_dict[scale] = float(np.mean(duration_list))
+        print("x%d, psnr=%.2f, duration=%.4f"
+              % (scale, average_psnr_dict[scale], average_duration_dict[scale]))
+    print("finished")
+    return average_psnr_dict
+
+
+if __name__ == "__main__":
+    main()

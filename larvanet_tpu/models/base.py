@@ -45,10 +45,25 @@ def robust_sqrt_loss(pred, target, eps: float = 1e-5):
     return jnp.mean(jnp.sqrt(jnp.abs(pred - target) + eps))
 
 
-def chw_list_to_nhwc(images: Sequence[np.ndarray]) -> jnp.ndarray:
-    """Host CHW float32 list -> NHWC device batch (stackable shapes)."""
-    arr = np.stack([np.asarray(im, dtype=np.float32) for im in images])
-    return jnp.asarray(arr.transpose(0, 2, 3, 1))
+def chw_list_to_nhwc(images) -> jnp.ndarray:
+    """Host image batch -> NHWC float32 device array.
+
+    Accepts the reference contract (list of CHW float32 arrays) or an
+    already-batched 4-D array in either NCHW or NHWC layout (the
+    framework's device-ready fast path emits NHWC directly).
+    """
+    if isinstance(images, (list, tuple)):
+        # Reference contract: a list is always CHW images.
+        arr = np.stack([np.asarray(im, dtype=np.float32) for im in images])
+        return jnp.asarray(arr.transpose(0, 2, 3, 1))
+    arr = np.asarray(images, dtype=np.float32)
+    if arr.ndim != 4:
+        raise ValueError("expected a batch of images, got shape %s" % (arr.shape,))
+    if arr.shape[-1] == 3:  # already NHWC
+        return jnp.asarray(arr)
+    if arr.shape[1] == 3:  # NCHW
+        return jnp.asarray(arr.transpose(0, 2, 3, 1))
+    raise ValueError("cannot infer layout of batch with shape %s" % (arr.shape,))
 
 
 def nhwc_to_chw_numpy(batch: jax.Array) -> np.ndarray:
