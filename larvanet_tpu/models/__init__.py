@@ -4,11 +4,10 @@ importlib-by-filename plugin loading (reference train.py:53-54)."""
 
 import larvanet_tpu.models.edsr  # noqa: F401
 import larvanet_tpu.models.larvanet  # noqa: F401
-
-# Families added as they land:
-for _mod in ("msrr", "mamnet", "ebrn", "imdn", "hrsr", "rego", "treenet"):
-    try:
-        __import__("larvanet_tpu.models.%s" % _mod)
-    except ImportError:
-        pass
-del _mod
+import larvanet_tpu.models.msrr  # noqa: F401
+import larvanet_tpu.models.mamnet  # noqa: F401
+import larvanet_tpu.models.ebrn  # noqa: F401
+import larvanet_tpu.models.imdn  # noqa: F401
+import larvanet_tpu.models.hrsr  # noqa: F401
+import larvanet_tpu.models.rego  # noqa: F401
+import larvanet_tpu.models.treenet  # noqa: F401

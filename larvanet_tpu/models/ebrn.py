@@ -1,0 +1,200 @@
+"""EBRN: embedded block residual network (back-projection cascade).
+
+Reference models/ebrn.py: feature_extract = 3 convs with PReLU
+(3 -> 4F -> F -> F, :191-198); a chain of BRM units, each up-projecting
+with a ConvTranspose (k/s/p = 8/4/2 at x4), running a 3-conv+PReLU
+sr_flow, and back-projecting a strided-conv residual `diff = x - down`
+refined by a bp_flow (:135-176); then a reverse fusion cascade
+`sr = fusion_i(sr + sr_list[-(i+1)])` and a concat recon conv
+(:213-233). Flags --num_filters=64 --num_brms=10 (:26-27). Stepwise
+Adam + L1.
+
+ebrn_rm (reference models/ebrn_rm.py) is the reduced-memory variant:
+BRMs become LR-space res-blocks returning (res, out), fusion in LR
+space, one big conv+PixelShuffle at the end. ebrn_rm_BLI additionally
+drops the mean-shifts and adds a bilinear base (ebrn_rm_BLI.py diff).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from larvanet_tpu.core.config import parse_known
+from larvanet_tpu.core.registry import register_model
+from larvanet_tpu.models.base import SRModel, l1_loss
+from larvanet_tpu.models.layers import (
+    ConvTranspose2dTorch,
+    MeanShift,
+    PReLU,
+    conv3x3,
+    get_activation,
+    interpolated_base,
+)
+from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+_UP_GEOM = {2: (6, 2, 2), 3: (7, 3, 2), 4: (8, 4, 2)}  # k, s, p per scale
+
+
+class _ConvPReLUStack(nn.Module):
+    features: int
+    count: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.count):
+            x = conv3x3(self.features, name="conv%d" % i, in_features=x.shape[-1])(x)
+            x = PReLU(self.features, name="prelu%d" % i)(x)
+        return x
+
+
+class BRM(nn.Module):
+    features: int
+    scale: int
+    back_project: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = _UP_GEOM[self.scale]
+        up = ConvTranspose2dTorch(self.features, k, s, p, name="up_block")(x)
+        sr = _ConvPReLUStack(self.features, name="sr_flow")(up)
+        if not self.back_project:
+            return sr
+        down = nn.Conv(self.features, (k, k), strides=(s, s),
+                       padding=[(p, p), (p, p)], name="down_block")(up)
+        diff = x - down
+        diff = diff + _ConvPReLUStack(self.features, name="bp_flow")(diff)
+        return diff, sr
+
+
+class EBRNModule(nn.Module):
+    features: int = 64
+    num_brms: int = 10
+    scale: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        x = MeanShift(sign=1.0)(x)
+        fea = conv3x3(4 * self.features, name="fe0", in_features=3)(x)
+        fea = PReLU(4 * self.features, name="fe_prelu0")(fea)
+        fea = conv3x3(self.features, name="fe1", in_features=4 * self.features)(fea)
+        fea = PReLU(self.features, name="fe_prelu1")(fea)
+        fea = conv3x3(self.features, name="fe2", in_features=self.features)(fea)
+        fea = PReLU(self.features, name="fe_prelu2")(fea)
+
+        sr_list = []
+        h = fea
+        for i in range(self.num_brms - 1):
+            h, sr = BRM(self.features, self.scale, True, name="brm_%d" % i)(h)
+            sr_list.append(sr)
+        sr = BRM(self.features, self.scale, False, name="brm_%d" % (self.num_brms - 1))(h)
+
+        out_list = [sr]
+        for i in range(self.num_brms - 1):
+            sr = conv3x3(self.features, name="fusion_%d" % i,
+                         in_features=self.features)(sr + sr_list[-(i + 1)])
+            out_list.append(sr)
+
+        out = conv3x3(3, name="recon", in_features=self.features * self.num_brms)(
+            jnp.concatenate(out_list, axis=-1)
+        )
+        return MeanShift(sign=-1.0)(out)
+
+
+class EBRNRMModule(nn.Module):
+    """Reduced-memory EBRN (reference ebrn_rm.py / ebrn_rm_BLI.py)."""
+
+    features: int = 64
+    num_brms: int = 10
+    scale: int = 4
+    bilinear_base: bool = False  # BLI variant: no mean-shift, + bilinear base
+
+    @nn.compact
+    def __call__(self, x):
+        lrelu = get_activation("leaky_relu", 0.05)
+        inp = x if self.bilinear_base else MeanShift(sign=1.0)(x)
+        fea = conv3x3(self.features, name="first_conv", in_features=3)(inp)
+
+        out_list = []
+        h = fea
+        for i in range(self.num_brms - 1):
+            res = conv3x3(self.features, name="brm_%d_conv1" % i, in_features=self.features)(h)
+            res = lrelu(res)
+            res = conv3x3(self.features, name="brm_%d_conv2" % i, in_features=self.features)(res)
+            out = h + res
+            out_list.append(out)
+            h = res  # the residual stream feeds the next BRM (ebrn_rm.py forward)
+        res = conv3x3(self.features, name="brm_%d_conv1" % (self.num_brms - 1), in_features=self.features)(h)
+        res = lrelu(res)
+        res = conv3x3(self.features, name="brm_%d_conv2" % (self.num_brms - 1), in_features=self.features)(res)
+        out = h + res
+
+        out_prime_list = [out]
+        for i in range(self.num_brms - 1):
+            out = conv3x3(self.features, name="fusion_%d" % i,
+                          in_features=self.features)(out + out_list[-(i + 1)])
+            out_prime_list.append(out)
+
+        cat = jnp.concatenate(out_prime_list, axis=-1)
+        up = conv3x3(3 * self.scale ** 2, name="upsample_conv", in_features=cat.shape[-1])(cat)
+        sr = pixel_shuffle(up, self.scale)
+        if self.bilinear_base:
+            return sr + interpolated_base(x, self.scale, "bilinear")
+        return MeanShift(sign=-1.0)(sr)
+
+
+class _EBRNBase(SRModel):
+    optimizer_kind = "adam"
+    loss = staticmethod(l1_loss)
+    module_cls = EBRNModule
+    module_kwargs = {}
+
+    def parse_args(self, args):
+        parser = argparse.ArgumentParser()
+        parser.add_argument("--num_filters", type=int, default=64,
+                            help="The number of filters.")
+        parser.add_argument("--num_brms", type=int, default=10,
+                            help="The number of modules.")
+        parser.add_argument("--learning_rate", type=float, default=1e-4,
+                            help="Initial learning rate.")
+        parser.add_argument("--learning_rate_decay", type=float, default=0.5,
+                            help="Learning rate decay factor.")
+        parser.add_argument("--learning_rate_decay_steps", type=int, default=200000,
+                            help="The number of training steps to perform learning rate decay.")
+        self.args, remaining = parse_known(parser, args)
+        return self.args, remaining
+
+    def build_module(self):
+        return self.module_cls(
+            features=self.args.num_filters,
+            num_brms=self.args.num_brms,
+            scale=self.scale,
+            **self.module_kwargs,
+        )
+
+    def get_learning_rate(self):
+        return self.args.learning_rate * (
+            self.args.learning_rate_decay
+            ** (self.global_step // self.args.learning_rate_decay_steps)
+        )
+
+
+@register_model("ebrn")
+def _create_ebrn():
+    return type("EBRN", (_EBRNBase,), {})()
+
+
+@register_model("ebrn_rm")
+def _create_ebrn_rm():
+    return type("EBRNRM", (_EBRNBase,), {"module_cls": EBRNRMModule})()
+
+
+@register_model("ebrn_rm_BLI")
+def _create_ebrn_rm_bli():
+    return type(
+        "EBRNRMBLI", (_EBRNBase,),
+        {"module_cls": EBRNRMModule, "module_kwargs": {"bilinear_base": True}},
+    )()

@@ -162,15 +162,18 @@ class ResBlock(nn.Module):
     activation: str = "relu"
     slope: float = 0.1
     init_scale: Optional[float] = None  # None => torch default init
+    kernel_size: int = 3
 
     @nn.compact
     def __call__(self, x):
         act = get_activation(self.activation, self.slope)
         if self.init_scale is not None:
             kinit = kaiming_normal_scaled(self.init_scale)
-            conv = lambda name: conv3x3(self.features, name=name, kernel_init=kinit)
+            conv = lambda name: conv3x3(self.features, name=name, kernel_init=kinit,
+                                        kernel_size=self.kernel_size)
         else:
-            conv = lambda name: conv3x3(self.features, name=name, in_features=self.features)
+            conv = lambda name: conv3x3(self.features, name=name, in_features=self.features,
+                                        kernel_size=self.kernel_size)
         res = conv("conv1")(x)
         res = act(res)
         res = conv("conv2")(res)
@@ -246,6 +249,52 @@ class UpsampleBlock(nn.Module):
         else:
             raise ValueError("unsupported scale %d" % (self.scale,))
         return x
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU, torch parity (nn.PReLU(C), slopes init 0.25)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        slope = self.param("slope", nn.initializers.constant(0.25), (self.features,))
+        return jnp.where(x >= 0, x, x * slope)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """Transposed conv with torch ConvTranspose2d(k, s, p) geometry:
+    out = (in-1)*s - 2p + k (reference models/ebrn.py:138-144 uses
+    k/s/p = 8/4/2, 7/3/2, 6/2/2 per scale). Implemented as input-dilated
+    conv with symmetric padding k-1-p."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            torch_conv_kernel_init,
+            (k, k, in_features, self.features),
+        )
+        bias = self.param(
+            "bias", torch_conv_bias_init(in_features * k * k), (self.features,)
+        )
+        pad = k - 1 - p
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding=[(pad, pad), (pad, pad)],
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias
 
 
 def interpolated_base(x: jax.Array, scale: int, method: str = "bicubic") -> jax.Array:

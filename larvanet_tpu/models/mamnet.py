@@ -1,0 +1,122 @@
+"""MAMNet: EDSR trunk with multi-path adaptive modulation blocks.
+
+Reference models/mamnet.py: MAMBlock = conv-ReLU-conv + MAMLayer (:134-149);
+the MAMLayer (:151-172) gates features with a sigmoid of the sum of three
+modulation maps:
+  CSI — per-channel spatial variance, broadcast over H,W;
+  ICD — 1x1 squeeze-excite (reduction 16) of that variance vector;
+  CSD — 3x3 depthwise conv of the features.
+Trunk/topology and flags (--mamnet_*) otherwise match EDSR
+(:196-228, :24-30). Stepwise Adam + L1.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from larvanet_tpu.core.config import parse_known
+from larvanet_tpu.core.registry import register_model
+from larvanet_tpu.models.base import SRModel, l1_loss
+from larvanet_tpu.models.layers import MeanShift, UpsampleBlock, conv3x3
+
+
+class MAMLayer(nn.Module):
+    features: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: NHWC. Channel-wise spatial variance (torch .var over pixels is
+        # the unbiased estimator, ddof=1 — mamnet.py:167).
+        n_pix = x.shape[1] * x.shape[2]
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.sum((x - mean) ** 2, axis=(1, 2), keepdims=True) / max(n_pix - 1, 1)
+        csi = var  # broadcasts over H, W
+        squeeze = conv3x3(self.features // self.reduction, name="du1",
+                          in_features=self.features, kernel_size=1)
+        excite = conv3x3(self.features, name="du2",
+                         in_features=self.features // self.reduction, kernel_size=1)
+        icd = excite(jax.nn.relu(squeeze(var)))
+        csd = conv3x3(self.features, name="depthwise", in_features=self.features,
+                      feature_group_count=self.features)(x)
+        return x * jax.nn.sigmoid(csi + icd + csd)
+
+
+class MAMBlock(nn.Module):
+    features: int
+    res_weight: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        res = conv3x3(self.features, name="conv1", in_features=self.features)(x)
+        res = jax.nn.relu(res)
+        res = conv3x3(self.features, name="conv2", in_features=self.features)(res)
+        res = MAMLayer(self.features, name="mam")(res)
+        if self.res_weight != 1.0:
+            res = res * self.res_weight
+        return x + res
+
+
+class MAMNetModule(nn.Module):
+    features: int = 64
+    num_blocks: int = 16
+    res_weight: float = 1.0
+    scale: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        x = MeanShift(sign=1.0)(x)
+        x = conv3x3(self.features, name="first_conv", in_features=3)(x)
+        res = x
+        for i in range(self.num_blocks):
+            res = MAMBlock(self.features, self.res_weight, name="mam_block_%d" % i)(res)
+        res = conv3x3(self.features, name="after_res_conv", in_features=self.features)(res)
+        x = x + res
+        x = UpsampleBlock(self.features, self.scale, name="upsample")(x)
+        x = conv3x3(3, name="final_conv", in_features=self.features)(x)
+        return MeanShift(sign=-1.0)(x)
+
+
+class MAMNet(SRModel):
+    optimizer_kind = "adam"
+    loss = staticmethod(l1_loss)
+
+    def parse_args(self, args):
+        parser = argparse.ArgumentParser()
+        parser.add_argument("--mamnet_conv_features", type=int, default=64,
+                            help="The number of convolutional features.")
+        parser.add_argument("--mamnet_res_blocks", type=int, default=16,
+                            help="The number of residual blocks.")
+        parser.add_argument("--mamnet_res_weight", type=float, default=1.0,
+                            help="The scaling factor.")
+        parser.add_argument("--mamnet_learning_rate", type=float, default=1e-4,
+                            help="Initial learning rate.")
+        parser.add_argument("--mamnet_learning_rate_decay", type=float, default=0.5,
+                            help="Learning rate decay factor.")
+        parser.add_argument("--mamnet_learning_rate_decay_steps", type=int, default=200000,
+                            help="The number of training steps to perform learning rate decay.")
+        self.args, remaining = parse_known(parser, args)
+        return self.args, remaining
+
+    def build_module(self):
+        return MAMNetModule(
+            features=self.args.mamnet_conv_features,
+            num_blocks=self.args.mamnet_res_blocks,
+            res_weight=self.args.mamnet_res_weight,
+            scale=self.scale,
+        )
+
+    def get_learning_rate(self):
+        return self.args.mamnet_learning_rate * (
+            self.args.mamnet_learning_rate_decay
+            ** (self.global_step // self.args.mamnet_learning_rate_decay_steps)
+        )
+
+
+@register_model("mamnet")
+def _create_mamnet():
+    return MAMNet()
