@@ -2,17 +2,27 @@
 
 Multi-device sharding logic (data parallel, spatial halo) is tested on a
 virtual CPU mesh via --xla_force_host_platform_device_count, the
-standard JAX trick (SURVEY.md §4). Must run before jax initializes.
+standard JAX trick (SURVEY.md §4).
+
+NOTE: this environment tunnels a real TPU through the 'axon' platform
+plugin, which overrides the JAX_PLATFORMS *environment variable* — the
+only reliable override is `jax.config.update("jax_platforms", "cpu")`
+before any backend is touched. Must run before jax initializes a
+backend.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("JAX_PLATFORMS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
