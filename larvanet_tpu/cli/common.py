@@ -12,7 +12,7 @@ import argparse
 from typing import List, Optional, Sequence, Tuple
 
 from larvanet_tpu.core.config import parse_scale_list
-from larvanet_tpu.core.registry import get_loader, get_model
+from larvanet_tpu.core import registry
 
 
 def add_common_flags(parser: argparse.ArgumentParser, default_loader: Optional[str], default_model: str = "edsr") -> None:
@@ -29,7 +29,7 @@ def add_common_flags(parser: argparse.ArgumentParser, default_loader: Optional[s
 
 def setup_loader(name: str, remaining: Sequence[str], scales: List[int]):
     print("prepare data loader - %s" % (name,))
-    loader = get_loader(name)
+    loader = registry.get_loader(name)
     loader_args, remaining = loader.parse_args(list(remaining))
     loader.prepare(scales=scales)
     return loader, loader_args, remaining
@@ -37,7 +37,9 @@ def setup_loader(name: str, remaining: Sequence[str], scales: List[int]):
 
 def setup_model(name: str, remaining: Sequence[str], scales: List[int], is_training: bool, global_step: int = 0):
     print("prepare model - %s" % (name,))
-    model = get_model(name)
+    # looked up via the module attribute so wrappers (train_larvaV2,
+    # train_squid) can patch registry.get_model around the call
+    model = registry.get_model(name)
     model_args, remaining = model.parse_args(list(remaining))
     model.prepare(is_training=is_training, scales=scales, global_step=global_step)
     return model, model_args, remaining

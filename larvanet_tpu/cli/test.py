@@ -1,0 +1,128 @@
+"""Benchmark-suite evaluation CLI (reference test.py).
+
+Evaluates a restored model over benchmark dataset trees
+(Set5/Set14/BSD100/Urban100/Manga109/DIV2K_val), computing Y-channel
+PSNR/SSIM with border shaving for the paper protocol, or RGB PSNR for
+DIV2K_val (reference test.py:152-170), writing SR PNGs and a log.txt.
+
+The reference hardcodes C:/aim2020 dataset roots (test.py:91-93); here
+they are flags with the same directory layout: `<input_root>/<dataset>/`
+LR PNGs (DIV2K_val names them `<name>x4.png`), `<truth_root>/<dataset>/`
+HR PNGs. The msrr_test special case ([0,1]-range model, test.py:132-146)
+is preserved.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from larvanet_tpu.cli import common
+from larvanet_tpu.data import io
+from larvanet_tpu.eval import metrics
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, default="edsr", help="Name of the model.")
+    parser.add_argument("--scales", type=str, default="4", help="Scales of the input images.")
+    parser.add_argument("--cuda_device", type=str, default="-1",
+                        help="Accepted for reference-CLI parity; ignored.")
+    parser.add_argument("--restore_path", type=str, required=True,
+                        help="Checkpoint path to be restored.")
+    parser.add_argument("--input_root_path", type=str, default="data/test_LR",
+                        help="Root of LR benchmark trees (reference hardcoded C:/aim2020/data/test_LR).")
+    parser.add_argument("--truth_root_path", type=str, default="data/test_HR",
+                        help="Root of HR benchmark trees.")
+    parser.add_argument("--output_root_path", type=str, default="data/test_SR",
+                        help="Root for SR outputs and log.txt.")
+    parser.add_argument("--datasets", type=str,
+                        default="Set5,Set14,BSD100,Urban100,Manga109",
+                        help="Comma-separated dataset subdirs; DIV2K_val uses RGB PSNR.")
+    parser.add_argument("--chop_forward", action="store_true")
+    parser.add_argument("--chop_overlap_size", type=int, default=20)
+    args, remaining = parser.parse_known_args(argv)
+
+    scale_list = common.scales_of(args)
+    scale = scale_list[0]
+    model, _, remaining = common.setup_model(args.model, remaining, scale_list, is_training=False)
+    common.warn_leftovers(remaining)
+    model.restore(ckpt_path=args.restore_path)
+    print("restored the model")
+
+    output_root = os.path.join(args.output_root_path, args.model)
+    os.makedirs(output_root, exist_ok=True)
+    log = open(os.path.join(output_root, "log.txt"), "w")
+
+    datasets = [d for d in args.datasets.split(",") if d]
+    results = []
+    for dataset in datasets:
+        input_path = os.path.join(args.input_root_path, dataset)
+        truth_path = os.path.join(args.truth_root_path, dataset)
+        output_path = os.path.join(output_root, dataset)
+        os.makedirs(output_path, exist_ok=True)
+        image_names = [f for f in sorted(os.listdir(truth_path)) if f.lower().endswith(".png")]
+        print("%s: %d images are prepared" % (dataset, len(image_names)))
+        log.write("%s: %d images are prepared\n" % (dataset, len(image_names)))
+
+        start_time = time.perf_counter()
+        psnr_list, ssim_list = [], []
+        for image_index, image_name in enumerate(image_names):
+            stem = os.path.splitext(image_name)[0]
+            if dataset == "DIV2K_val":
+                input_name = stem + "x%d" % scale + ".png"
+            else:
+                input_name = image_name
+            input_image = io.load_image_chw(os.path.join(input_path, input_name))
+            truth_image = io.load_image_u8(os.path.join(truth_path, image_name))  # HWC
+
+            # model.test returns an NHWC device batch; [0] -> HWC host image.
+            if args.model == "msrr_test":
+                # [0,1]-range contract (reference test.py:132-146, tensor2uint :21-25)
+                out = np.asarray(model.test([input_image / 255.0]))[0]
+                output_image = np.uint8((np.clip(out, 0.0, 1.0) * 255.0).round())
+            else:
+                out = np.asarray(model.test(input_list=[input_image]))[0]
+                output_image = metrics.image_to_uint8(out)
+
+            truth_fit = metrics.fit_truth_to_output(output_image, truth_image)
+            truth_u8 = metrics.image_to_uint8(truth_fit)
+            cropped_output = metrics.shave(output_image, scale)
+            cropped_truth = metrics.shave(truth_u8, scale)
+
+            if dataset == "DIV2K_val":
+                psnr = metrics.psnr_rgb(output_image, truth_u8)
+                ssim = metrics.ssim(output_image, truth_u8)
+            else:
+                oy = metrics.image_to_uint8(metrics.rgb_to_y(cropped_output))
+                ty = metrics.image_to_uint8(metrics.rgb_to_y(cropped_truth))
+                psnr = metrics.psnr_y(cropped_output, cropped_truth)
+                ssim = metrics.ssim(oy, ty)
+
+            psnr_list.append(psnr)
+            ssim_list.append(ssim)
+            io.save_image_hwc(output_image, os.path.join(output_path, image_name))
+            line = "x%d, %d/%d, psnr=%.4f, ssim=%.4f" % (
+                scale, image_index + 1, len(image_names), psnr, ssim)
+            print(line)
+            log.write(line + "\n")
+
+        duration = time.perf_counter() - start_time
+        results.append((dataset, float(np.mean(psnr_list)), float(np.mean(ssim_list)), duration))
+        print("x%d, %s dataset, psnr=%.4f, ssim=%.4f, duration=%.0f"
+              % (scale, dataset, results[-1][1], results[-1][2], duration))
+
+    for dataset, psnr, ssim, duration in results:
+        line = "%s, psnr=%.4f, ssim=%.4f, duration=%s" % (dataset, psnr, ssim, duration)
+        print(line)
+        log.write(line + "\n")
+    log.close()
+    print("finished")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Training with inline validation-driven LR scheduling (reference
+train_schedule.py and train_schedule_tensor.py).
+
+Every 10 epochs (epoch = 300 MiB of consumed patches / batch bytes,
+reference train_schedule.py:103-106) the full val set is scored and the
+model's plateau scheduler (`model.lr_scheduler`, e.g. hrsr) is stepped
+with the mean PSNR (:139-164), then a checkpoint is saved. The reference
+also has a `_tensor` variant whose only difference is the tensor-
+returning loader — covered here by `--dataloader div2k_train_loader_tensor`.
+
+Note: the reference script has two latent NameError bugs in rarely-hit
+branches (train_schedule.py:175,186); those branches are implemented
+correctly here rather than replicated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import numpy as np
+
+from larvanet_tpu.cli import common
+from larvanet_tpu.core.config import dump_arguments_json
+from larvanet_tpu.eval import metrics
+from larvanet_tpu.utils.summary import SummaryWriter
+
+
+def round_to_1(x):
+    return round(x, -int(math.floor(math.log10(abs(x)))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataloader", type=str, default="div2k_train_loader")
+    parser.add_argument("--dataloader_val", type=str, default="div2k_val_loader")
+    parser.add_argument("--val_data_input_path", type=str, default="data/DIV2K_valid_LR_bicubic")
+    parser.add_argument("--val_data_truth_path", type=str, default="data/DIV2K_valid_HR")
+    parser.add_argument("--model", type=str, default="hrsr")
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--input_patch_size", type=int, default=48)
+    parser.add_argument("--step_per_epoch", type=float, default=None,
+                        help="Steps per epoch; default derives from 300 MiB of data.")
+    parser.add_argument("--scales", type=str, default="4")
+    parser.add_argument("--cuda_device", type=str, default="-1")
+    parser.add_argument("--train_path", type=str, required=True)
+    parser.add_argument("--max_steps", type=int, default=300000)
+    parser.add_argument("--log_freq", type=int, default=10)
+    parser.add_argument("--summary_freq", type=int, default=1000)
+    parser.add_argument("--val_freq_epochs", type=int, default=10,
+                        help="Validate every N epochs (reference uses 10).")
+    parser.add_argument("--restore_path", type=str)
+    parser.add_argument("--restore_target", type=str)
+    parser.add_argument("--global_step", type=int, default=0)
+    args, remaining = parser.parse_known_args(argv)
+
+    scale_list = common.scales_of(args)
+    scale = scale_list[0]
+    os.makedirs(args.train_path, exist_ok=True)
+
+    dataloader, loader_args, remaining = common.setup_loader(args.dataloader, remaining, scale_list)
+    val_loader, _, _ = common.setup_loader(
+        args.dataloader_val,
+        ["--data_input_path", args.val_data_input_path,
+         "--data_truth_path", args.val_data_truth_path],
+        scale_list,
+    )
+    model, model_args, remaining = common.setup_model(
+        args.model, remaining, scale_list, is_training=True, global_step=args.global_step
+    )
+    common.warn_leftovers(remaining)
+
+    if args.restore_path is not None:
+        model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+        print("restored the model")
+
+    summary = SummaryWriter(os.path.join(args.train_path, "x%d" % scale))
+    dump_arguments_json(os.path.join(args.train_path, "arguments.json"), args, loader_args, model_args)
+
+    if getattr(dataloader, "is_threaded", False):
+        dataloader.start_training_queue_runner(args.batch_size, args.input_patch_size)
+
+    if args.step_per_epoch is None:
+        batch_data_size = (args.input_patch_size ** 2) * args.batch_size * 3
+        step_per_epoch = round_to_1(300 * (1024 ** 2) / batch_data_size)
+    else:
+        step_per_epoch = args.step_per_epoch
+    print("%s steps equal to 1 epoch" % (step_per_epoch,))
+    val_every = int(args.val_freq_epochs * step_per_epoch)
+
+    print("begin training")
+    try:
+        while model.global_step < args.max_steps:
+            t0 = time.time()
+            if getattr(dataloader, "is_threaded", False):
+                inputs, truths = dataloader.get_queue_data(scale)
+            else:
+                inputs, truths = dataloader.get_patch_batch(
+                    args.batch_size, scale, args.input_patch_size)
+            use_summary = summary if model.global_step % args.summary_freq == 0 else None
+            loss = model.train_step(inputs, scale, truths, use_summary)
+            duration = time.time() - t0
+
+            if model.global_step % val_every == 0:
+                print("begin validation")
+                psnr_list = []
+                for idx in range(val_loader.get_num_images()):
+                    inp, tru, _ = val_loader.get_image_pair(image_index=idx, scale=scale)
+                    out = model.upscale([inp], scale)[0]
+                    o8 = metrics.image_to_uint8(out)
+                    t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
+                    psnr_list.append(metrics.psnr_rgb(o8, t8))
+                average_psnr = float(np.mean(psnr_list))
+                print("step %d, epoch %.0f, psnr=%.8f, lr = %.10f"
+                      % (model.global_step, model.global_step / step_per_epoch,
+                         average_psnr, model.get_learning_rate()))
+                if getattr(model, "lr_scheduler", None) is not None:
+                    model.lr_scheduler.step(average_psnr)
+                model.save(base_path=args.train_path)
+                print("saved a model checkpoint at step %d" % (model.global_step,))
+
+            if model.global_step % args.log_freq == 0:
+                print("step %d, lr %.8f, loss %.6f (%.3f sec/batch)"
+                      % (model.global_step, model.get_learning_rate(), loss, duration))
+    except KeyboardInterrupt:
+        print("interrupted")
+    finally:
+        if getattr(dataloader, "is_threaded", False):
+            dataloader.stop_queue_runners()
+    print("finished")
+    summary.close()
+
+
+if __name__ == "__main__":
+    main()
