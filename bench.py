@@ -4,10 +4,17 @@ Runs on whatever jax.devices() provides (the real TPU under the driver).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Protocol: batched 192x192 LR tiles (the batched-tile full-frame engine's
-steady-state shape), bf16 compute, timing excludes compilation, device-
-synced via block_until_ready — the TPU analog of the reference's
-cuda-synchronized runtime.py:61-73.
+Timing methodology (tunnel-proof): this environment reaches the TPU
+through a tunnel where `block_until_ready` acks before execution
+finishes and bulk device->host transfers are extremely slow, so naive
+loops measure dispatch, not compute. Instead the benchmark runs N
+forwards *inside one jitted lax.fori_loop* — each iteration's input
+perturbed by the running scalar accumulator so XLA cannot CSE or
+reorder them — and returns a single scalar whose host readback fences
+the whole chain. Two loop lengths are timed and differenced, cancelling
+the per-call tunnel/dispatch overhead. This is the TPU analog of the
+reference's cuda-synchronized runtime.py:61-73, hardened for remote
+execution.
 
 vs_baseline divides by the frozen PyTorch-GPU estimate in BASELINE.md
 (1.5 LR-MP/s for EDSR-b x4 on a V100-class card; the reference repo
@@ -36,10 +43,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="edsr")
     parser.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--tile", type=int, default=192)
-    parser.add_argument("--iters", type=int, default=30)
-    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=32)
+    parser.add_argument("--base_iters", type=int, default=8)
+    parser.add_argument("--repeats", type=int, default=3)
     args = parser.parse_args()
 
     import jax
@@ -57,9 +65,17 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), model.params)
 
-    @jax.jit
-    def fwd(p, x):
-        return model.module.apply({"params": p}, x)
+    def chained(p, x, n):
+        def body(i, acc):
+            # perturb the input by the accumulator so iterations form a
+            # true dependency chain XLA cannot collapse
+            xi = x + (acc * jnp.asarray(1e-20, dtype)).astype(dtype)
+            out = model.module.apply({"params": p}, xi)
+            return acc + jnp.sum(out[..., :1, :1, :]).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    run = jax.jit(chained, static_argnums=(2,))
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -69,18 +85,29 @@ def main():
     x = jax.device_put(x, dev)
     params = jax.device_put(params, dev)
 
-    for _ in range(args.warmup):
-        jax.block_until_ready(fwd(params, x))
+    # compile + warm both loop lengths
+    float(run(params, x, args.base_iters))
+    float(run(params, x, args.iters))
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    def timed(n):
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            float(run(params, x, n))  # scalar readback fences execution
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    mp = args.batch * args.tile * args.tile * args.iters / 1e6
-    mps = mp / dt
-    log("%.2f LR-MP in %.3fs" % (mp, dt))
+    t_small = timed(args.base_iters)
+    t_large = timed(args.iters)
+    per_iter = (t_large - t_small) / (args.iters - args.base_iters)
+    if per_iter <= 0:
+        log("WARNING: non-positive per-iter time (%.6f); falling back to t_large/iters" % per_iter)
+        per_iter = t_large / args.iters
+
+    mp_per_iter = args.batch * args.tile * args.tile / 1e6
+    mps = mp_per_iter / per_iter
+    log("t(%d)=%.4fs t(%d)=%.4fs -> %.4f s/iter, %.3f MP/iter"
+        % (args.base_iters, t_small, args.iters, t_large, per_iter, mp_per_iter))
     print(json.dumps({
         "metric": "%s_x4_inference_throughput" % args.model,
         "value": round(mps, 3),
