@@ -204,6 +204,31 @@ class SRModel:
     def get_model(self):
         return self.module
 
+    # ---- on-device validation ---------------------------------------------
+
+    def _val_psnr_impl(self, params, x, t):
+        """SR forward + challenge-protocol RGB PSNR, entirely on device.
+
+        Only a scalar crosses back to the host — critical on TPU, where
+        pulling full SR frames to the host for numpy PSNR (the
+        reference's validate flow) is transfer-bound.
+        """
+        out = self._forward_impl(params, x)
+        o = jnp.clip(jnp.round(out), 0, 255)
+        tt = jnp.clip(jnp.round(t), 0, 255)
+        tt = tt[:, : o.shape[1], : o.shape[2], :]
+        mse = jnp.mean(jnp.square(tt - o))
+        return 10.0 * jnp.log10(255.0 ** 2 / mse)
+
+    def psnr_on_device(self, input_chw: np.ndarray, truth_chw: np.ndarray) -> float:
+        """Challenge-protocol PSNR of upscale(input) vs truth (one scalar
+        readback; jit cached per image shape)."""
+        if getattr(self, "_val_psnr_jit", None) is None:
+            self._val_psnr_jit = jax.jit(self._val_psnr_impl)
+        x = chw_list_to_nhwc([input_chw])
+        t = chw_list_to_nhwc([truth_chw])
+        return float(self._val_psnr_jit(self.params, x, t))
+
     def get_next_train_scale(self):
         return self.scale_list[self._rng.integers(len(self.scale_list))]
 

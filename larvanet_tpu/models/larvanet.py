@@ -293,18 +293,14 @@ class LarvaNetBase(SRModel):
 
     def validate_for_train(self, args, dataloader):
         """Full val-set RGB PSNR -> plateau scheduler step
-        (reference models/LarvaNet.py:141-161)."""
-        from larvanet_tpu.eval import metrics
-
+        (reference models/LarvaNet.py:141-161). PSNR is computed on
+        device (scalar readback per image) — same protocol, no full-frame
+        device->host transfers."""
         num_images = dataloader.get_num_images()
         psnr_list = []
         for idx in range(num_images):
             input_image, truth_image, _ = dataloader.get_image_pair(image_index=idx, scale=SCALE)
-            output = self.upscale(input_list=[input_image], scale=SCALE)[0]
-            t8 = metrics.image_to_uint8(truth_image)
-            o8 = metrics.image_to_uint8(output)
-            t8 = metrics.fit_truth_to_output(o8, t8)
-            psnr_list.append(metrics.psnr_rgb(o8, t8))
+            psnr_list.append(self.psnr_on_device(input_image, truth_image))
         average_psnr = float(np.mean(psnr_list))
         print(
             "step %d, volume %.0fG, psnr=%.8f, lr = %.8f"

@@ -168,16 +168,10 @@ class TreeNet(SRModel):
         LarvaNet no scheduler step happens here (reference TreeNet.py:136)."""
         import numpy as np
 
-        from larvanet_tpu.eval import metrics
-
         psnr_list = []
         for idx in range(dataloader.get_num_images()):
             input_image, truth_image, _ = dataloader.get_image_pair(image_index=idx, scale=4)
-            output = self.upscale(input_list=[input_image], scale=4)[0]
-            t8 = metrics.image_to_uint8(truth_image)
-            o8 = metrics.image_to_uint8(output)
-            t8 = metrics.fit_truth_to_output(o8, t8)
-            psnr_list.append(metrics.psnr_rgb(o8, t8))
+            psnr_list.append(self.psnr_on_device(input_image, truth_image))
         average_psnr = float(np.mean(psnr_list))
         print("step %d, volume %.0fG, psnr=%.8f, lr = %.8f"
               % (self.global_step, self.total_volume / 1e9, average_psnr, self.get_learning_rate()))

@@ -145,3 +145,17 @@ def test_multi_scale_rejected():
     m.parse_args([])
     with pytest.raises(ValueError):
         m.prepare(is_training=False, scales=[2, 4])
+
+
+def test_psnr_on_device_matches_host_protocol(rng):
+    from larvanet_tpu.eval import metrics
+
+    m = _prepare("edsr", ["--edsr_res_blocks", "1", "--edsr_conv_features", "8"])
+    inp = rng.uniform(0, 255, (3, 9, 11)).astype(np.float32)
+    tru = rng.uniform(0, 255, (3, 38, 46)).astype(np.float32)
+    got = m.psnr_on_device(inp, tru)
+    out = m.upscale([inp], 4)[0]
+    o8 = metrics.image_to_uint8(out)
+    t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
+    want = metrics.psnr_rgb(o8, t8)
+    assert abs(got - want) < 1e-3
