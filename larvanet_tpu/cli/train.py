@@ -43,7 +43,7 @@ def main(argv=None):
     parser.add_argument("--sleep_ratio", type=float, default=0.0,
                         help="Per-step sleep ratio (GPU-era thermal throttle; default off on TPU).")
     parser.add_argument("--restore_path", type=str,
-                        help="Checkpoint path to be restored.")
+                        help="Checkpoint path to be restored; 'latest' auto-resumes from the newest ckpt in --train_path.")
     parser.add_argument("--restore_target", type=str,
                         help="Target of the restoration.")
     parser.add_argument("--global_step", type=int, default=0,
@@ -59,8 +59,11 @@ def main(argv=None):
     )
     common.warn_leftovers(remaining)
 
-    if args.restore_path is not None:
-        model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+    from larvanet_tpu.utils.checkpoints import resolve_restore_path
+
+    restore_path = resolve_restore_path(args.restore_path, args.train_path)
+    if restore_path is not None:
+        model.restore(ckpt_path=restore_path, target=args.restore_target)
         print("restored the model")
 
     summary_writers = {

@@ -58,7 +58,7 @@ def main(argv=None):
     parser.add_argument("--summary_freq", type=int, default=1000,
                         help="The frequency of logging on TensorBoard.")
     parser.add_argument("--restore_path", type=str,
-                        help="Checkpoint path to be restored.")
+                        help="Checkpoint path to be restored; 'latest' auto-resumes from the newest ckpt in --train_path.")
     parser.add_argument("--restore_target", type=str,
                         help="Target of the restoration.")
     parser.add_argument("--global_step", type=int, default=0,
@@ -83,8 +83,11 @@ def main(argv=None):
     common.warn_leftovers(remaining)
     model.volume_per_step = args.input_patch_size ** 2 * args.batch_size * 3
 
-    if args.restore_path is not None:
-        model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+    from larvanet_tpu.utils.checkpoints import resolve_restore_path
+
+    restore_path = resolve_restore_path(args.restore_path, args.train_path)
+    if restore_path is not None:
+        model.restore(ckpt_path=restore_path, target=args.restore_target)
         print("restored the model")
 
     summary = SummaryWriter(os.path.join(args.train_path, "x%d" % scale_list[0]))

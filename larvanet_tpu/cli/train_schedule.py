@@ -72,8 +72,11 @@ def main(argv=None):
     )
     common.warn_leftovers(remaining)
 
-    if args.restore_path is not None:
-        model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+    from larvanet_tpu.utils.checkpoints import resolve_restore_path
+
+    restore_path = resolve_restore_path(args.restore_path, args.train_path)
+    if restore_path is not None:
+        model.restore(ckpt_path=restore_path, target=args.restore_target)
         print("restored the model")
 
     summary = SummaryWriter(os.path.join(args.train_path, "x%d" % scale))
