@@ -46,6 +46,8 @@ def main(argv=None):
                         help="Checkpoint path to be restored; 'latest' auto-resumes from the newest ckpt in --train_path.")
     parser.add_argument("--restore_target", type=str,
                         help="Target of the restoration.")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Emit a jax.profiler device trace into this directory (new; TPU-native observability).")
     parser.add_argument("--global_step", type=int, default=0,
                         help="Initial global step. Specify this to resume the training.")
     args, remaining = parser.parse_known_args(argv)
@@ -72,29 +74,32 @@ def main(argv=None):
     }
     dump_arguments_json(os.path.join(args.train_path, "arguments.json"), args, loader_args, model_args)
 
+    from larvanet_tpu.utils.profiling import trace
+
     print("begin training")
     local_step = 0
-    while model.global_step < args.max_steps:
-        local_step += 1
-        start_time = time.time()
+    with trace(args.profile_dir):
+        while model.global_step < args.max_steps:
+            local_step += 1
+            start_time = time.time()
 
-        scale = model.get_next_train_scale()
-        summary = summary_writers[scale] if (local_step % args.summary_freq == 0) else None
-        input_list, truth_list = dataloader.get_patch_batch(
-            batch_size=args.batch_size, scale=scale, input_patch_size=args.input_patch_size
-        )
-        loss = model.train_step(input_list=input_list, scale=scale, truth_list=truth_list, summary=summary)
+            scale = model.get_next_train_scale()
+            summary = summary_writers[scale] if (local_step % args.summary_freq == 0) else None
+            input_list, truth_list = dataloader.get_patch_batch(
+                batch_size=args.batch_size, scale=scale, input_patch_size=args.input_patch_size
+            )
+            loss = model.train_step(input_list=input_list, scale=scale, truth_list=truth_list, summary=summary)
 
-        duration = time.time() - start_time
-        if args.sleep_ratio > 0 and duration > 0:
-            time.sleep(min(10.0, duration * args.sleep_ratio))
+            duration = time.time() - start_time
+            if args.sleep_ratio > 0 and duration > 0:
+                time.sleep(min(10.0, duration * args.sleep_ratio))
 
-        if local_step % args.log_freq == 0:
-            print("step %d, lr %f, loss %.6f (%.3f sec/batch)"
-                  % (model.global_step, model.get_learning_rate(), loss, duration))
-        if local_step % args.save_freq == 0:
-            model.save(base_path=args.train_path)
-            print("saved a model checkpoint at step %d" % (model.global_step,))
+            if local_step % args.log_freq == 0:
+                print("step %d, lr %f, loss %.6f (%.3f sec/batch)"
+                      % (model.global_step, model.get_learning_rate(), loss, duration))
+            if local_step % args.save_freq == 0:
+                model.save(base_path=args.train_path)
+                print("saved a model checkpoint at step %d" % (model.global_step,))
 
     print("finished")
     for w in summary_writers.values():

@@ -61,6 +61,8 @@ def main(argv=None):
                         help="Checkpoint path to be restored; 'latest' auto-resumes from the newest ckpt in --train_path.")
     parser.add_argument("--restore_target", type=str,
                         help="Target of the restoration.")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Emit a jax.profiler device trace into this directory (new; TPU-native observability).")
     parser.add_argument("--global_step", type=int, default=0,
                         help="Initial global step.")
     args, remaining = parser.parse_known_args(argv)
@@ -100,9 +102,12 @@ def main(argv=None):
             batch_size=args.batch_size, input_patch_size=args.input_patch_size
         )
 
+    from larvanet_tpu.utils.profiling import trace
+
     print("begin training")
     local_step = 0
     try:
+      with trace(args.profile_dir):
         while True:
             local_step += 1
             t0 = time.perf_counter()
