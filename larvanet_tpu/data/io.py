@@ -25,7 +25,16 @@ def load_image_chw(path: str) -> np.ndarray:
 
 
 def load_image_u8(path: str) -> np.ndarray:
-    """Read a PNG as HWC uint8 RGB."""
+    """Read a PNG as HWC uint8 RGB (native libpng decoder when built,
+    PIL otherwise — bit-identical output, see tests)."""
+    if path.lower().endswith(".png"):
+        from larvanet_tpu.data import native
+
+        if native.available():
+            try:
+                return native.decode_png(path)
+            except IOError:
+                pass  # fall back for odd files
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
 

@@ -99,6 +99,8 @@ class PairLoader(BaseLoader):
                             help="If true, cache the data on the memory.")
         parser.add_argument("--data_seed", type=int, default=None,
                             help="Seed for the patch-sampling RNG (new; reference used the global numpy RNG).")
+        parser.add_argument("--data_native", type=int, default=1,
+                            help="Use the native C++ decode/batch path when built (native/build.sh); 0 disables.")
         self._add_extra_args(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
@@ -113,6 +115,7 @@ class PairLoader(BaseLoader):
             scheme=self.scheme,
             cached=self.args.data_cached or self.always_cached,
             seed=self.args.data_seed,
+            use_native=bool(self.args.data_native),
         )
         self.dataset.prepare(scales)
 
