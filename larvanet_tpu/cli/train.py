@@ -48,6 +48,8 @@ def main(argv=None):
                         help="Target of the restoration.")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Emit a jax.profiler device trace into this directory (new; TPU-native observability).")
+    parser.add_argument("--device_pipeline", type=int, default=0,
+                        help="Steps per fused device call: uploads the whole uint8 dataset to HBM once and runs sampling+augmentation+optimizer inside one jit (0 = host pipeline). Requires the dataset to fit in HBM.")
     parser.add_argument("--global_step", type=int, default=0,
                         help="Initial global step. Specify this to resume the training.")
     args, remaining = parser.parse_known_args(argv)
@@ -77,6 +79,12 @@ def main(argv=None):
     from larvanet_tpu.utils.profiling import trace
 
     print("begin training")
+    if args.device_pipeline > 0:
+        _train_device_pipeline(args, dataloader, model, scale_list[0])
+        for w in summary_writers.values():
+            w.close()
+        return
+
     local_step = 0
     with trace(args.profile_dir):
         while model.global_step < args.max_steps:
@@ -104,6 +112,40 @@ def main(argv=None):
     print("finished")
     for w in summary_writers.values():
         w.close()
+
+
+def _train_device_pipeline(args, dataloader, model, scale):
+    """Fused on-device loop: dataset resident in HBM, N steps per jit call."""
+    import jax
+
+    from larvanet_tpu.data.device_pipeline import DevicePipeline, make_device_train_fn
+
+    ds = dataloader.dataset
+    lr_imgs = [ds.input_u8(scale, i) for i in range(len(ds))]
+    hr_imgs = [ds.truth_u8(i) for i in range(len(ds))]
+    pipe = DevicePipeline.from_arrays(lr_imgs, hr_imgs, scale)
+    print("device pipeline: %d images, %.1f MB resident in HBM"
+          % (len(lr_imgs), pipe.nbytes() / 1e6))
+    chunk = make_device_train_fn(
+        model, pipe, batch_size=args.batch_size, patch=args.input_patch_size,
+        steps_per_call=args.device_pipeline,
+    )
+    key = jax.random.PRNGKey(model.global_step)
+    import time as _time
+
+    while model.global_step < args.max_steps:
+        t0 = _time.time()
+        key, sub = jax.random.split(key)
+        lr = model.get_learning_rate()
+        model.params, model.opt_state, loss = chunk(model.params, model.opt_state, lr, sub)
+        model.global_step += args.device_pipeline
+        dt = _time.time() - t0
+        print("step %d, lr %f, mean loss %.6f (%.1f steps/s)"
+              % (model.global_step, lr, float(loss), args.device_pipeline / dt))
+        if args.save_freq and model.global_step % args.save_freq < args.device_pipeline:
+            model.save(base_path=args.train_path)
+            print("saved a model checkpoint at step %d" % (model.global_step,))
+    print("finished")
 
 
 if __name__ == "__main__":
