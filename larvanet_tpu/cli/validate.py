@@ -44,6 +44,8 @@ def main(argv=None):
                         help="LR tile size for --tile_forward.")
     parser.add_argument("--tile_overlap", type=int, default=24,
                         help="LR tile overlap for --tile_forward; half of it should exceed the model's receptive radius for bit-exact results.")
+    parser.add_argument("--self_ensemble", action="store_true",
+                        help="x8 dihedral test-time augmentation, all orientations batched in one jit (new capability).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -61,11 +63,17 @@ def main(argv=None):
     average_psnr_dict = {}
     average_duration_dict = {}
     for scale in scale_list:
+        if args.self_ensemble:
+            from larvanet_tpu.eval.ensemble import self_ensemble_forward
+
+            se = self_ensemble_forward(model._forward_impl)
+            fwd = lambda batch: se(model.params, np.asarray(batch, np.float32))
+        else:
+            fwd = lambda batch: model.fwd_runtime(np.asarray(batch, np.float32))
         tiler = None
         if args.tile_forward:
             tiler = TiledUpscaler(
-                lambda batch: model.fwd_runtime(np.asarray(batch, np.float32)),
-                scale=scale, tile_size=args.tile_size, overlap=args.tile_overlap,
+                fwd, scale=scale, tile_size=args.tile_size, overlap=args.tile_overlap,
             )
         duration_list, psnr_list = [], []
         for image_index in range(num_images):
@@ -80,6 +88,9 @@ def main(argv=None):
                 )
             elif tiler is not None:
                 output_image = tiler.upscale_chw(input_image)
+            elif args.self_ensemble:
+                x = np.asarray(input_image, np.float32).transpose(1, 2, 0)[None]
+                output_image = np.asarray(fwd(x))[0].transpose(2, 0, 1)
             else:
                 output_image = model.upscale(input_list=[input_image], scale=scale)[0]
             duration = time.perf_counter() - start_time
