@@ -48,6 +48,8 @@ def main():
     parser.add_argument("--iters", type=int, default=32)
     parser.add_argument("--base_iters", type=int, default=8)
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--collapsed_tail", type=int, default=1,
+                        help="Use the exact collapsed linear tail for EDSR-style models (ops/collapsed_tail.py).")
     args = parser.parse_args()
 
     import jax
@@ -65,12 +67,19 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), model.params)
 
+    forward = lambda p, x: model.module.apply({"params": p}, x)
+    if args.collapsed_tail and args.model in ("edsr", "edsr_loss"):
+        from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
+
+        forward = make_collapsed_edsr_forward(model, dtype=dtype)
+        log("using collapsed linear tail")
+
     def chained(p, x, n):
         def body(i, acc):
             # perturb the input by the accumulator so iterations form a
             # true dependency chain XLA cannot collapse
             xi = x + (acc * jnp.asarray(1e-20, dtype)).astype(dtype)
-            out = model.module.apply({"params": p}, xi)
+            out = forward(p, xi)
             return acc + jnp.sum(out[..., :1, :1, :]).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))

@@ -45,6 +45,22 @@ def setup_model(name: str, remaining: Sequence[str], scales: List[int], is_train
     return model, model_args, remaining
 
 
+def maybe_collapse_tail(model, args) -> None:
+    """Route the model's jitted forward through the collapsed linear tail
+    when --collapsed_tail is set and the model qualifies (EDSR family).
+    Transparent to upscale/fwd_runtime/psnr_on_device/tiling."""
+    import jax
+
+    if not getattr(args, "collapsed_tail", 0):
+        return
+    if getattr(args, "model", None) not in ("edsr", "edsr_loss"):
+        return
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
+
+    model._fwd_jit = jax.jit(make_collapsed_edsr_forward(model))
+    print("inference: collapsed linear tail enabled")
+
+
 def warn_leftovers(remaining: Sequence[str]) -> None:
     if remaining:
         print("WARNING: found unhandled arguments: %s" % (list(remaining),))

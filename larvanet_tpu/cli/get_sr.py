@@ -41,6 +41,8 @@ def main(argv=None):
                         help="Batched fixed-shape tiled inference (TPU fast path).")
     parser.add_argument("--tile_size", type=int, default=128)
     parser.add_argument("--tile_overlap", type=int, default=24)
+    parser.add_argument("--collapsed_tail", type=int, default=1,
+                        help="Exact collapsed linear tail for EDSR-family inference (1.6x on TPU; ops/collapsed_tail.py).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -52,6 +54,7 @@ def main(argv=None):
     common.warn_leftovers(remaining)
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
     print("restored the model")
+    common.maybe_collapse_tail(model, args)
 
     image_names = io.list_pngs(args.input_path)
     print("%d images are prepared" % (len(image_names),))

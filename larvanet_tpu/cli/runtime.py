@@ -31,6 +31,8 @@ def main(argv=None):
                         help="Warmup forwards (compile excluded from timing).")
     parser.add_argument("--num_iters", type=int, default=10,
                         help="Timed iterations per image/shape.")
+    parser.add_argument("--collapsed_tail", type=int, default=1,
+                        help="Exact collapsed linear tail for EDSR-family inference (1.6x on TPU; ops/collapsed_tail.py).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -47,6 +49,7 @@ def main(argv=None):
     if args.restore_path:
         model.restore(ckpt_path=args.restore_path, target=args.restore_target)
         print("restored the model")
+    common.maybe_collapse_tail(model, args)
 
     scale = scale_list[0]
     durations = []

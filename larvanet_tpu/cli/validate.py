@@ -46,6 +46,8 @@ def main(argv=None):
                         help="LR tile overlap for --tile_forward; half of it should exceed the model's receptive radius for bit-exact results.")
     parser.add_argument("--self_ensemble", action="store_true",
                         help="x8 dihedral test-time augmentation, all orientations batched in one jit (new capability).")
+    parser.add_argument("--collapsed_tail", type=int, default=1,
+                        help="Exact collapsed linear tail for EDSR-family inference (1.6x on TPU; ops/collapsed_tail.py).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -57,6 +59,7 @@ def main(argv=None):
 
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
     print("restored the model")
+    common.maybe_collapse_tail(model, args)
 
     print("begin validation")
     num_images = dataloader.get_num_images()
