@@ -18,10 +18,18 @@ to a zero input — an image-sized field that also reproduces the
 reference's border truncation exactly, so the collapsed forward is
 bit-equivalent (float tolerance) to the original INCLUDING borders.
 
-Zero-padding consistency makes the collapse exact everywhere: an
-out-of-range tap at any intermediate resolution maps monotonically to an
-out-of-range LR tap (floor-division index chains), so SAME padding on
-the composed conv reproduces every stage's SAME padding.
+Interior exactness follows from linearity + shift invariance; within
+`radius` LR px of the border the stages' SAME padding cuts paths whose
+endpoint taps are in-bounds, so the border frame is recomputed with the
+original tail on thin halo strips (exact — a strip's outer edge IS the
+image border). Collapsing linear conv compositions at inference is an
+established SR trick (cf. "Collapsible Linear Blocks for Super-Efficient
+Super Resolution", arXiv:2103.09404); the device-trace-driven motivation
+and the exact border stitching here are specific to this TPU build.
+
+Measured on v5e: EDSR-b x4 forward 12.0 -> 19.4 LR-MP/s (BASELINE.md);
+device-time copies drop from 46% to ~23% (the rest is the final 48-ch
+shuffle, whose data volume is the output image itself).
 """
 
 from __future__ import annotations
