@@ -36,10 +36,15 @@ def init_distributed(
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR")
     if coordinator_address is None:
         # On cloud TPU pods jax.distributed.initialize() can auto-detect;
-        # try it only when the env clearly indicates a pod.
-        if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
-            jax.distributed.initialize()
-            return True
+        # try it only when the env names MULTIPLE workers, and tolerate
+        # late calls / single-worker tunnels (must not break local runs).
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if len(hosts.split(",")) > 1 or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+            try:
+                jax.distributed.initialize()
+                return True
+            except RuntimeError as exc:
+                print("init_distributed: auto-init unavailable (%s); continuing single-process" % (exc,))
         return False
 
     kwargs = {"coordinator_address": coordinator_address}
