@@ -1,0 +1,90 @@
+"""End-to-end CLI integration: train -> validate -> get_sr -> psnr_trend
+on a tiny synthetic dataset, exercising the full flag cascade."""
+
+import os
+
+import numpy as np
+import pytest
+
+from larvanet_tpu.data import io
+
+TINY_EDSR = ["--edsr_conv_features", "8", "--edsr_res_blocks", "1"]
+
+
+@pytest.fixture
+def tree(tmp_path, rng):
+    lr, hr = tmp_path / "LR", tmp_path / "HR"
+    (lr / "X4").mkdir(parents=True)
+    hr.mkdir()
+    for i in range(2):
+        img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        io.save_image_hwc(img, str(hr / ("%04d.png" % i)))
+        io.save_image_hwc(img[::4, ::4], str(lr / "X4" / ("%04dx4.png" % i)))
+    return str(lr), str(hr), str(tmp_path)
+
+
+def test_train_validate_get_sr_roundtrip(tree):
+    lr, hr, root = tree
+    from larvanet_tpu.cli import get_sr, psnr_trend, train, validate
+
+    run_dir = os.path.join(root, "run")
+    train.main([
+        "--dataloader", "div2k_train_loader", "--model", "edsr",
+        "--data_input_path", lr, "--data_truth_path", hr, "--data_cached",
+        "--train_path", run_dir, "--max_steps", "4", "--save_freq", "2",
+        "--batch_size", "1", "--input_patch_size", "8", "--log_freq", "2",
+        *TINY_EDSR,
+    ])
+    ckpts = sorted(f for f in os.listdir(run_dir) if f.endswith(".ckpt"))
+    assert ckpts == ["model_2.ckpt", "model_4.ckpt"]
+    assert os.path.exists(os.path.join(run_dir, "arguments.json"))
+
+    psnrs = validate.main([
+        "--model", "edsr", "--restore_path", os.path.join(run_dir, "model_4.ckpt"),
+        "--data_input_path", lr, "--data_truth_path", hr,
+        "--save_path", os.path.join(root, "val_out"), *TINY_EDSR,
+    ])
+    assert 4 in psnrs and np.isfinite(psnrs[4])
+    assert os.path.exists(os.path.join(root, "val_out", "x4", "0000.png"))
+
+    get_sr.main([
+        "--model", "edsr", "--input_path", os.path.join(lr, "X4"),
+        "--output_path", os.path.join(root, "sr_out"),
+        "--restore_path", os.path.join(run_dir, "model_4.ckpt"), *TINY_EDSR,
+    ])
+    outs = sorted(os.listdir(os.path.join(root, "sr_out")))
+    assert outs == ["0000x4.png", "0001x4.png"]
+    sr = io.load_image_u8(os.path.join(root, "sr_out", outs[0]))
+    assert sr.shape == (48, 48, 3)
+
+    trend = psnr_trend.main([
+        "--model", "edsr", "--restore_dir", run_dir,
+        "--data_input_path", lr, "--data_truth_path", hr, *TINY_EDSR,
+    ])
+    assert len(trend) == 2
+
+
+def test_train_larva_volume_flow(tree):
+    lr, hr, root = tree
+    from larvanet_tpu.cli import train_larva
+
+    run_dir = os.path.join(root, "larva")
+    train_larva.main([
+        "--dataloader", "div2k_train_loader", "--model", "LarvaNet",
+        "--data_input_path", lr, "--data_truth_path", hr,
+        "--val_data_input_path", lr, "--val_data_truth_path", hr,
+        "--train_path", run_dir, "--max_steps", "4", "--batch_size", "1",
+        "--input_patch_size", "8", "--num_blocks", "1,1",
+        "--val_volume", "300", "--log_freq", "2",
+    ])
+    ckpts = [f for f in os.listdir(run_dir) if f.endswith(".ckpt")]
+    assert ckpts, "volume-driven checkpoints missing"
+
+
+def test_summarize_cli():
+    from larvanet_tpu.cli import summarize
+
+    n_params, flops = summarize.main(
+        ["--model", "edsr", "--input_width", "16", "--input_height", "16", *TINY_EDSR]
+    )
+    assert n_params > 0
