@@ -61,6 +61,40 @@ def maybe_collapse_tail(model, args) -> None:
     print("inference: collapsed linear tail enabled")
 
 
+def maybe_spatial_shard(model, args, scale: int) -> None:
+    """Route the model's jitted forward through H-sharded SPMD when
+    --spatial_shard N > 1: full frames are split across N devices with
+    halo exchange over ICI (parallel/halo.py) — the device-resident
+    generalization of chop-forward for frames too large for one chip."""
+    import jax
+
+    n = int(getattr(args, "spatial_shard", 0) or 0)
+    if n <= 1:
+        return
+    if len(jax.devices()) < n:
+        print("spatial_shard=%d requested but only %d devices; ignoring"
+              % (n, len(jax.devices())))
+        return
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from larvanet_tpu.parallel.halo import spatial_sharded_forward
+    from larvanet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((1, n), ("data", "spatial"))
+    halo = int(getattr(args, "spatial_halo", 32))
+    inner = spatial_sharded_forward(
+        model._forward_impl, mesh, halo=halo, scale=scale,
+        axis_name="spatial", spatial_axis=1,
+    )
+    sharding = NamedSharding(mesh, P(None, "spatial", None, None))
+
+    def fwd(params, x):
+        return inner(params, jax.device_put(x, sharding))
+
+    model._fwd_jit = fwd
+    print("inference: spatially sharded over %d devices (halo %d)" % (n, halo))
+
+
 def warn_leftovers(remaining: Sequence[str]) -> None:
     if remaining:
         print("WARNING: found unhandled arguments: %s" % (list(remaining),))

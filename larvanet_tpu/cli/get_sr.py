@@ -41,6 +41,10 @@ def main(argv=None):
                         help="Batched fixed-shape tiled inference (TPU fast path).")
     parser.add_argument("--tile_size", type=int, default=128)
     parser.add_argument("--tile_overlap", type=int, default=24)
+    parser.add_argument("--spatial_shard", type=int, default=0,
+                        help="Shard full-frame inference height across N devices with halo exchange (0 = off).")
+    parser.add_argument("--spatial_halo", type=int, default=32,
+                        help="Halo rows exchanged between spatial shards; should exceed the model's receptive radius.")
     parser.add_argument("--collapsed_tail", type=int, default=1,
                         help="Exact collapsed linear tail for EDSR-family inference (1.6x on TPU; ops/collapsed_tail.py).")
     args, remaining = parser.parse_known_args(argv)
@@ -55,6 +59,7 @@ def main(argv=None):
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
+    common.maybe_spatial_shard(model, args, scale_list[0])
 
     image_names = io.list_pngs(args.input_path)
     print("%d images are prepared" % (len(image_names),))

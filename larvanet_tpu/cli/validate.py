@@ -46,6 +46,10 @@ def main(argv=None):
                         help="LR tile overlap for --tile_forward; half of it should exceed the model's receptive radius for bit-exact results.")
     parser.add_argument("--self_ensemble", action="store_true",
                         help="x8 dihedral test-time augmentation, all orientations batched in one jit (new capability).")
+    parser.add_argument("--spatial_shard", type=int, default=0,
+                        help="Shard full-frame inference height across N devices with halo exchange (0 = off).")
+    parser.add_argument("--spatial_halo", type=int, default=32,
+                        help="Halo rows exchanged between spatial shards; should exceed the model's receptive radius.")
     parser.add_argument("--collapsed_tail", type=int, default=1,
                         help="Exact collapsed linear tail for EDSR-family inference (1.6x on TPU; ops/collapsed_tail.py).")
     args, remaining = parser.parse_known_args(argv)
@@ -60,6 +64,7 @@ def main(argv=None):
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
+    common.maybe_spatial_shard(model, args, scale_list[0])
 
     print("begin validation")
     num_images = dataloader.get_num_images()
