@@ -65,6 +65,47 @@ def _rules_larvanet(key: str):
     raise KeyError(key)
 
 
+def _rules_msrr_reduced(key: str):
+    m = re.match(r"res_blocks\.(\d+)\.body\.(0|2)", key)
+    if m:
+        return "res_block_%s/conv%d" % (m.group(1), 1 if m.group(2) == "0" else 2)
+    if key.startswith("first_conv"):
+        return "first_conv"
+    if key.startswith("mean_shift") or key.startswith("mean_inverse_shift"):
+        return None
+    raise KeyError(key)
+
+
+def _rules_imdn(key: str):
+    m = re.match(r"res_blocks\.(\d+)\.conv([1-4])\.0", key)
+    if m:
+        return "imd_block_%s/conv%s" % (m.group(1), m.group(2))
+    m = re.match(r"res_blocks\.(\d+)\.conv5", key)
+    if m:
+        return "imd_block_%s/conv5" % (m.group(1),)
+    for name in ("first_conv", "after_res_conv"):
+        if key.startswith(name):
+            return name
+    if key.startswith("upsample.body.0"):
+        return "upsample_conv"
+    if key.startswith("mean_shift") or key.startswith("mean_inverse_shift"):
+        return None
+    raise KeyError(key)
+
+
+def _rules_treenet(key: str):
+    if key.startswith("common_parts.0"):
+        return "first_conv"
+    m = re.match(r"common_parts\.2\.(\d+)\.body\.(0|2)", key)
+    if m:
+        return "common_block_%s/conv%d" % (m.group(1), 1 if m.group(2) == "0" else 2)
+    m = re.match(r"branch_(\d+)\.(\d+)\.body\.(0|2)", key)
+    if m:
+        return "branch_%s_block_%s/conv%d" % (
+            m.group(1), m.group(2), 1 if m.group(3) == "0" else 2)
+    raise KeyError(key)
+
+
 RULES = {
     "edsr": _rules_edsr,
     "edsr_loss": _rules_edsr,
@@ -73,6 +114,9 @@ RULES = {
     "LarvaNetV2": _rules_larvanet,
     "LarvaLeg": _rules_larvanet,
     "LarvaLegV2": _rules_larvanet,
+    "msrr_reduced": _rules_msrr_reduced,
+    "imdn_aim2019": _rules_imdn,
+    "TreeNet": _rules_treenet,
 }
 
 

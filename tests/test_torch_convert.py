@@ -95,3 +95,96 @@ def test_larvanet_pth_roundtrip(rng):
     m.params = serialization.from_state_dict(m.params, params)
     ours = m.upscale([x[0]], scale=4)
     np.testing.assert_allclose(ours[0], ref_out[0], atol=2e-3, rtol=1e-4)
+
+
+def _stub_pytorch_ssim():
+    import types
+
+    sys.modules.setdefault("pytorch_ssim", types.ModuleType("pytorch_ssim"))
+
+
+def test_msrr_reduced_pth_roundtrip(rng):
+    import torch
+    import importlib
+
+    ref = importlib.import_module("models.msrr_reduced")
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.utils.torch_convert import convert_state_dict
+    from flax import serialization
+
+    targs = argparse.Namespace(num_blocks=2, res_weight=1.0, interpolate="bicubic")
+    tmod = ref.MSRRModule(targs, scale=4)
+    tmod.eval()
+    x = rng.uniform(0, 255, (1, 3, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tmod(torch.from_numpy(x)).numpy()
+    # NOTE: the reference hardcodes scale_factor=4 in its base interpolate,
+    # so parity only holds at scale 4 (docstring of models/msrr.py).
+    params, _ = convert_state_dict(
+        {k: v.numpy() for k, v in tmod.state_dict().items()}, "msrr_reduced")
+    m = get_model("msrr_reduced")
+    m.parse_args(["--num_blocks", "2"])
+    m.prepare(is_training=False, scales=[4])
+    m.params = serialization.from_state_dict(m.params, params)
+    ours = m.upscale([x[0]], scale=4)
+    np.testing.assert_allclose(ours[0], ref_out[0], atol=2e-3, rtol=1e-4)
+
+
+def test_imdn_pth_roundtrip(rng):
+    import torch
+    import importlib
+
+    _stub_pytorch_ssim()
+    ref = importlib.import_module("models.imdn_aim2019")
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.utils.torch_convert import convert_state_dict
+    from flax import serialization
+
+    targs = argparse.Namespace(num_filters=16, num_blocks=2)
+    tmod = ref.IMDN_AIM2019_Module(targs, scale=4)
+    _fix_meanshift(tmod)
+    tmod.eval()
+    x = rng.uniform(0, 255, (1, 3, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tmod(torch.from_numpy(x)).numpy()
+    params, skipped = convert_state_dict(
+        {k: v.numpy() for k, v in tmod.state_dict().items()}, "imdn_aim2019")
+    assert all("mean" in s for s in skipped)
+    m = get_model("imdn_aim2019")
+    m.parse_args(["--num_filters", "16", "--num_blocks", "2"])
+    m.prepare(is_training=False, scales=[4])
+    m.params = serialization.from_state_dict(m.params, params)
+    ours = m.upscale([x[0]], scale=4)
+    np.testing.assert_allclose(ours[0], ref_out[0], atol=2e-3, rtol=1e-4)
+
+
+def test_treenet_pth_roundtrip(rng):
+    import torch
+    import importlib
+
+    ref = importlib.import_module("models.TreeNet")
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.utils.torch_convert import convert_state_dict
+    from flax import serialization
+
+    targs = argparse.Namespace(num_common_blocks=1, num_branches=2,
+                               num_branch_blocks=1, res_weight=1.0,
+                               interpolate="bicubic")
+    tmod = ref.TreeNetModule(targs, scale=4)
+    tmod.eval()
+    x = rng.uniform(0, 255, (1, 3, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tmod(torch.from_numpy(x)).numpy()  # forward uses branch_0
+    params, _ = convert_state_dict(
+        {k: v.numpy() for k, v in tmod.state_dict().items()}, "TreeNet")
+    m = get_model("TreeNet")
+    m.parse_args(["--num_common_blocks", "1", "--num_branches", "2",
+                  "--num_branch_blocks", "1"])
+    m.prepare(is_training=False, scales=[4])
+    from larvanet_tpu.models.base import _merge_partial
+    from flax import serialization as ser
+
+    merged = _merge_partial(ser.to_state_dict(m.params), params)
+    m.params = ser.from_state_dict(m.params, merged)
+    ours = m.upscale([x[0]], scale=4)
+    np.testing.assert_allclose(ours[0], ref_out[0], atol=2e-3, rtol=1e-4)
