@@ -57,6 +57,8 @@ def main(argv=None):
                         help="The frequency of logging.")
     parser.add_argument("--summary_freq", type=int, default=1000,
                         help="The frequency of logging on TensorBoard.")
+    parser.add_argument("--device_pipeline", type=int, default=0,
+                        help="Steps per fused device call: dataset resident in HBM, sampling+augmentation+multi-exit step in one jit (0 = host pipeline). Volume-driven validation cadence preserved.")
     parser.add_argument("--restore_path", type=str,
                         help="Checkpoint path to be restored; 'latest' auto-resumes from the newest ckpt in --train_path.")
     parser.add_argument("--restore_target", type=str,
@@ -105,6 +107,12 @@ def main(argv=None):
     from larvanet_tpu.utils.profiling import trace
 
     print("begin training")
+    if args.device_pipeline > 0:
+        _train_larva_device(args, dataloader, val_loader, model, scale,
+                            threaded, summary)
+        summary.close()
+        return
+
     local_step = 0
     try:
       with trace(args.profile_dir):
@@ -137,6 +145,64 @@ def main(argv=None):
             dataloader.stop_queue_runners()
     print("finished")
     summary.close()
+
+
+def _train_larva_device(args, dataloader, val_loader, model, scale, threaded, summary):
+    """Volume-driven training with the device-resident pipeline: chunks of
+    fused steps sized to land exactly on each --val_volume boundary."""
+    import math
+    import time
+
+    import jax
+
+    from larvanet_tpu.data.device_pipeline import DevicePipeline, make_device_train_fn
+
+    if threaded:
+        dataloader.stop_queue_runners()
+    ds = dataloader.dataset
+    lr_imgs = [ds.input_u8(scale, i) for i in range(len(ds))]
+    hr_imgs = [ds.truth_u8(i) for i in range(len(ds))]
+    pipe = DevicePipeline.from_arrays(lr_imgs, hr_imgs, scale)
+    print("device pipeline: %d images, %.1f MB resident in HBM"
+          % (len(lr_imgs), pipe.nbytes() / 1e6))
+
+    chunk_fns = {}
+
+    def run_chunk(n_steps, key, lr):
+        if n_steps not in chunk_fns:
+            chunk_fns[n_steps] = make_device_train_fn(
+                model, pipe, batch_size=args.batch_size,
+                patch=args.input_patch_size, steps_per_call=n_steps)
+        return chunk_fns[n_steps](model.params, model.opt_state, lr, key)
+
+    key = jax.random.PRNGKey(model.global_step)
+    if model.global_step == 0 and val_loader is not None:
+        model.validate_for_train(args, val_loader)
+    while True:
+        steps_to_val = max(1, math.ceil(
+            (model.args.val_volume - model.temp_volume) / model.volume_per_step))
+        n = min(args.device_pipeline, steps_to_val)
+        t0 = time.time()
+        key, sub = jax.random.split(key)
+        model.params, model.opt_state, loss = run_chunk(n, sub, model.get_learning_rate())
+        model.global_step += n
+        model.temp_volume += n * model.volume_per_step
+        dt = time.time() - t0
+        print("step %d, mean loss %.6f, lr %.8f (%.1f steps/s)"
+              % (model.global_step, float(loss), model.get_learning_rate(), n / dt))
+
+        if model.temp_volume >= model.args.val_volume:
+            model.total_volume += model.temp_volume
+            model.temp_volume = 0
+            if val_loader is not None:
+                model.validate_for_train(args, val_loader)
+            model.save(base_path=args.train_path)
+            print("saved a model checkpoint at volume %.0fG" % (model.total_volume / 1e9,))
+            summary.scalar("loss", float(loss), model.global_step)
+            summary.scalar("lr", model.get_learning_rate(), model.global_step)
+        if args.max_steps and model.global_step >= args.max_steps:
+            break
+    print("finished")
 
 
 if __name__ == "__main__":
