@@ -9,7 +9,7 @@ is a no-op here (device selection is JAX platform config; SURVEY.md §2.5).
 from __future__ import annotations
 
 import argparse
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 from larvanet_tpu.core.config import parse_scale_list
 from larvanet_tpu.core import registry

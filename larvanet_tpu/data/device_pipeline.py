@@ -20,7 +20,7 @@ grouped into a few size buckets; see `from_arrays` callers).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ from __future__ import annotations
 import argparse
 import queue
 import threading
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

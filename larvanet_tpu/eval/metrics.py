@@ -20,8 +20,6 @@ in-training validation path live alongside, suffixed `_jax`.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 

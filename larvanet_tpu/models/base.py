@@ -25,14 +25,13 @@ TPU redesign:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import serialization
-from flax.core import FrozenDict
 
 
 def l1_loss(pred, target):

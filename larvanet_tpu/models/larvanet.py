@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -32,8 +32,6 @@ from __future__ import annotations
 import argparse
 from typing import Optional
 
-import jax
-
 from flax import linen as nn
 
 from larvanet_tpu.core.config import parse_known

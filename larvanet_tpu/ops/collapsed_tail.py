@@ -34,7 +34,7 @@ shuffle, whose data volume is the output image itself).
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

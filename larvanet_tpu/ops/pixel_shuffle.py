@@ -17,7 +17,6 @@ the reference layer-for-layer.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:

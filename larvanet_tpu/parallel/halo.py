@@ -19,12 +19,11 @@ tiled-SR system makes; eval protocols that shave borders are unaffected.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def halo_exchange(x: jax.Array, halo: int, axis_name: str, spatial_axis: int = 1) -> jax.Array:
