@@ -36,6 +36,7 @@ class ReduceLROnPlateau:
     threshold: float = 1e-3
     min_lr: float = 1e-8
     mode: str = "max"
+    eps: float = 1e-8  # torch parity: skip updates smaller than eps
     # internal state
     best: float = field(default=None)  # type: ignore[assignment]
     num_bad_epochs: int = 0
@@ -63,9 +64,10 @@ class ReduceLROnPlateau:
             self.num_bad_epochs = 0
         if self.num_bad_epochs > self.patience:
             new_lr = max(self.lr * self.factor, self.min_lr)
-            if new_lr < self.lr:
+            # torch parity: apply only when the change exceeds eps
+            if self.lr - new_lr > self.eps:
                 print("ReduceLROnPlateau: reducing lr to %.8e" % (new_lr,))
-            self.lr = new_lr
+                self.lr = new_lr
             self.cooldown_counter = self.cooldown
             self.num_bad_epochs = 0
         return self.lr
