@@ -1,0 +1,111 @@
+"""Stretch config 5 (BASELINE.json): 4K -> 8K streaming SR demo.
+
+Upscales a synthetic 4K frame (2160x3840 LR -> 4320x7680 at x2... here
+x4: 1920x1080 LR -> 4K/8K HR) using the full TPU-native stack:
+  * spatially-sharded SPMD forward: the frame's height is split across
+    the mesh with halo exchange over ICI (parallel/halo.py), so no
+    single device ever holds the full HR activation;
+  * optionally a batched checkpoint ensemble averaged on device.
+
+Runs anywhere: on the single-TPU dev box it uses a 1-device mesh; with
+XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu it
+demonstrates the 8-way sharding (the driver's virtual-mesh trick).
+
+    python tools/stream_8k_demo.py --devices 8 --height 1080 --width 1920
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_requested = os.environ.get("JAX_PLATFORMS")
+if _requested:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _requested)
+    except Exception:
+        pass
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--devices", type=int, default=0, help="spatial shards (0 = all devices)")
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--halo", type=int, default=16)
+    parser.add_argument("--model", default="LarvaNet")
+    parser.add_argument("--num_blocks", default="4,4")
+    parser.add_argument("--ensemble", type=int, default=1,
+                        help="average N differently-seeded checkpoints on device")
+    args = parser.parse_args()
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.parallel.halo import spatial_sharded_forward
+    from larvanet_tpu.parallel.mesh import make_mesh
+
+    n = args.devices or len(jax.devices())
+    n = min(n, len(jax.devices()))
+    mesh = make_mesh((n,), ("spatial",), devices=jax.devices()[:n])
+    print("mesh: %d spatial shards on %s" % (n, jax.devices()[0].platform))
+
+    models = []
+    for seed in range(max(1, args.ensemble)):
+        m = get_model(args.model)
+        m.parse_args(["--num_blocks", args.num_blocks])
+        m.prepare(is_training=False, scales=[4], seed=seed)
+        models.append(m)
+    model = models[0]
+    scale = 4
+
+    if args.ensemble > 1:
+        from larvanet_tpu.eval.ensemble import stack_params
+
+        stacked = stack_params([m.params for m in models])
+
+        def apply_fn(params, x):
+            outs = jax.vmap(lambda p: model.module.apply({"params": p}, x))(params)
+            return outs.mean(axis=0)
+
+        params = stacked
+    else:
+        apply_fn = model._forward_impl
+        params = model.params
+
+    fwd = spatial_sharded_forward(apply_fn, mesh, halo=args.halo, scale=scale,
+                                  axis_name="spatial", spatial_axis=1)
+    sharding = NamedSharding(mesh, P(None, "spatial", None, None))
+
+    h = args.height - args.height % n  # shardable height
+    rng = np.random.default_rng(0)
+    frame = rng.uniform(0, 255, (1, h, args.width, 3)).astype(np.float32)
+    x = jax.device_put(frame, sharding)
+
+    t0 = time.perf_counter()
+    out = fwd(params, x)
+    s = float(out[..., ::max(1, h // 4), ::max(1, args.width // 4), :].sum())  # fence
+    compile_time = time.perf_counter() - t0
+    print("first frame (incl compile): %.1fs, checksum %.3e" % (compile_time, s))
+
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        out = fwd(params, x)
+    float(out[..., :1, :1, :].sum())
+    dt = (time.perf_counter() - t0) / iters
+    mp = h * args.width / 1e6
+    print("frame: %d x %d LR -> %d x %d HR | %.3fs/frame, %.2f LR-MP/s over %d shards%s"
+          % (h, args.width, h * scale, args.width * scale, dt, mp / dt, n,
+             ", ensemble=%d" % args.ensemble if args.ensemble > 1 else ""))
+
+
+if __name__ == "__main__":
+    main()
