@@ -76,11 +76,16 @@ def main():
 
     def chained(p, x, n):
         def body(i, acc):
-            # perturb the input by the accumulator so iterations form a
-            # true dependency chain XLA cannot collapse
-            xi = x + (acc * jnp.asarray(1e-20, dtype)).astype(dtype)
+            # Two rules make this timing honest (learned the hard way —
+            # see BASELINE.md methodology):
+            #  * the input must depend on the carry NON-linearly (maximum),
+            #    else XLA distributes conv over the perturbation and
+            #    hoists the real conv out of the loop;
+            #  * the FULL output must be consumed (mean), else XLA slices
+            #    the computation down to the consumed window.
+            xi = jnp.maximum(x, (acc * jnp.float32(1e-35)).astype(dtype) - jnp.asarray(3e4, dtype))
             out = forward(p, xi)
-            return acc + jnp.sum(out[..., :1, :1, :]).astype(jnp.float32)
+            return acc + jnp.mean(out).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

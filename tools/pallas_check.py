@@ -5,15 +5,15 @@ Run on real hardware (tests/ force CPU where Mosaic cannot compile):
     python tools/pallas_check.py            # correctness sweep
     python tools/pallas_check.py perf       # chained-loop benchmark
 
-Last measured on v5e (2026-08-16), batch 16 x 192^2 x 64->64 bf16,
-conv+bias+relu, chained fori_loop timing (see bench.py docstring for why):
-    XLA lax.conv          3.66 ms/conv  (11.9 TFLOP/s)
-    pallas mode='im2col'  2.99 ms/conv  (14.5 TFLOP/s)  -> 1.22x
-    pallas mode='dots'    compile did not finish in 9 min (tunnel AOT)
-Caveat recorded in BASELINE.md: inside a full conv *chain* XLA amortizes
-layout transforms and reaches ~46 TFLOP/s equivalent, so per-conv
-swapping into models is kept behind a flag until a fused multi-conv
-(ResBlock-granularity) kernel lands.
+Last measured on v5e (2026-08-16) with the HARDENED methodology
+(nonlinear carry dependency + full-output reduction; earlier numbers
+taken with weaker harnesses were artifacts — see BASELINE.md):
+    XLA lax.conv          0.66 ms/conv  (65.6 TFLOP/s)
+    pallas mode='im2col'  3.07 ms/conv  (14.2 TFLOP/s)  -> 4.6x SLOWER
+The VMEM im2col concatenation is VPU-bound; XLA's conv at C=64 runs at
+its structural MXU ceiling (~18% peak). The kernel remains as an
+educational/opt-in path, NOT a performance path; trunk-speedup work
+should target a Mosaic kernel without the lane-dim concat.
 """
 
 import sys
@@ -56,8 +56,10 @@ def perf():
     def bench(name, fn, iters=16, base=4):
         def chain(n_iter):
             def body(i, acc):
-                xi = (x.astype(jnp.float32) + acc * 1e-20).astype(jnp.bfloat16)
-                return acc + jnp.sum(fn(xi, k, b)[..., :1, :1, :]).astype(jnp.float32)
+                # nonlinear carry dependency + full-output reduction: see
+                # bench.py for why anything weaker gets optimized away
+                xi = jnp.maximum(x, (acc * 1e-35).astype(jnp.bfloat16) - 3e4)
+                return acc + jnp.mean(fn(xi, k, b)).astype(jnp.float32)
             return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
         run = jax.jit(chain, static_argnums=0)
         float(run(base)); float(run(iters))
