@@ -34,14 +34,9 @@ import optax
 from flax import serialization
 
 
-def l1_loss(pred, target):
-    """Mean absolute error (torch nn.L1Loss parity)."""
-    return jnp.mean(jnp.abs(pred - target))
-
-
-def robust_sqrt_loss(pred, target, eps: float = 1e-5):
-    """mean((|pred-target| + eps)^0.5) — reference models/edsr_loss.py:35-37."""
-    return jnp.mean(jnp.sqrt(jnp.abs(pred - target) + eps))
+# canonical definitions live in train/losses.py; re-exported here because
+# every model wrapper imports them alongside SRModel
+from larvanet_tpu.train.losses import l1_loss, multi_exit_l1, robust_sqrt_loss  # noqa: F401
 
 
 def chw_list_to_nhwc(images) -> jnp.ndarray:
