@@ -176,6 +176,13 @@ class SRModel:
         if summary is not None:
             summary.scalar("loss", loss_val, self.global_step)
             summary.scalar("lr", lr, self.global_step)
+            if hasattr(summary, "image"):
+                # input/output/truth triplets (reference models/edsr.py:102-106)
+                out = np.asarray(self._fwd_jit(self.params, inputs[:4]))
+                for i in range(min(4, out.shape[0])):
+                    summary.image("input/%d" % i, np.asarray(inputs[i]).transpose(2, 0, 1), self.global_step)
+                    summary.image("output/%d" % i, out[i].transpose(2, 0, 1), self.global_step)
+                    summary.image("truth/%d" % i, np.asarray(targets[i]).transpose(2, 0, 1), self.global_step)
         return loss_val
 
     def upscale(self, input_list, scale):
@@ -197,6 +204,10 @@ class SRModel:
 
     def get_model(self):
         return self.module
+
+    def get_lr(self):
+        """Reference API alias (models/LarvaNet.py:197-198)."""
+        return self.get_learning_rate()
 
     # ---- on-device validation ---------------------------------------------
 
