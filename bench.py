@@ -50,7 +50,7 @@ def main():
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--collapsed_tail", type=int, default=1,
                         help="Use the exact collapsed linear tail for EDSR-style models (ops/collapsed_tail.py).")
-    args = parser.parse_args()
+    args, model_flags = parser.parse_known_args()
 
     import jax
     import jax.numpy as jnp
@@ -60,8 +60,12 @@ def main():
     dev = jax.devices()[0]
     log("device:", dev)
 
+    if args.model.startswith("LarvaNet") and not model_flags:
+        # the reference's own defaults are inconsistent (num_blocks='16'
+        # with num_modules=2); use the flagship 2x16 config
+        model_flags = ["--num_blocks", "16,16"]
     model = get_model(args.model)
-    model.parse_args([])
+    model.parse_args(model_flags)
     model.prepare(is_training=False, scales=[4])
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
