@@ -148,7 +148,122 @@ def make_collapsed_tail(
     return fast_tail
 
 
-def make_collapsed_edsr_forward(model, dtype=jnp.float32):
+def bicubic_phase_conv_kernel(scale: int, channels: int = 3) -> np.ndarray:
+    """Bicubic x`scale` upsampling as a conv kernel + PixelShuffle.
+
+    Bicubic interpolation is a fixed linear, shift-invariant map, so in
+    the interior it equals a (2R+1)^2 conv producing channels*scale^2
+    torch-ordered channels (c*s*s + i*s + j) followed by pixel_shuffle.
+    Borders differ (the resampler edge-clamps, a conv zero-pads); callers
+    add a border correction (see make_collapsed_larvanet_forward).
+    """
+    from larvanet_tpu.ops.resize import bicubic_weights
+
+    w, base = bicubic_weights(scale)  # (s, 4), (s,)
+    # tap offsets per phase: base[p] + t - 1 for t in 0..3; union radius:
+    radius = int(max(abs(int(base.min()) - 1), abs(int(base.max()) + 2)))
+    k = 2 * radius + 1
+    kernel = np.zeros((k, k, channels, channels * scale * scale), np.float32)
+    for i in range(scale):
+        for j in range(scale):
+            for ty in range(4):
+                for tx in range(4):
+                    u = int(base[i]) + ty - 1
+                    v = int(base[j]) + tx - 1
+                    coeff = float(w[i, ty] * w[j, tx])
+                    for c in range(channels):
+                        kernel[u + radius, v + radius, c,
+                               c * scale * scale + i * scale + j] += coeff
+    return kernel
+
+
+def make_collapsed_larvanet_forward(model, dtype=jnp.float32):
+    """LarvaNet forward with the bicubic base folded into a conv. EXACT
+    (tests) but MEASURED SLOWER than the module forward on v5e
+    (12.0 -> 11.3 MP/s at 16x192², 29.1 -> 20.8 at 1080p): the 3->48
+    base conv + LR-space add + border-correction scatters cost more than
+    the phase-sliced resampler they replace. Kept as a documented,
+    tested negative result (BASELINE.md) — NOT wired into any CLI.
+
+    Mechanics: base = PS4(conv_bicubic(x)) summed with the leg output in
+    LR space, one shuffle; the 2-LR-px border frame (where the conv's
+    zero padding diverges from the resampler's edge clamp) is corrected
+    additively from thin halo strips — the base enters the output
+    additively, so no trunk recomputation is needed.
+    Plain-body, '2conv'-leg, no-tail configs only (the flagship).
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.larvanet import FEATURES, SCALE
+    from larvanet_tpu.ops.resize import upsample
+
+    if model.module.body_style != "plain" or model.module.leg_style != "2conv" \
+            or model.module.use_tail or model.module.interpolate != "bicubic":
+        raise ValueError("collapsed forward supports the flagship LarvaNet config only")
+
+    num_blocks = model.module.num_blocks
+    kb = bicubic_phase_conv_kernel(SCALE, 3)
+    r = kb.shape[0] // 2  # bicubic radius in LR px (2)
+    s = SCALE
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, w, b=None):
+            out = jax.lax.conv_general_dilated(
+                h, jnp.asarray(w, dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return out if b is None else out + jnp.asarray(b, dtype)
+
+        fea = conv(x, sp["head"]["kernel"], sp["head"]["bias"])
+        for m in range(len(num_blocks)):
+            body = sp["body_%d" % m]
+            h = fea
+            for bidx in range(num_blocks[m]):
+                blk = body["block_%d" % bidx]
+                t = conv(h, blk["conv1"]["kernel"], blk["conv1"]["bias"])
+                t = jax.nn.relu(t)
+                t = conv(t, blk["conv2"]["kernel"], blk["conv2"]["bias"])
+                h = h + t
+            fea = fea + h
+
+        leg = sp["leg_%d" % (len(num_blocks) - 1)]
+        t = conv(fea, leg["recon1"]["kernel"], leg["recon1"]["bias"])
+        t = jax.nn.relu(t)
+        t = conv(t, leg["recon2"]["kernel"], leg["recon2"]["bias"])
+        base_lr = conv(x, kb)  # bicubic base in LR space (48 channels)
+        out = pixel_shuffle(t + base_lr, s)
+
+        # Border correction on thin strips only: the base enters the output
+        # additively, so out_exact = out + (base_exact - base_conv), and
+        # that difference is nonzero only within r LR px of each border.
+        # A strip with r halo rows reproduces the full-image values for
+        # both terms (its outer edge IS the image border).
+        hh, ww = x.shape[1], x.shape[2]
+        b = min(r, hh, ww)
+        halo = min(r, hh - b, ww - b)
+        strip = b + halo
+        bs = b * s
+
+        def base_pair(xs):
+            exact = upsample(xs.astype(jnp.float32), s, "bicubic").astype(dtype)
+            convb = pixel_shuffle(conv(xs, kb), s)
+            return exact - convb
+
+        if b > 0:
+            top = base_pair(x[:, :strip])[:, :bs]
+            bot = base_pair(x[:, hh - strip:])[:, -bs:]
+            left = base_pair(x[:, :, :strip])[:, :, :bs]
+            right = base_pair(x[:, :, ww - strip:])[:, :, -bs:]
+            out = out.at[:, :bs].add(top)
+            out = out.at[:, -bs:].add(bot)
+            # exclude the corners already corrected by the row frames
+            out = out.at[:, bs:-bs, :bs].add(left[:, bs:-bs])
+            out = out.at[:, bs:-bs, -bs:].add(right[:, bs:-bs])
+        return out
+
+    return forward
     """Inference-optimized EDSR forward: trunk unchanged, tail collapsed.
 
     Returns fn(params, x_nhwc) -> y_nhwc, exactly equal to

@@ -47,3 +47,27 @@ def test_res_weight_respected(rng):
     ref = np.asarray(m.module.apply({"params": m.params}, x))
     got = np.asarray(jax.jit(fwd)(m.params, x))
     np.testing.assert_allclose(got, ref, atol=0.1)
+
+
+def test_larvanet_base_fold_exact(rng):
+    """Exactness of the (measured-slower, unwired) LarvaNet base fold."""
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_larvanet_forward
+
+    m = get_model("LarvaNet")
+    m.parse_args(["--num_blocks", "2,3"])
+    m.prepare(is_training=False, scales=[4])
+    fwd = make_collapsed_larvanet_forward(m)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 13, 17, 3)).astype(np.float32))
+    ref = np.asarray(m.module.apply({"params": m.params}, x))
+    got = np.asarray(jax.jit(fwd)(m.params, x))
+    np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_larvanet_base_fold_rejects_other_configs():
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_larvanet_forward
+
+    m = get_model("LarvaNetV2")
+    m.parse_args(["--num_blocks", "1,1"])
+    m.prepare(is_training=False, scales=[4])
+    with pytest.raises(ValueError):
+        make_collapsed_larvanet_forward(m)
