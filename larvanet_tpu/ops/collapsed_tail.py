@@ -264,6 +264,9 @@ def make_collapsed_larvanet_forward(model, dtype=jnp.float32):
         return out
 
     return forward
+
+
+def make_collapsed_edsr_forward(model, dtype=jnp.float32):
     """Inference-optimized EDSR forward: trunk unchanged, tail collapsed.
 
     Returns fn(params, x_nhwc) -> y_nhwc, exactly equal to
