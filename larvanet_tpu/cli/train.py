@@ -122,7 +122,12 @@ def _train_device_pipeline(args, dataloader, model, scale):
     ds = dataloader.dataset
     lr_imgs = [ds.input_u8(scale, i) for i in range(len(ds))]
     hr_imgs = [ds.truth_u8(i) for i in range(len(ds))]
-    pipe = DevicePipeline.from_arrays(lr_imgs, hr_imgs, scale)
+    if len({a.shape[:2] for a in lr_imgs}) > 1:
+        from larvanet_tpu.data.device_pipeline import BucketedDevicePipeline
+
+        pipe = BucketedDevicePipeline.from_arrays(lr_imgs, hr_imgs, scale)
+    else:
+        pipe = DevicePipeline.from_arrays(lr_imgs, hr_imgs, scale)
     print("device pipeline: %d images, %.1f MB resident in HBM"
           % (len(lr_imgs), pipe.nbytes() / 1e6))
     chunk = make_device_train_fn(

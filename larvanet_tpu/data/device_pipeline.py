@@ -88,7 +88,51 @@ class DevicePipeline:
         return jax.vmap(one)(keys)
 
 
-def make_device_train_fn(model, pipeline: DevicePipeline, batch_size: int,
+class BucketedDevicePipeline:
+    """Several size buckets of a variably-sized dataset, each padded only
+    to its own bucket maximum — bounds the HBM padding waste that a
+    single max-padded stack would pay on DIV2K-scale size variety.
+
+    Sampling picks a bucket with probability proportional to its image
+    count (matching the reference's uniform-over-images choice,
+    dataloaders/div2k_train_loader.py:63), then samples within it; patch
+    shapes are bucket-independent so the whole thing stays jittable via
+    lax.switch.
+    """
+
+    def __init__(self, pipelines: Sequence[DevicePipeline]):
+        if not pipelines:
+            raise ValueError("need at least one bucket")
+        self.pipelines = list(pipelines)
+        counts = np.array([p.dims.shape[0] for p in self.pipelines], np.float64)
+        self.probs = jnp.asarray(counts / counts.sum(), jnp.float32)
+        self.scale = self.pipelines[0].scale
+
+    @classmethod
+    def from_arrays(cls, lr_images, hr_images, scale: int, num_buckets: int = 4):
+        order = np.argsort([a.shape[0] * a.shape[1] for a in lr_images])
+        buckets = np.array_split(order, min(num_buckets, len(order)))
+        pipes = [
+            DevicePipeline.from_arrays(
+                [lr_images[i] for i in idxs], [hr_images[i] for i in idxs], scale)
+            for idxs in buckets if len(idxs)
+        ]
+        return cls(pipes)
+
+    def nbytes(self) -> int:
+        return sum(p.nbytes() for p in self.pipelines)
+
+    def sample_batch(self, key, batch_size: int, patch: int):
+        k_bucket, k_sample = jax.random.split(key)
+        b = jax.random.categorical(k_bucket, jnp.log(self.probs))
+        return jax.lax.switch(
+            b,
+            [lambda k, p=p: p.sample_batch(k, batch_size, patch) for p in self.pipelines],
+            k_sample,
+        )
+
+
+def make_device_train_fn(model, pipeline, batch_size: int,
                          patch: int, steps_per_call: int = 100):
     """Fuse sampling + N optimizer steps into one jitted call.
 

@@ -72,3 +72,42 @@ def test_fused_train_chunk_decreases_loss(rng):
     p, o, l1 = chunk(p, o, 1e-3, key)
     p, o, l2 = chunk(p, o, 1e-3, jax.random.fold_in(key, 1))
     assert float(l2) < float(l1)
+
+
+def test_bucketed_pipeline(rng):
+    from larvanet_tpu.data.device_pipeline import BucketedDevicePipeline
+
+    sizes = [(16, 20), (18, 16), (40, 48), (44, 40), (80, 96)]
+    lr = [rng.integers(0, 256, (h, w, 3), np.uint8) for h, w in sizes]
+    hr = [np.repeat(np.repeat(a, 4, 0), 4, 1) for a in lr]
+    pipe = BucketedDevicePipeline.from_arrays(lr, hr, 4, num_buckets=3)
+    assert len(pipe.pipelines) == 3
+    # bucketing pads far less than one max-padded stack would
+    single = 5 * 80 * 96 * 3 * (1 + 16)
+    assert pipe.nbytes() < single
+    bl, bh = jax.jit(lambda k: pipe.sample_batch(k, 8, 8))(jax.random.PRNGKey(0))
+    bl, bh = np.asarray(bl), np.asarray(bh)
+    assert bl.shape == (8, 8, 8, 3) and bh.shape == (8, 32, 32, 3)
+    for b in range(8):
+        found = False
+        for k in range(4):
+            for f in (0, 1):
+                x = bl[b][:, ::-1] if f else bl[b]
+                y = bh[b][:, ::-1] if f else bh[b]
+                if np.array_equal(np.rot90(x, -k), np.rot90(y, -k)[::4, ::4]):
+                    found = True
+        assert found, b
+
+
+def test_bucketed_train_chunk(rng):
+    from larvanet_tpu.data.device_pipeline import BucketedDevicePipeline, make_device_train_fn
+
+    lr = [rng.integers(0, 256, (h, w, 3), np.uint8) for h, w in [(16, 16), (32, 32)]]
+    hr = [np.repeat(np.repeat(a, 4, 0), 4, 1) for a in lr]
+    pipe = BucketedDevicePipeline.from_arrays(lr, hr, 4, num_buckets=2)
+    m = get_model("edsr")
+    m.parse_args(["--edsr_res_blocks", "1", "--edsr_conv_features", "8"])
+    m.prepare(is_training=True, scales=[4])
+    chunk = make_device_train_fn(m, pipe, batch_size=4, patch=8, steps_per_call=4)
+    p, o, loss = chunk(m.params, m.opt_state, 1e-3, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
