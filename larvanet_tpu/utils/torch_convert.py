@@ -106,10 +106,93 @@ def _rules_treenet(key: str):
     raise KeyError(key)
 
 
+def _rules_mamnet(key: str):
+    m = re.match(r"res_blocks\.(\d+)\.body\.3\.conv_du\.(0|2)", key)
+    if m:
+        return "mam_block_%s/mam/du%d" % (m.group(1), 1 if m.group(2) == "0" else 2)
+    m = re.match(r"res_blocks\.(\d+)\.body\.3\.depthwise_conv2d", key)
+    if m:
+        return "mam_block_%s/mam/depthwise" % (m.group(1),)
+    m = re.match(r"res_blocks\.(\d+)\.body\.(0|2)", key)
+    if m:
+        return "mam_block_%s/conv%d" % (m.group(1), 1 if m.group(2) == "0" else 2)
+    return _rules_edsr(key)
+
+
+def _rules_msrr(key: str):
+    m = re.match(r"res_blocks\.(\d+)\.body\.(0|2)", key)
+    if m:
+        return "res_block_%s/conv%d" % (m.group(1), 1 if m.group(2) == "0" else 2)
+    m = re.match(r"upsample\.body\.(\d+)", key)
+    if m:
+        # Sequential [conv, PS, LReLU] repeated: convs at 0, 3, 6, ...
+        return "upsample/conv%d" % (int(m.group(1)) // 3,)
+    for name in ("first_conv", "HR_conv", "final_conv"):
+        if key.startswith(name):
+            return name
+    if key.startswith("mean_shift") or key.startswith("mean_inverse_shift"):
+        return None
+    raise KeyError(key)
+
+
+def _rules_ebrn_rm(key: str):
+    m = re.match(r"brms\.(\d+)\.body\.(0|2)", key)
+    if m:
+        return "brm_%s_conv%d" % (m.group(1), 1 if m.group(2) == "0" else 2)
+    m = re.match(r"fusion_layers\.(\d+)", key)
+    if m:
+        return "fusion_%s" % (m.group(1),)
+    if key.startswith("upsample.body.0"):
+        return "upsample_conv"
+    if key.startswith("first_conv"):
+        return "first_conv"
+    if key.startswith("mean_shift") or key.startswith("mean_inverse_shift"):
+        return None
+    raise KeyError(key)
+
+
+def _rules_hrsr(key: str):
+    m = re.match(r"(lr|hr)_res_blocks\.(\d+)\.body\.(0|2)", key)
+    if m:
+        return "%s_block_%s/conv%d" % (m.group(1), m.group(2), 1 if m.group(3) == "0" else 2)
+    for name in ("first_conv", "middle_conv", "final_conv"):
+        if key.startswith(name):
+            return name
+    raise KeyError(key)
+
+
+def _rules_rego(key: str):
+    m = re.match(r"RESB_(\d+)_(\d+)_(\d+)\.body\.(0|2)", key)
+    if m:  # REGO-serial keys already carry the repeat index k
+        return "RESB_%s_%s_%s/conv%d" % (
+            m.group(1), m.group(2), m.group(3), 1 if m.group(4) == "0" else 2)
+    m = re.match(r"RESB_(\d+)_(\d+)\.body\.(0|2)", key)
+    if m:  # REGO-Net: single triangle => our repeat index 0
+        return "RESB_0_%s_%s/conv%d" % (
+            m.group(1), m.group(2), 1 if m.group(3) == "0" else 2)
+    m = re.match(r"conv_(\d+)", key)
+    if m:
+        return "conv_%s" % (m.group(1),)
+    if key.startswith("feature_extraction"):
+        return "feature_extraction"
+    if key.startswith("SRrecon.body.0"):
+        return "SRrecon"
+    if key.startswith("mean_shift") or key.startswith("mean_inverse_shift"):
+        return None
+    raise KeyError(key)
+
+
 RULES = {
     "edsr": _rules_edsr,
     "edsr_loss": _rules_edsr,
-    "mamnet": _rules_edsr,  # same trunk naming for the conv keys it shares
+    "mamnet": _rules_mamnet,
+    "msrr": _rules_msrr,
+    "ebrn_rm": _rules_ebrn_rm,
+    "hrsr": _rules_hrsr,
+    "hrsr_": _rules_hrsr,
+    "hrsr_c3": _rules_hrsr,
+    "REGO-Net": _rules_rego,
+    "REGO-serial": _rules_rego,
     "LarvaNet": _rules_larvanet,
     "LarvaNetV2": _rules_larvanet,
     "LarvaLeg": _rules_larvanet,

@@ -188,3 +188,73 @@ def test_treenet_pth_roundtrip(rng):
     m.params = ser.from_state_dict(m.params, merged)
     ours = m.upscale([x[0]], scale=4)
     np.testing.assert_allclose(ours[0], ref_out[0], atol=2e-3, rtol=1e-4)
+
+
+def _roundtrip(ref_mod_path, ref_cls, ref_args, our_name, our_flags, rng,
+               fix_meanshift=False, atol=2e-3, input_hw=(8, 8)):
+    import torch
+    import importlib.util
+
+    if "/" in ref_mod_path:
+        spec = importlib.util.spec_from_file_location("refmod", ref_mod_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    else:
+        import importlib
+
+        mod = importlib.import_module(ref_mod_path)
+    tmod = getattr(mod, ref_cls)(ref_args, scale=4)
+    if fix_meanshift:
+        _fix_meanshift(tmod)
+    tmod.eval()
+    x = rng.uniform(0, 255, (1, 3, *input_hw)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tmod(torch.from_numpy(x)).numpy()
+
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.utils.torch_convert import convert_state_dict
+    from flax import serialization
+
+    params, _ = convert_state_dict(
+        {k: v.numpy() for k, v in tmod.state_dict().items()}, our_name)
+    m = get_model(our_name)
+    m.parse_args(list(our_flags))
+    m.prepare(is_training=False, scales=[4])
+    m.params = serialization.from_state_dict(m.params, params)
+    ours = m.upscale([x[0]], scale=4)
+    np.testing.assert_allclose(ours[0], ref_out[0], atol=atol, rtol=1e-4)
+
+
+def test_mamnet_pth_roundtrip(rng):
+    _roundtrip("models.mamnet", "MAMNetModule",
+               argparse.Namespace(mamnet_conv_features=16, mamnet_res_blocks=2, mamnet_res_weight=1.0),
+               "mamnet", ["--mamnet_conv_features", "16", "--mamnet_res_blocks", "2"],
+               rng, fix_meanshift=True)
+
+
+def test_msrr_pth_roundtrip(rng):
+    _roundtrip("models.msrr", "MSRRModule",
+               argparse.Namespace(num_filters=16, num_blocks=2, res_weight=1.0),
+               "msrr", ["--num_filters", "16", "--num_blocks", "2"], rng)
+
+
+def test_ebrn_rm_pth_roundtrip(rng):
+    _roundtrip("models.ebrn_rm", "EBRNModule",
+               argparse.Namespace(num_filters=8, num_brms=2),
+               "ebrn_rm", ["--num_filters", "8", "--num_brms", "2"],
+               rng, fix_meanshift=True)
+
+
+def test_hrsr_pth_roundtrip(rng):
+    _roundtrip("models.hrsr", "MSRRModule",
+               argparse.Namespace(num_lr_blocks=2, num_hr_blocks=1, num_hr_filters=4,
+                                  hr_filter_size=3, interpolate="bilinear"),
+               "hrsr", ["--num_lr_blocks", "2", "--num_hr_blocks", "1",
+                        "--num_hr_filters", "4"], rng)
+
+
+def test_rego_pth_roundtrip(rng):
+    _roundtrip("/root/reference/models/REGO-Net.py", "REGOModule",
+               argparse.Namespace(num_filters=8, len_side=2, res_weight=1.0, interpolate="bilinear"),
+               "REGO-Net", ["--num_filters", "8", "--len_side", "2"],
+               rng, fix_meanshift=True)
