@@ -30,6 +30,22 @@ def _conv(w, b) -> Dict[str, np.ndarray]:
     return out
 
 
+def _conv_transpose(w, b) -> Dict[str, np.ndarray]:
+    """torch ConvTranspose2d (Cin, Cout, kH, kW) -> our input-dilated
+    correlation kernel: HWIO with the spatial axes flipped (a transposed
+    convolution equals correlation-with-dilated-input by the flipped
+    kernel)."""
+    k = np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1]
+    out = {"kernel": np.ascontiguousarray(k)}
+    if b is not None:
+        out["bias"] = np.asarray(b)
+    return out
+
+
+def _prelu(w) -> Dict[str, np.ndarray]:
+    return {"slope": np.asarray(w)}
+
+
 def _rules_edsr(key: str):
     m = re.match(r"res_blocks\.(\d+)\.body\.(0|2)", key)
     if m:
@@ -182,9 +198,40 @@ def _rules_rego(key: str):
     raise KeyError(key)
 
 
+def _rules_ebrn(key: str):
+    m = re.match(r"feature_extract\.(\d+)", key)
+    if m:
+        idx = int(m.group(1))
+        if idx % 2 == 0:
+            return "fe%d" % (idx // 2,)
+        return ("fe_prelu%d" % (idx // 2,), "prelu")
+    m = re.match(r"brms\.(\d+)\.up_block", key)
+    if m:
+        return ("brm_%s/up_block" % (m.group(1),), "convT")
+    m = re.match(r"brms\.(\d+)\.down_block", key)
+    if m:
+        return "brm_%s/down_block" % (m.group(1),)
+    m = re.match(r"brms\.(\d+)\.(sr|bp)_flow\.(\d+)", key)
+    if m:
+        idx = int(m.group(3))
+        base = "brm_%s/%s_flow" % (m.group(1), m.group(2))
+        if idx % 2 == 0:
+            return "%s/conv%d" % (base, idx // 2)
+        return ("%s/prelu%d" % (base, idx // 2), "prelu")
+    m = re.match(r"fusion_layers\.(\d+)", key)
+    if m:
+        return "fusion_%s" % (m.group(1),)
+    if key.startswith("recon_layer"):
+        return "recon"
+    if key.startswith("mean_shift") or key.startswith("mean_inverse_shift"):
+        return None
+    raise KeyError(key)
+
+
 RULES = {
     "edsr": _rules_edsr,
     "edsr_loss": _rules_edsr,
+    "ebrn": _rules_ebrn,
     "mamnet": _rules_mamnet,
     "msrr": _rules_msrr,
     "ebrn_rm": _rules_ebrn_rm,
@@ -207,7 +254,9 @@ def convert_state_dict(torch_state: Dict, model_name: str) -> Tuple[Dict, list]:
     """torch state_dict (tensors or arrays) -> nested flax param dict.
 
     Returns (params_dict, skipped_keys). Raises KeyError on keys the
-    model's rule set cannot place.
+    model's rule set cannot place. Rules return a path string (plain
+    conv), a (path, kind) tuple with kind in {'conv', 'convT', 'prelu'},
+    or None to skip the key.
     """
     rules = RULES[model_name]
     flat: Dict[str, Dict[str, np.ndarray]] = {}
@@ -217,12 +266,18 @@ def convert_state_dict(torch_state: Dict, model_name: str) -> Tuple[Dict, list]:
         if not key.endswith(".weight"):
             continue
         stem = key[: -len(".weight")]
-        path = rules(stem)
-        if path is None:
+        spec = rules(stem)
+        if spec is None:
             skipped.append(stem)
             continue
+        path, kind = spec if isinstance(spec, tuple) else (spec, "conv")
         bias = items.get(stem + ".bias")
-        flat[path] = _conv(items[key], bias)
+        if kind == "convT":
+            flat[path] = _conv_transpose(items[key], bias)
+        elif kind == "prelu":
+            flat[path] = _prelu(items[key])
+        else:
+            flat[path] = _conv(items[key], bias)
 
     nested: Dict = {}
     for path, leaves in flat.items():

@@ -258,3 +258,13 @@ def test_rego_pth_roundtrip(rng):
                argparse.Namespace(num_filters=8, len_side=2, res_weight=1.0, interpolate="bilinear"),
                "REGO-Net", ["--num_filters", "8", "--len_side", "2"],
                rng, fix_meanshift=True)
+
+
+def test_ebrn_full_pth_roundtrip(rng):
+    """Full EBRN incl. ConvTranspose up-projection (kernel flip) and
+    per-channel PReLU slopes."""
+    _stub_pytorch_ssim()
+    _roundtrip("models.ebrn", "EBRNModule",
+               argparse.Namespace(num_filters=8, num_brms=2),
+               "ebrn", ["--num_filters", "8", "--num_brms", "2"],
+               rng, fix_meanshift=True)
