@@ -228,10 +228,32 @@ def _rules_ebrn(key: str):
     raise KeyError(key)
 
 
+def _rules_msrr_test(key: str):
+    m = re.match(r"recon_trunk\.(\d+)\.conv(1|2)", key)
+    if m:
+        return "res_block_%s/conv%s" % (m.group(1), m.group(2))
+    for name in ("conv_first", "upconv1", "upconv2", "HRconv", "conv_last"):
+        if key.startswith(name):
+            return name
+    raise KeyError(key)
+
+
+def _rules_dwsr(key: str):
+    m = re.match(r"res_blocks\.(\d+)\.body\.(0|1|3|4)", key)
+    if m:
+        part = {"0": "dw1", "1": "pw1", "3": "dw2", "4": "pw2"}[m.group(2)]
+        return "res_block_%s/%s" % (m.group(1), part)
+    if key.startswith("first_conv"):
+        return "first_conv"
+    raise KeyError(key)
+
+
 RULES = {
     "edsr": _rules_edsr,
     "edsr_loss": _rules_edsr,
     "ebrn": _rules_ebrn,
+    "msrr_test": _rules_msrr_test,
+    "dwsr_reduced": _rules_dwsr,
     "mamnet": _rules_mamnet,
     "msrr": _rules_msrr,
     "ebrn_rm": _rules_ebrn_rm,

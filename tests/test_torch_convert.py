@@ -268,3 +268,42 @@ def test_ebrn_full_pth_roundtrip(rng):
                argparse.Namespace(num_filters=8, num_brms=2),
                "ebrn", ["--num_filters", "8", "--num_brms", "2"],
                rng, fix_meanshift=True)
+
+
+def test_larvanetv2_pth_roundtrip(rng):
+    """V2 incl. the tail merge/recon conversion path."""
+    _stub_pytorch_ssim()
+    import torch
+    import importlib
+
+    ref = importlib.import_module("models.LarvaNetV2")
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.utils.torch_convert import convert_state_dict
+    from flax import serialization
+
+    targs = argparse.Namespace(num_modules=2, num_blocks="1,2", interpolate="bicubic")
+    tmod = ref.LarvaNetModule(targs)
+    tmod.eval()
+    x = rng.uniform(0, 255, (1, 3, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tmod(torch.from_numpy(x)).numpy()
+    params, _ = convert_state_dict(
+        {k: v.numpy() for k, v in tmod.state_dict().items()}, "LarvaNetV2")
+    m = get_model("LarvaNetV2")
+    m.parse_args(["--num_modules", "2", "--num_blocks", "1,2"])
+    m.prepare(is_training=False, scales=[4])
+    m.params = serialization.from_state_dict(m.params, params)
+    ours = m.upscale([x[0]], scale=4)
+    np.testing.assert_allclose(ours[0], ref_out[0], atol=2e-3, rtol=1e-4)
+
+
+def test_msrr_test_pth_roundtrip(rng):
+    _roundtrip("models.msrr_test", "MSRRModule",
+               argparse.Namespace(num_filters=8, num_blocks=1, res_weight=1.0),
+               "msrr_test", ["--num_filters", "8", "--num_blocks", "1"], rng)
+
+
+def test_dwsr_pth_roundtrip(rng):
+    _roundtrip("models.dwsr_reduced", "MSRRModule",
+               argparse.Namespace(num_blocks=1, res_weight=1.0, interpolate="bilinear"),
+               "dwsr_reduced", ["--num_blocks", "1"], rng)
