@@ -106,7 +106,9 @@ class MSRRReducedModule(nn.Module):
 
         out = first(x_in)
         if self.first_activation:
-            out = get_activation(self.first_activation, 0.1)(out)
+            # the leaky ablation drives the first LReLU with --slope too
+            # (reference msrr_reduced_leaky.py:183); others default 0.1
+            out = get_activation(self.first_activation, self.slope)(out)
         for i in range(self.num_blocks):
             if self.depthwise:
                 out = DepthwiseSeparableResBlock(features, name="res_block_%d" % i)(out)

@@ -69,6 +69,10 @@ def _rules_larvanet(key: str):
     if m:
         return "body_%s/block_%s/conv%d" % (
             m.group(1), m.group(2), 1 if m.group(3) == "0" else 2)
+    # _1c variant: leg recon is a ResidualBlock (recon_block.body.{0,2})
+    m = re.match(r"body_(\d+)\.leg\.recon_block\.body\.(0|2)", key)
+    if m:
+        return "leg_%s/recon/conv%d" % (m.group(1), 1 if m.group(2) == "0" else 2)
     m = re.match(r"body_(\d+)\.leg\.recon_block\.(0|2)", key)
     if m:
         return "leg_%s/recon%d" % (m.group(1), 1 if m.group(2) == "0" else 2)
@@ -266,7 +270,18 @@ RULES = {
     "LarvaNetV2": _rules_larvanet,
     "LarvaLeg": _rules_larvanet,
     "LarvaLegV2": _rules_larvanet,
+    "LarvaNet_0c": _rules_larvanet,
+    "LarvaNet_1c": _rules_larvanet,
+    "LarvaNet_4c": _rules_larvanet,
+    "LarvaNet_skip": _rules_larvanet,
+    "LarvaNet_res": _rules_larvanet,
     "msrr_reduced": _rules_msrr_reduced,
+    "msrr_reduced_def_init": _rules_msrr_reduced,
+    "msrr_reduced_NI": _rules_msrr_reduced,
+    "msrr_reduced_linear": _rules_msrr_reduced,
+    "msrr_reduced_relu6": _rules_msrr_reduced,
+    "msrr_reduced_leaky": _rules_msrr_reduced,
+    "msrr_reduced_meanshift": _rules_msrr_reduced,
     "imdn_aim2019": _rules_imdn,
     "TreeNet": _rules_treenet,
 }

@@ -307,3 +307,35 @@ def test_dwsr_pth_roundtrip(rng):
     _roundtrip("models.dwsr_reduced", "MSRRModule",
                argparse.Namespace(num_blocks=1, res_weight=1.0, interpolate="bilinear"),
                "dwsr_reduced", ["--num_blocks", "1"], rng)
+
+
+@pytest.mark.parametrize("variant", ["LarvaNet_0c", "LarvaNet_1c", "LarvaNet_skip", "LarvaNet_res"])
+def test_larvanet_variant_pth_roundtrips(variant, rng):
+    import torch
+    import importlib
+
+    ref = importlib.import_module("models.%s" % variant)
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.utils.torch_convert import convert_state_dict
+    from flax import serialization
+
+    targs = argparse.Namespace(num_modules=2, num_blocks="1,2", interpolate="bicubic")
+    tmod = ref.LarvaNetModule(targs)
+    tmod.eval()
+    x = rng.uniform(0, 255, (1, 3, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tmod(torch.from_numpy(x)).numpy()
+    params, _ = convert_state_dict(
+        {k: v.numpy() for k, v in tmod.state_dict().items()}, variant)
+    m = get_model(variant)
+    m.parse_args(["--num_modules", "2", "--num_blocks", "1,2"])
+    m.prepare(is_training=False, scales=[4])
+    m.params = serialization.from_state_dict(m.params, params)
+    ours = m.upscale([x[0]], scale=4)
+    np.testing.assert_allclose(ours[0], ref_out[0], atol=2e-3, rtol=1e-4)
+
+
+def test_msrr_leaky_ablation_roundtrip(rng):
+    _roundtrip("models.msrr_reduced_leaky", "MSRRModule",
+               argparse.Namespace(num_blocks=1, res_weight=1.0, interpolate="bilinear", slope=0.2),
+               "msrr_reduced_leaky", ["--num_blocks", "1", "--slope", "0.2"], rng)
