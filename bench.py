@@ -50,6 +50,8 @@ def main():
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--collapsed_tail", type=int, default=1,
                         help="Use the exact collapsed linear tail for EDSR-style models (ops/collapsed_tail.py).")
+    parser.add_argument("--packed_trunk", type=int, default=1,
+                        help="Width-packed trunk (3x2/128ch convs, ops/packed_trunk.py); exact, ~2x per trunk conv on v5e.")
     args, model_flags = parser.parse_known_args()
 
     import jax
@@ -72,7 +74,12 @@ def main():
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), model.params)
 
     forward = lambda p, x: model.module.apply({"params": p}, x)
-    if args.collapsed_tail and args.model in ("edsr", "edsr_loss"):
+    if args.packed_trunk and args.collapsed_tail and args.model in ("edsr", "edsr_loss"):
+        from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
+
+        forward = make_packed_edsr_forward(model, dtype=dtype)
+        log("using width-packed trunk + collapsed linear tail")
+    elif args.collapsed_tail and args.model in ("edsr", "edsr_loss"):
         from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
 
         forward = make_collapsed_edsr_forward(model, dtype=dtype)

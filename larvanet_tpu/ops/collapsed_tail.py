@@ -336,4 +336,5 @@ def make_collapsed_edsr_forward(model, dtype=jnp.float32):
         h = h + res
         return fast_tail(h)
 
+    forward.__wrapped_tail__ = fast_tail  # reused by ops/packed_trunk.py
     return forward

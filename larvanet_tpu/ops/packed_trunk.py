@@ -1,0 +1,236 @@
+"""Exact width-packed trunk: 3x3/C convs as 3x2/2C convs at half width.
+
+Motivation (BASELINE.md conv microbenchmark): XLA's 3x3 conv at the SR
+trunk width C=64 sustains only ~71 TF/s on v5e — the MXU's 128-wide
+output tiling is half empty (N=64) and so is every 128-lane vector
+register. Packing PAIRS OF IMAGE COLUMNS into channels fixes both:
+(N,H,W,C) -> (N,H,W/2,2C) is a FREE row-major reshape in NHWC, and the
+3x3 conv becomes a 3x2 conv with 2C=128 in/out channels, measured at
+190 TF/s raw (97% of bf16 peak) — 2.0x faster per conv even though the
+packed kernel is 25% structural zeros (1.33x raw FLOPs).
+
+The trick that makes whole trunks run packed with ZERO layout ops
+between convs: a 3x2 packed conv maps between two column groupings —
+  grid0: blocks (2j, 2j+1)          width W/2     (the free reshape)
+  grid1: blocks (2j-1, 2j)          width W/2+1   (includes cols -1, W)
+and convs ALTERNATE grid0->grid1->grid0. SR ResBlocks contain exactly
+two convs, so every block input/output lives in grid0 and all skip adds
+line up. The grid1 tensor's two overhang slots (columns -1 and W)
+correspond to the original conv's zero padding for the NEXT conv; they
+are zeroed by a broadcast multiply that XLA fuses into the conv epilogue.
+
+Exactness: each packed conv computes the identical taps as the original
+SAME-padded 3x3 conv (kernel entries are the original weights routed by
+  dx = 2*w + e - d - 1   (grid0->grid1, packed-W padding (1,1))
+  dx = 2*w + e - d + ... (see _pack_kernel)               ), including
+borders; verified float-exactly in tests/test_packed_trunk.py.
+
+Requires even W (callers fall back to the plain forward otherwise; all
+bench/eval tile sizes are even). Works for any channel count C: 2C=128
+(EDSR) fills the MXU exactly; 2C=96 (LarvaNet) fills 75%.
+
+This replaces the reference's trunk loops (models/edsr.py:195-207,
+models/LarvaNet.py:205-267) on the inference fast path; it is a pure
+reparametrization, not an approximation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_w(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> grid0 packed (N, H, W/2, 2C). Free reshape (NHWC
+    row-major: packed channel index = d*C + c for column offset d)."""
+    n, h, w, c = x.shape
+    assert w % 2 == 0, "packed trunk requires even W"
+    return x.reshape(n, h, w // 2, 2 * c)
+
+
+def unpack_w(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_w."""
+    n, h, w2, c2 = x.shape
+    return x.reshape(n, h, w2 * 2, c2 // 2)
+
+
+def _route(k, d_shift):
+    """Build (kh, 2, 2C, 2C) packed kernel from (kh, 3, C, C) original.
+
+    Entry [ky, w, e*C+ci, d*C+co] = k[ky, dx+1, ci, co] where
+    dx = 2*w + e - d + d_shift is the original column offset; entries
+    with |dx| > 1 are the structural zeros. Works on tracers (pure
+    concatenation), so forwards can pack live jit arguments — the
+    rearrangement is a one-off ~36 KB shuffle inside the compiled graph.
+    """
+    k = jnp.asarray(k)
+    kh, kw, ci, co = k.shape
+    assert kw == 3
+    zero = jnp.zeros((kh, ci, co), k.dtype)
+
+    def entry(w, e, d):
+        dx = 2 * w + e - d + d_shift
+        return k[:, dx + 1] if -1 <= dx <= 1 else zero
+
+    planes = [
+        jnp.concatenate([
+            jnp.concatenate([entry(w, e, 0), entry(w, e, 1)], axis=-1)
+            for e in (0, 1)
+        ], axis=-2)
+        for w in (0, 1)
+    ]
+    return jnp.stack(planes, axis=1)
+
+
+def pack_kernel_a(k) -> np.ndarray:
+    """grid0 -> grid1 conv kernel; use packed-W padding (1, 1).
+
+    Output block j (cols 2j-1+d) reads input blocks j-1+w (cols
+    2(j-1+w)+e), so dx = 2w + e - d - 1.
+    """
+    return _route(k, -1)
+
+
+def pack_kernel_b(k) -> np.ndarray:
+    """grid1 -> grid0 conv kernel; use packed-W padding (0, 0).
+
+    Output block j (cols 2j+d) reads input blocks j+w (cols 2(j+w)-1+e),
+    so dx = 2w + e - d - 1 as well — same routing, different padding.
+    """
+    return _route(k, -1)
+
+
+def pack_bias(b):
+    """(C,) -> (2C,): bias broadcasts over the column-offset axis."""
+    b = jnp.asarray(b)
+    return jnp.concatenate([b, b])
+
+
+def grid1_mask(w_packed: int, c: int, dtype=jnp.float32,
+               odd_src_width: bool = False) -> jnp.ndarray:
+    """(1, 1, W/2+1, 2C) multiplicative mask zeroing the grid1 overhang
+    slots (original columns -1 and >= W), which stand in for the next
+    conv's zero padding. XLA fuses the multiply into the conv epilogue.
+
+    For an odd source width W (zero-padded to W+1 before packing), the
+    out-of-image column W sits at block W2, d=0 — both d slots of the
+    last block must be zeroed."""
+    m = np.ones((1, 1, w_packed, 2 * c), np.float32)
+    m[0, 0, 0, :c] = 0.0        # block 0, d=0  -> column -1
+    m[0, 0, -1, c:] = 0.0       # last block, d=1 -> column W (even) / W+1 (odd)
+    if odd_src_width:
+        m[0, 0, -1, :c] = 0.0   # last block, d=0 -> column W
+    return jnp.asarray(m, dtype)
+
+
+def conv_a(x, kernel_packed, bias_packed=None):
+    """grid0 (N,H,W/2,2C) -> grid1 (N,H,W/2+1,2C)."""
+    out = jax.lax.conv_general_dilated(
+        x, kernel_packed, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out if bias_packed is None else out + bias_packed
+
+
+def conv_b(x, kernel_packed, bias_packed=None):
+    """grid1 (N,H,W/2+1,2C) -> grid0 (N,H,W/2,2C). Caller must have
+    zeroed the grid1 overhang slots (grid1_mask)."""
+    out = jax.lax.conv_general_dilated(
+        x, kernel_packed, (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out if bias_packed is None else out + bias_packed
+
+
+def grid0_mask(w_packed: int, c: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, 1, W2, 2C) mask zeroing the grid0 overhang slot (the padded
+    column W of an odd-width image). Only needed when W was odd."""
+    m = np.ones((1, 1, w_packed, 2 * c), np.float32)
+    m[0, 0, -1, c:] = 0.0       # block W2-1, d=1 -> padded column W
+    return jnp.asarray(m, dtype)
+
+
+def packed_resblock(h0, ka, ba, kb, bb, mask1, mask0=None, res_weight=1.0):
+    """One SR ResBlock (conv-relu-conv + skip), fully in grid0/grid1.
+
+    h0: grid0 tensor (overhang slot already zero if mask0 is not None);
+    ka/kb: packed kernels (pack_kernel_a/b); ba/bb: packed biases;
+    mask1: grid1_mask for this width; mask0: grid0_mask for odd-W inputs
+    (keeps the padded column's bias from leaking into real taps).
+    """
+    t = conv_a(h0, ka, ba)
+    t = jax.nn.relu(t) * mask1
+    t = conv_b(t, kb, bb)
+    if res_weight != 1.0:
+        t = t * jnp.asarray(res_weight, t.dtype)
+    out = h0 + t
+    return out if mask0 is None else out * mask0
+
+
+def make_packed_edsr_forward(model, dtype=jnp.float32):
+    """Inference-optimized EDSR forward: width-packed trunk + collapsed
+    linear tail. Exactly equal to model.module.apply (float tolerance);
+    measured ~2x faster per trunk conv on v5e (BASELINE.md). Any input
+    width (odd W is zero-padded to even and masked per block — the mask
+    multiplies fuse into conv epilogues).
+
+    Trunk topology per reference models/edsr.py:177-207: head conv,
+    N x ResBlock(conv-relu-conv), after_res_conv, global skip, tail.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
+
+    # reuse the collapsed-tail machinery by building its fast_tail once
+    collapsed = make_collapsed_edsr_forward(model, dtype=dtype)
+    fast_tail = collapsed.__wrapped_tail__
+
+    res_weight = float(getattr(model.args, "edsr_res_weight", 1.0))
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, w, b):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(w, dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(b, dtype)
+
+        n, hh, ww, _ = x.shape
+        odd = ww % 2 == 1
+        h = x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
+        h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
+        if odd:
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        c = h.shape[-1]
+        h0 = pack_w(h)
+        w2 = h0.shape[2]
+        mask1 = grid1_mask(w2 + 1, c, dtype, odd_src_width=odd)
+        mask0 = grid0_mask(w2, c, dtype) if odd else None
+        if odd:
+            h0 = h0 * mask0
+
+        res = h0
+        i = 0
+        while ("res_block_%d" % i) in sp:
+            blk = sp["res_block_%d" % i]
+            res = packed_resblock(
+                res,
+                pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
+                pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
+                pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
+                pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
+                mask1, mask0, res_weight)
+            i += 1
+
+        res = unpack_w(res)
+        if odd:
+            res = res[:, :, :ww]
+            h = unpack_w(h0)[:, :, :ww]
+        else:
+            h = unpack_w(h0)
+        res = conv(res, sp["after_res_conv"]["kernel"], sp["after_res_conv"]["bias"])
+        h = h + res
+        return fast_tail(h)
+
+    return forward

@@ -1,0 +1,98 @@
+"""Width-packed trunk (ops/packed_trunk.py) exactness tests.
+
+The packing is a pure reparametrization of SAME-padded 3x3 convs
+(reference trunk loops: models/edsr.py:195-207), so everything here is
+exact up to f32 reduction order except the final comparison against module.apply,
+which goes through the collapsed tail's reassociated linear algebra
+(float tolerance, same as tests/test_collapsed_tail.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from larvanet_tpu.ops import packed_trunk as pt
+
+
+def _conv(h, w, b):
+    return jax.lax.conv_general_dilated(
+        h, jnp.asarray(w), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(b)
+
+
+@pytest.mark.parametrize("shape", [(2, 6, 10, 5), (1, 4, 8, 64), (3, 5, 2, 7)])
+def test_packed_resblock_bit_exact(shape):
+    rng = np.random.default_rng(1)
+    n, h, w, c = shape
+    x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32))
+    k1, k2 = (rng.normal(0, 0.3, (3, 3, c, c)).astype(np.float32) for _ in range(2))
+    b1, b2 = (rng.normal(0, 0.3, (c,)).astype(np.float32) for _ in range(2))
+
+    ref = x + _conv(jax.nn.relu(_conv(x, k1, b1)), k2, b2)
+    out = pt.packed_resblock(
+        pt.pack_w(x),
+        pt.pack_kernel_a(k1), pt.pack_bias(b1),
+        pt.pack_kernel_b(k2), pt.pack_bias(b2),
+        pt.grid1_mask(w // 2 + 1, c))
+    # identical taps; only f32 reduction order differs (different tiling)
+    np.testing.assert_allclose(np.asarray(pt.unpack_w(out)), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_packed_chain_bit_exact():
+    # several blocks chained: grid0 alignment must survive depth
+    rng = np.random.default_rng(2)
+    n, h, w, c = 1, 7, 12, 8
+    x = jnp.asarray(rng.normal(0, 1, (n, h, w, c)).astype(np.float32))
+    blocks = [
+        [(rng.normal(0, 0.3, (3, 3, c, c)).astype(np.float32),
+          rng.normal(0, 0.3, (c,)).astype(np.float32)) for _ in range(2)]
+        for _ in range(4)
+    ]
+    ref = x
+    for (k1, b1), (k2, b2) in blocks:
+        ref = ref + _conv(jax.nn.relu(_conv(ref, k1, b1)), k2, b2)
+    out = pt.pack_w(x)
+    m = pt.grid1_mask(w // 2 + 1, c)
+    for (k1, b1), (k2, b2) in blocks:
+        out = pt.packed_resblock(out, pt.pack_kernel_a(k1), pt.pack_bias(b1),
+                                 pt.pack_kernel_b(k2), pt.pack_bias(b2), m)
+    np.testing.assert_allclose(np.asarray(pt.unpack_w(out)), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def _tiny_edsr():
+    from larvanet_tpu.core.registry import get_model
+
+    m = get_model("edsr")
+    m.parse_args(["--edsr_res_blocks", "3", "--edsr_conv_features", "16"])
+    m.prepare(is_training=False, scales=[4])
+    return m
+
+
+def test_packed_edsr_matches_collapsed_bit_exact():
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
+    from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
+
+    m = _tiny_edsr()
+    fwd = make_packed_edsr_forward(m, dtype=jnp.float32)
+    col = make_collapsed_edsr_forward(m, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 12, 16, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(fwd(m.params, x)),
+                               np.asarray(col(m.params, x)),
+                               atol=1e-3, rtol=1e-5)
+
+
+@pytest.mark.parametrize("hw", [(11, 13), (8, 9), (7, 8), (6, 2)])
+def test_packed_edsr_odd_widths_match_module(hw):
+    from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
+
+    m = _tiny_edsr()
+    fwd = make_packed_edsr_forward(m, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 255, (1,) + hw + (3,)).astype(np.float32))
+    ref = m.module.apply({"params": m.params}, x)
+    np.testing.assert_allclose(np.asarray(fwd(m.params, x)), np.asarray(ref),
+                               atol=0.2, rtol=2e-3)
