@@ -74,7 +74,12 @@ def main():
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), model.params)
 
     forward = lambda p, x: model.module.apply({"params": p}, x)
-    if args.packed_trunk and args.collapsed_tail and args.model in ("edsr", "edsr_loss"):
+    if args.packed_trunk and args.model.startswith(("LarvaNet", "LarvaLeg")):
+        from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
+
+        forward = make_packed_larvanet_forward(model, dtype=dtype)
+        log("using width-packed trunk")
+    elif args.packed_trunk and args.collapsed_tail and args.model in ("edsr", "edsr_loss"):
         from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
 
         forward = make_packed_edsr_forward(model, dtype=dtype)

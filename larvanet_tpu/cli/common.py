@@ -47,18 +47,33 @@ def setup_model(name: str, remaining: Sequence[str], scales: List[int], is_train
 
 def maybe_collapse_tail(model, args) -> None:
     """Route the model's jitted forward through the collapsed linear tail
+    — and, when --packed_trunk (default on), the width-packed trunk —
     when --collapsed_tail is set and the model qualifies (EDSR family).
+    Both rewrites are exact (ops/collapsed_tail.py, ops/packed_trunk.py).
     Transparent to upscale/fwd_runtime/psnr_on_device/tiling."""
     import jax
 
+    model_name = getattr(args, "model", None) or ""
+    if getattr(args, "packed_trunk", 1) and model_name.startswith(("LarvaNet", "LarvaLeg")):
+        from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
+
+        model._fwd_jit = jax.jit(make_packed_larvanet_forward(model))
+        print("inference: width-packed trunk enabled")
+        return
     if not getattr(args, "collapsed_tail", 0):
         return
-    if getattr(args, "model", None) not in ("edsr", "edsr_loss"):
+    if model_name not in ("edsr", "edsr_loss"):
         return
-    from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
+    if getattr(args, "packed_trunk", 1):
+        from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
 
-    model._fwd_jit = jax.jit(make_collapsed_edsr_forward(model))
-    print("inference: collapsed linear tail enabled")
+        model._fwd_jit = jax.jit(make_packed_edsr_forward(model))
+        print("inference: width-packed trunk + collapsed linear tail enabled")
+    else:
+        from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
+
+        model._fwd_jit = jax.jit(make_collapsed_edsr_forward(model))
+        print("inference: collapsed linear tail enabled")
 
 
 def maybe_spatial_shard(model, args, scale: int) -> None:

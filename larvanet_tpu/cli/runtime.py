@@ -33,6 +33,8 @@ def main(argv=None):
                         help="Timed iterations per image/shape.")
     parser.add_argument("--collapsed_tail", type=int, default=1,
                         help="Exact collapsed linear tail for EDSR-family inference (1.6x on TPU; ops/collapsed_tail.py).")
+    parser.add_argument("--packed_trunk", type=int, default=1,
+                        help="Width-packed trunk for EDSR-family inference (exact; ~1.45x on TPU; ops/packed_trunk.py).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)

@@ -96,3 +96,31 @@ def test_packed_edsr_odd_widths_match_module(hw):
     ref = m.module.apply({"params": m.params}, x)
     np.testing.assert_allclose(np.asarray(fwd(m.params, x)), np.asarray(ref),
                                atol=0.2, rtol=2e-3)
+
+
+@pytest.mark.parametrize("name,flags", [
+    ("LarvaNet", ["--num_modules", "2", "--num_blocks", "2,3"]),
+    ("LarvaNet_0c", ["--num_modules", "2", "--num_blocks", "1,2"]),
+    ("LarvaNet_1c", ["--num_modules", "2", "--num_blocks", "1,2"]),
+    ("LarvaNet_skip", ["--num_modules", "2", "--num_blocks", "1,2"]),
+    ("LarvaNet_res", ["--num_modules", "2", "--num_blocks", "1,2"]),
+    ("LarvaNetV2", ["--num_modules", "2", "--num_blocks", "1,2"]),
+    ("LarvaLeg", ["--num_modules", "3", "--num_blocks", "1,1,1", "--leg", "2"]),
+    ("LarvaLeg", ["--num_modules", "2", "--num_blocks", "1,1", "--leg", "0"]),
+])
+def test_packed_larvanet_matches_module(name, flags):
+    """Every LarvaNet topology (bodies, leg styles, V2 tail, early exit,
+    res dual-stream), even and odd widths."""
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
+
+    m = get_model(name)
+    m.parse_args(flags)
+    m.prepare(is_training=False, scales=[4])
+    fwd = make_packed_larvanet_forward(m, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    for hw in [(8, 10), (7, 9)]:
+        x = jnp.asarray(rng.uniform(0, 255, (1,) + hw + (3,)).astype(np.float32))
+        ref = np.asarray(m._forward_impl(m.params, x))
+        got = np.asarray(fwd(m.params, x))
+        np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-5)
