@@ -204,6 +204,10 @@ class LarvaNetBase(SRModel):
         if self.default_cooldown is not None:
             parser.add_argument("--cooldown", type=int, default=self.default_cooldown,
                                 help="cooldown for lr scheduler")
+        parser.add_argument("--packed_trunk", type=int, default=1,
+                            help="Width-packed trunk for training and inference "
+                                 "(exact reparametrization, ~2x per conv on TPU; "
+                                 "ops/packed_trunk.py). 0 = plain module graph.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -225,6 +229,8 @@ class LarvaNetBase(SRModel):
         )
 
     def prepare(self, is_training, scales, global_step=0, seed=0):
+        self._packed_all = None
+        self._packed_infer = None
         super().prepare(is_training, scales, global_step=global_step, seed=seed)
         if is_training:
             from larvanet_tpu.train.schedules import ReduceLROnPlateau
@@ -248,12 +254,28 @@ class LarvaNetBase(SRModel):
         return self.module.init(rng, dummy, exits="all")
 
     # -- multi-exit loss in one jitted graph --------------------------------
+    def _all_exits(self, params, inputs):
+        """Every leg (+ tail) output; the width-packed graph when enabled
+        (exact reparametrization — fwd and bwd convs run at 2x width)."""
+        if getattr(self.args, "packed_trunk", 0):
+            if getattr(self, "_packed_all", None) is None:
+                from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
+
+                self._packed_all = make_packed_larvanet_forward(self, all_exits=True)
+            return self._packed_all(params, inputs)
+        return self.module.apply({"params": params}, inputs, exits="all")
+
     def _compute_loss(self, params, inputs, targets):
-        outs = self.module.apply({"params": params}, inputs, exits="all")
-        losses = [l1_loss(o, targets) for o in outs]
+        losses = [l1_loss(o, targets) for o in self._all_exits(params, inputs)]
         return sum(losses) / len(losses)
 
     def _forward_impl(self, params, x):
+        if getattr(self.args, "packed_trunk", 0):
+            if getattr(self, "_packed_infer", None) is None:
+                from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
+
+                self._packed_infer = make_packed_larvanet_forward(self)
+            return self._packed_infer(params, x)
         exits = getattr(self.args, "leg", None) if self.has_early_exit else None
         if exits is not None:
             return self.module.apply({"params": params}, x, exits=int(exits))
@@ -326,14 +348,9 @@ class LarvaNetBase(SRModel):
 
 
 class _V2Mixin:
-    """V2 loss: per-exit losses + tail loss, averaged over M+1
-    (reference models/LarvaNetV2.py:108-118); partial restore
-    (:198-207)."""
-
-    def _compute_loss(self, params, inputs, targets):
-        outs = self.module.apply({"params": params}, inputs, exits="all")
-        losses = [l1_loss(o, targets) for o in outs]  # M legs + tail
-        return sum(losses) / len(losses)
+    """V2: per-exit losses + tail loss averaged over M+1 (inherited
+    _compute_loss — exits='all' already includes the tail, reference
+    models/LarvaNetV2.py:108-118); partial restore (:198-207)."""
 
     def restore(self, ckpt_path, target=None, strict=False):
         super().restore(ckpt_path, target=target, strict=False)

@@ -236,8 +236,14 @@ def make_packed_edsr_forward(model, dtype=jnp.float32):
     return forward
 
 
-def make_packed_larvanet_forward(model, dtype=jnp.float32):
+def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
     """Inference-optimized LarvaNet forward with a width-packed trunk.
+
+    all_exits=True returns the training list [leg_0..leg_{M-1} (+ tail)]
+    like module.apply(exits='all') — used by the packed TRAINING path:
+    the rewrite is differentiable w.r.t. the original parameters (kernel
+    packing is pure slicing/concat), so fwd AND bwd convs run at the
+    packed 96-channel shapes.
 
     Exactly equal to the model's _forward_impl (float tolerance). The
     48-channel trunk packs to 96 channels at half width — measured 2.55x
@@ -260,7 +266,7 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32):
     mod = model.module
     num_blocks = mod.num_blocks
     exits = None
-    if getattr(model, "has_early_exit", False):
+    if not all_exits and getattr(model, "has_early_exit", False):
         exits = int(getattr(model.args, "leg", len(num_blocks)))
 
     def forward(params, x):
@@ -338,9 +344,8 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32):
                 r = r[:, :, :ww]
             return pixel_shuffle(r, SCALE) + base
 
-        if mod.use_tail and exits is None:
-            # V2 inference exits through the tail (LarvaNetV2.py forward);
-            # the 3-conv tail runs unpacked (odd conv count).
+        def tail_out():
+            # the 3-conv tail runs unpacked (odd conv count)
             cats = [unpack_w(f)[:, :, :ww] if odd else unpack_w(f) for f in features]
             t = conv(jnp.concatenate(cats, axis=-1),
                      sp["tail_merge"]["kernel"], sp["tail_merge"]["bias"])
@@ -348,6 +353,21 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32):
             r = jax.nn.relu(r)
             r = conv(r, sp["tail_recon2"]["kernel"], sp["tail_recon2"]["bias"])
             return pixel_shuffle(r, SCALE) + base
+
+        if all_exits:
+            # training list: one output per leg (+ tail), module.apply(exits='all')
+            outs = [
+                finish(leg_out(features[i],
+                               sp.get("leg_%d" % i) if mod.leg_style != "none" else None))
+                for i in range(n_run)
+            ]
+            if mod.use_tail:
+                outs.append(tail_out())
+            return outs
+
+        if mod.use_tail and exits is None:
+            # V2 inference exits through the tail (LarvaNetV2.py forward)
+            return tail_out()
 
         leg = sp.get("leg_%d" % (n_run - 1)) if mod.leg_style != "none" else None
         return finish(leg_out(features[-1], leg))

@@ -124,3 +124,27 @@ def test_packed_larvanet_matches_module(name, flags):
         ref = np.asarray(m._forward_impl(m.params, x))
         got = np.asarray(fwd(m.params, x))
         np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-5)
+
+
+def test_packed_training_loss_and_grad_parity():
+    """--packed_trunk training is the SAME optimization problem: loss and
+    gradients match the plain module graph (the packing is differentiable
+    slicing/concat of the original parameters)."""
+    from larvanet_tpu.core.registry import get_model
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32))
+
+    def run(packed):
+        m = get_model("LarvaNet")
+        m.parse_args(["--num_modules", "2", "--num_blocks", "1,2",
+                      "--packed_trunk", str(packed)])
+        m.prepare(is_training=True, scales=[4])
+        return jax.value_and_grad(m._compute_loss)(m.params, x, t)
+
+    l1, g1 = run(1)
+    l0, g0 = run(0)
+    assert abs(float(l1) - float(l0)) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
