@@ -54,6 +54,13 @@ def maybe_collapse_tail(model, args) -> None:
     import jax
 
     model_name = getattr(args, "model", None) or ""
+    # The inference CLIs own --packed_trunk (the cascaded parse consumes it
+    # before the model's parser); propagate the user's choice to the model
+    # so _forward_impl/_compute_loss routing agrees with the CLI flag.
+    if hasattr(args, "packed_trunk") and model.args is not None:
+        model.args.packed_trunk = int(args.packed_trunk)
+        model._packed_infer = None
+        model._packed_all = None
     if getattr(args, "packed_trunk", 1) and model_name.startswith(("LarvaNet", "LarvaLeg")):
         from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
 

@@ -69,8 +69,24 @@ class EDSR(SRModel):
                             help="Learning rate decay factor.")
         parser.add_argument("--edsr_learning_rate_decay_steps", type=int, default=200000,
                             help="The number of training steps to perform learning rate decay.")
+        parser.add_argument("--packed_trunk", type=int, default=1,
+                            help="Width-packed trunk for training (exact reparametrization, "
+                                 "~1.5x on TPU; ops/packed_trunk.py). 0 = plain module graph.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
+
+    def _compute_loss(self, params, inputs, targets):
+        if getattr(self.args, "packed_trunk", 0):
+            if getattr(self, "_packed_train", None) is None:
+                from larvanet_tpu.ops.packed_trunk import make_packed_edsr_train_forward
+
+                self._packed_train = make_packed_edsr_train_forward(self)
+            return self.loss(self._packed_train(params, inputs), targets)
+        return super()._compute_loss(params, inputs, targets)
+
+    def prepare(self, is_training, scales, global_step=0, seed=0):
+        self._packed_train = None
+        super().prepare(is_training, scales, global_step=global_step, seed=seed)
 
     def build_module(self):
         return EDSRModule(

@@ -236,6 +236,77 @@ def make_packed_edsr_forward(model, dtype=jnp.float32):
     return forward
 
 
+def make_packed_edsr_train_forward(model, dtype=jnp.float32):
+    """Differentiable EDSR forward with a width-packed trunk and the LIVE
+    original tail (params train; nothing is baked). Loss/grad-equivalent
+    to module.apply — the packing is differentiable slicing/concat — so
+    it drops into _compute_loss for ~1.5x faster training steps.
+
+    Topology per reference models/edsr.py:195-207; the 16 ResBlocks
+    (32 convs) pack, head/after_res_conv/tail (4-5 convs) run plain.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    scale = model.scale
+    res_weight = float(getattr(model.args, "edsr_res_weight", 1.0))
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, w, b):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(w, dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(b, dtype)
+
+        n, hh, ww, _ = x.shape
+        odd = ww % 2 == 1
+        h = x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype)
+        h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
+        if odd:
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        c = h.shape[-1]
+        h0 = pack_w(h)
+        w2 = h0.shape[2]
+        mask1 = grid1_mask(w2 + 1, c, dtype, odd_src_width=odd)
+        mask0 = grid0_mask(w2, c, dtype) if odd else None
+        if odd:
+            h0 = h0 * mask0
+
+        res = h0
+        i = 0
+        while ("res_block_%d" % i) in sp:
+            blk = sp["res_block_%d" % i]
+            res = packed_resblock(
+                res,
+                pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
+                pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
+                pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
+                pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
+                mask1, mask0, res_weight)
+            i += 1
+
+        res = unpack_w(res)
+        h = unpack_w(h0)
+        if odd:
+            res, h = res[:, :, :ww], h[:, :, :ww]
+        res = conv(res, sp["after_res_conv"]["kernel"], sp["after_res_conv"]["bias"])
+        h = h + res
+
+        up, i = sp["upsample"], 0
+        while ("conv%d" % i) in up:
+            h = conv(h, up["conv%d" % i]["kernel"], up["conv%d" % i]["bias"])
+            h = pixel_shuffle(h, 2 if scale != 3 else 3)
+            i += 1
+        h = conv(h, sp["final_conv"]["kernel"], sp["final_conv"]["bias"])
+        return h - jnp.asarray(DIV2K_RGB_MEAN, dtype)
+
+    return forward
+
+
 def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
     """Inference-optimized LarvaNet forward with a width-packed trunk.
 

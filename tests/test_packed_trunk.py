@@ -148,3 +148,24 @@ def test_packed_training_loss_and_grad_parity():
     assert abs(float(l1) - float(l0)) < 1e-4
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_packed_edsr_training_loss_and_grad_parity():
+    from larvanet_tpu.core.registry import get_model
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 16, 17, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 255, (2, 64, 68, 3)).astype(np.float32))
+
+    def run(packed):
+        m = get_model("edsr")
+        m.parse_args(["--edsr_res_blocks", "3", "--edsr_conv_features", "16",
+                      "--packed_trunk", str(packed)])
+        m.prepare(is_training=True, scales=[4])
+        return jax.value_and_grad(m._compute_loss)(m.params, x, t)
+
+    l1, g1 = run(1)
+    l0, g0 = run(0)
+    assert abs(float(l1) - float(l0)) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
