@@ -79,6 +79,14 @@ def main():
 
         forward = make_packed_larvanet_forward(model, dtype=dtype)
         log("using width-packed trunk")
+    elif args.packed_trunk and args.model.startswith(("msrr", "dwsr")):
+        from larvanet_tpu.ops.packed_trunk import make_packed_msrr_forward
+
+        try:
+            forward = make_packed_msrr_forward(model, dtype=dtype)
+            log("using width-packed trunk")
+        except ValueError:
+            pass  # depthwise: plain graph
     elif args.packed_trunk and args.collapsed_tail and args.model in ("edsr", "edsr_loss"):
         from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
 

@@ -155,7 +155,47 @@ class MSRRTestModule(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-class MSRR(SRModel):
+class _PackedTrunkMixin:
+    """Routes forward/loss through the width-packed graph when
+    --packed_trunk (default 1). Exact reparametrization (ops/
+    packed_trunk.py); depthwise configs fall back to the plain graph."""
+
+    def _packed_fwd(self):
+        if getattr(self, "_packed_cache", None) is None:
+            from larvanet_tpu.ops.packed_trunk import make_packed_msrr_forward
+
+            try:
+                self._packed_cache = make_packed_msrr_forward(self)
+            except ValueError:
+                self._packed_cache = False
+        return self._packed_cache or None
+
+    def prepare(self, is_training, scales, global_step=0, seed=0):
+        self._packed_cache = None
+        super().prepare(is_training, scales, global_step=global_step, seed=seed)
+
+    def _forward_impl(self, params, x):
+        if getattr(self.args, "packed_trunk", 0):
+            fwd = self._packed_fwd()
+            if fwd is not None:
+                return fwd(params, x)
+        return super()._forward_impl(params, x)
+
+    def _compute_loss(self, params, inputs, targets):
+        if getattr(self.args, "packed_trunk", 0):
+            fwd = self._packed_fwd()
+            if fwd is not None:
+                return self.loss(fwd(params, inputs), targets)
+        return super()._compute_loss(params, inputs, targets)
+
+
+def _add_packed_trunk_flag(parser):
+    parser.add_argument("--packed_trunk", type=int, default=1,
+                        help="Width-packed trunk (exact reparametrization, ~2x per "
+                             "conv on TPU; ops/packed_trunk.py). 0 = plain graph.")
+
+
+class MSRR(_PackedTrunkMixin, SRModel):
     """Full MSRR: stepwise Adam (reference models/msrr.py:48-53)."""
 
     optimizer_kind = "adam"
@@ -175,6 +215,7 @@ class MSRR(SRModel):
                             help="Learning rate decay factor.")
         parser.add_argument("--learning_rate_decay_steps", type=int, default=200000,
                             help="The number of training steps to perform learning rate decay.")
+        _add_packed_trunk_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -198,7 +239,7 @@ def _create_msrr():
     return MSRR()
 
 
-class _ReducedStepwise(SRModel):
+class _ReducedStepwise(_PackedTrunkMixin, SRModel):
     """Shared wrapper for the stepwise-Adam msrr_reduced ablations."""
 
     optimizer_kind = "adam"
@@ -233,6 +274,7 @@ class _ReducedStepwise(SRModel):
                             help="Learning rate decay factor.")
         parser.add_argument("--learning_rate_decay_steps", type=int, default=200000,
                             help="The number of training steps to perform learning rate decay.")
+        _add_packed_trunk_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -296,6 +338,7 @@ class MSRRTest(_ReducedStepwise):
         parser.add_argument("--learning_rate", type=float, default=1e-4)
         parser.add_argument("--learning_rate_decay", type=float, default=0.5)
         parser.add_argument("--learning_rate_decay_steps", type=int, default=200000)
+        _add_packed_trunk_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -344,6 +387,7 @@ class MSRRReduced(_ReducedStepwise):
                             help="patience for lr scheduler")
         parser.add_argument("--cooldown", type=int, default=6,
                             help="cooldown for lr scheduler")
+        _add_packed_trunk_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 

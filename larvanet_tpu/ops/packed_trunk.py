@@ -149,16 +149,19 @@ def grid0_mask(w_packed: int, c: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(m, dtype)
 
 
-def packed_resblock(h0, ka, ba, kb, bb, mask1, mask0=None, res_weight=1.0):
-    """One SR ResBlock (conv-relu-conv + skip), fully in grid0/grid1.
+def packed_resblock(h0, ka, ba, kb, bb, mask1, mask0=None, res_weight=1.0,
+                    act=jax.nn.relu):
+    """One SR ResBlock (conv-act-conv + skip), fully in grid0/grid1.
 
     h0: grid0 tensor (overhang slot already zero if mask0 is not None);
     ka/kb: packed kernels (pack_kernel_a/b); ba/bb: packed biases;
-    mask1: grid1_mask for this width; mask0: grid0_mask for odd-W inputs
-    (keeps the padded column's bias from leaking into real taps).
+    mask1: grid1_mask for this width (applied AFTER the activation, so
+    any act works, even ones with act(0) != 0); mask0: grid0_mask for
+    odd-W inputs (keeps the padded column's bias from leaking into real
+    taps).
     """
     t = conv_a(h0, ka, ba)
-    t = jax.nn.relu(t) * mask1
+    t = act(t) * mask1
     t = conv_b(t, kb, bb)
     if res_weight != 1.0:
         t = t * jnp.asarray(res_weight, t.dtype)
@@ -303,6 +306,114 @@ def make_packed_edsr_train_forward(model, dtype=jnp.float32):
             i += 1
         h = conv(h, sp["final_conv"]["kernel"], sp["final_conv"]["bias"])
         return h - jnp.asarray(DIV2K_RGB_MEAN, dtype)
+
+    return forward
+
+
+def make_packed_msrr_forward(model, dtype=jnp.float32):
+    """Width-packed forward for the MSRR family (differentiable; used for
+    both inference and training). Covers MSRRModule (64ch trunk,
+    reference models/msrr.py:214-248), MSRRReducedModule non-depthwise
+    (48ch trunk, models/msrr_reduced*.py) and MSRRTestModule (64ch,
+    models/msrr_test.py). Raises ValueError for depthwise blocks (the
+    packed layout cannot express per-channel grouping without a
+    transpose); callers fall back to the plain graph.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    kind = type(mod).__name__
+    if kind == "MSRRReducedModule" and mod.depthwise:
+        raise ValueError("depthwise blocks do not pack")
+    scale = mod.scale
+    res_weight = float(mod.res_weight)
+    lrelu = get_activation("leaky_relu", 0.1)
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, name, p=None):
+            p = sp[name] if p is None else p
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        n, hh, ww, _ = x.shape
+        odd = ww % 2 == 1
+
+        if kind == "MSRRReducedModule":
+            x_in = x + jnp.asarray(DIV2K_RGB_MEAN, dtype) if mod.base == "meanshift" else x
+            h = conv(x_in, "first_conv")
+            if mod.first_activation:
+                h = get_activation(mod.first_activation, mod.slope)(h)
+            block_act = get_activation(mod.block_activation, mod.slope)
+        elif kind == "MSRRModule":
+            h = lrelu(conv(x, "first_conv"))
+            block_act = jax.nn.relu
+        elif kind == "MSRRTestModule":
+            h = lrelu(conv(x, "conv_first"))
+            block_act = jax.nn.relu
+        else:
+            raise ValueError(kind)
+
+        if odd:
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        c = h.shape[-1]
+        h0 = pack_w(h)
+        w2 = h0.shape[2]
+        mask1 = grid1_mask(w2 + 1, c, dtype, odd_src_width=odd)
+        mask0 = grid0_mask(w2, c, dtype) if odd else None
+        if odd:
+            h0 = h0 * mask0
+
+        i = 0
+        while ("res_block_%d" % i) in sp:
+            blk = sp["res_block_%d" % i]
+            h0 = packed_resblock(
+                h0,
+                pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
+                pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
+                pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
+                pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
+                mask1, mask0, res_weight, act=block_act)
+            i += 1
+
+        out = unpack_w(h0)
+        if odd:
+            out = out[:, :, :ww]
+
+        if kind == "MSRRReducedModule":
+            out = pixel_shuffle(out, scale)
+            if mod.base == "meanshift":
+                return out - jnp.asarray(DIV2K_RGB_MEAN, dtype)
+            if mod.base is not None:
+                return out + interpolated_base(x, scale, mod.base)
+            return out
+        if kind == "MSRRModule":
+            up, j = sp["upsample"], 0
+            stages = []
+            while ("conv%d" % j) in up:
+                stages.append(up["conv%d" % j])
+                j += 1
+            for j, stage in enumerate(stages):
+                out = pixel_shuffle(conv(out, None, stage), 2 if scale != 3 else 3)
+                if j < len(stages) - 1:
+                    out = lrelu(out)
+            if scale != 3:
+                out = lrelu(out)
+            out = lrelu(conv(out, "HR_conv"))
+            out = conv(out, "final_conv")
+            return out + interpolated_base(x, scale, "bilinear")
+        # MSRRTestModule
+        out = lrelu(pixel_shuffle(conv(out, "upconv1"), 2))
+        out = lrelu(pixel_shuffle(conv(out, "upconv2"), 2))
+        out = conv(lrelu(conv(out, "HRconv")), "conv_last")
+        return out + interpolated_base(x, 4, "bilinear")
 
     return forward
 

@@ -169,3 +169,32 @@ def test_packed_edsr_training_loss_and_grad_parity():
     assert abs(float(l1) - float(l0)) < 1e-4
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("name,flags", [
+    ("msrr", ["--num_blocks", "2", "--num_filters", "16"]),
+    ("msrr_test", ["--num_blocks", "2", "--num_filters", "16"]),
+    ("msrr_reduced", ["--num_blocks", "2"]),
+    ("msrr_reduced_NI", ["--num_blocks", "2"]),
+    ("msrr_reduced_linear", ["--num_blocks", "2"]),
+    ("msrr_reduced_relu6", ["--num_blocks", "2"]),
+    ("msrr_reduced_leaky", ["--num_blocks", "2", "--slope", "0.3"]),
+    ("msrr_reduced_meanshift", ["--num_blocks", "2"]),
+    ("dwsr_reduced", ["--num_blocks", "2"]),  # depthwise -> plain fallback
+])
+def test_packed_msrr_family_matches_plain(name, flags):
+    from larvanet_tpu.core.registry import get_model
+
+    m = get_model(name)
+    m.parse_args(flags + ["--packed_trunk", "1"])
+    m.prepare(is_training=False, scales=[4])
+    m2 = get_model(name)
+    m2.parse_args(flags + ["--packed_trunk", "0"])
+    m2.prepare(is_training=False, scales=[4])
+    m2.params = m.params
+    rng = np.random.default_rng(0)
+    for hw in [(8, 10), (7, 9)]:
+        x = jnp.asarray(rng.uniform(0, 255, (1,) + hw + (3,)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(m._forward_impl(m.params, x)),
+            np.asarray(m2._forward_impl(m2.params, x)), atol=1e-3, rtol=1e-5)
