@@ -87,8 +87,13 @@ def make_collapsed_tail(
 ):
     """Return fast_tail(h_lr) exactly equal to tail_fn, as one conv + shuffle.
 
-    The bias field (which encodes all stage biases, mean shifts, and their
-    border truncation) is computed lazily per input shape and cached.
+    Biases: in the interior, the tail's response to a zero input is a
+    PERIODIC s x s x 3 pattern (shift invariance), added as a broadcast
+    that XLA fuses into the shuffle epilogue — an image-sized bias field
+    (the first implementation) cost a full extra memory pass (device
+    trace, BASELINE.md tail anatomy). The border frame gets its biases
+    (and their truncation) from the strip recomputation, which runs the
+    original tail.
     """
     kernel_np = extract_collapsed_kernel(tail_fn, in_channels, scale, radius)
     # trim all-zero outer rings (the probe radius is a safe upper bound)
@@ -98,8 +103,23 @@ def make_collapsed_tail(
     ):
         kernel_np = kernel_np[1:-1, 1:-1]
     kernel = jnp.asarray(kernel_np)
-    bias_cache = {}
     r = kernel_np.shape[0] // 2  # effective radius after trimming
+
+    # interior bias tile: central s x s block of the zero response on a
+    # canvas large enough that the block is interior
+    canvas = 4 * radius + 2
+    cc = canvas // 2
+    zero = jnp.zeros((1, canvas, canvas, in_channels), jnp.float32)
+    bias_tile = np.asarray(tail_fn(zero))[0, cc * scale:(cc + 1) * scale,
+                                          cc * scale:(cc + 1) * scale, :]
+
+    # packed grid0->grid0 kernel for the main conv (the plain conv's
+    # N=3*s*s output underfills the MXU 3x — BASELINE.md tail anatomy)
+    from larvanet_tpu.ops.packed_trunk import (
+        conv_same, pack_kernel_same, pack_w, unpack_w)
+    from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
+
+    kernel_packed, kernel_pads = pack_kernel_same(kernel)
 
     def fast_tail(h):
         """Collapsed conv for the interior + original tail stitched onto a
@@ -110,40 +130,90 @@ def make_collapsed_tail(
         original stages' SAME padding cuts paths whose endpoint taps are
         still in-bounds, so those rows/cols are recomputed with the
         original tail on thin halo strips (strip outer edge == true
-        border => identical padding; inner halo of `r` isolates it)."""
-        shape = (h.shape[1], h.shape[2])
-        if shape not in bias_cache:
-            # concrete (non-tracer) even when fast_tail is being traced
-            with jax.ensure_compile_time_eval():
-                zero = jnp.zeros((1, shape[0], shape[1], in_channels), jnp.float32)
-                bias_cache[shape] = np.asarray(tail_fn(zero))
-        out = jax.lax.conv_general_dilated(
-            h, kernel.astype(h.dtype), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        out = pixel_shuffle(out, scale)
-        out = out + jnp.asarray(bias_cache[shape], out.dtype)
+        border => identical padding; inner halo of `r` isolates it).
 
-        hh, ww = shape
-        b = min(r, hh, ww)  # border band width (LR px)
-        halo = min(2 * r, hh - b, ww - b)
-        if b <= 0:
-            return out
-        strip = b + max(halo, 0)
+        All stitching happens PRE-SHUFFLE in the LR 3s² -channel domain
+        (thin in-place row/col updates), followed by ONE pixel shuffle
+        with the periodic interior bias fused into its epilogue — the
+        first design stitched HR 3-channel tensors and spent more time
+        in XLA layout copies than in the conv (device trace,
+        BASELINE.md tail anatomy).
+        """
+        hh, ww = h.shape[1], h.shape[2]
         s = scale
+        tile = jnp.asarray(bias_tile, h.dtype)  # (s, s, 3)
 
-        def run(strip_h):
-            return tail_fn(strip_h.astype(jnp.float32)).astype(out.dtype)
+        b = min(r, hh, ww)  # border band width (LR px)
+        if b > 0 and (2 * b >= hh or 2 * b >= ww):
+            # image too small for an interior: the original tail is exact
+            return tail_fn(h)
 
-        top = run(h[:, :strip, :, :])[:, : b * s]
-        bot = run(h[:, hh - strip :, :, :])[:, -b * s :]
-        left = run(h[:, :, :strip, :])[:, :, : b * s]
-        right = run(h[:, :, ww - strip :, :])[:, :, -b * s :]
-        out = out.at[:, : b * s].set(top)
-        out = out.at[:, -b * s :].set(bot)
-        out = out.at[:, :, : b * s].set(left)
-        out = out.at[:, :, -b * s :].set(right)
-        return out
+        if ww % 2 == 0:
+            out_lr = unpack_w(conv_same(pack_w(h), kernel_packed.astype(h.dtype),
+                                        kernel_pads))
+        else:
+            out_lr = jax.lax.conv_general_dilated(
+                h, kernel.astype(h.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        if b > 0:
+            # halo = r suffices: kept output rows < b need input rows
+            # <= b-1+r, and the strip's inner-edge truncation only
+            # affects output rows >= strip - r = b
+            halo = min(r, hh - b, ww - b)
+            strip = b + max(halo, 0)
+            bs = b * s
+            n = h.shape[0]
+
+            def strip_lr(strip_out, rows=None, cols=None):
+                # HR strip -> LR 3s²-channel border block, interior bias
+                # removed (it is re-added globally after the shuffle; the
+                # subtraction+re-add cancels exactly, so the border keeps
+                # the strip's own truncated biases)
+                so = strip_out
+                if rows is not None:
+                    so = so[:, rows[0]:rows[1]]
+                if cols is not None:
+                    so = so[:, :, cols[0]:cols[1]]
+                nn_, hs_, ws_, c3 = so.shape
+                so = (so.reshape(nn_, hs_ // s, s, ws_ // s, s, c3)
+                      - tile[None, None, :, None, :, :]).reshape(nn_, hs_, ws_, c3)
+                return pixel_unshuffle(so, s)
+
+            # opposing strips batched into ONE original-tail call each
+            # (its many small layout ops are latency-bound on TPU)
+            tb = tail_fn(jnp.concatenate([h[:, :strip], h[:, hh - strip:]], axis=0))
+            lr_ = tail_fn(jnp.concatenate([h[:, :, :strip], h[:, :, ww - strip:]], axis=0))
+            top = strip_lr(tb[:n], rows=(0, bs))
+            bot = strip_lr(tb[n:], rows=(tb.shape[1] - bs, tb.shape[1]))
+            left = strip_lr(lr_[:n], cols=(0, bs))
+            right = strip_lr(lr_[n:], cols=(lr_.shape[2] - bs, lr_.shape[2]))
+
+            # Border replacement as pad+select arithmetic, NOT
+            # dynamic-update-slice: thin W-axis DUS at 48 channels
+            # measured 1.7 ms of latency-bound masked writes, while
+            # pads+selects fuse into the downstream shuffle's read.
+            # Regions are disjoint: side strips own the full-height
+            # columns (incl. corners), top/bot own the middle columns.
+            cdt = out_lr.dtype
+            row_idx = jnp.arange(hh)[None, :, None, None]
+            col_idx = jnp.arange(ww)[None, None, :, None]
+            in_side = (col_idx < b) | (col_idx >= ww - b)
+            in_topbot = ((row_idx < b) | (row_idx >= hh - b)) & ~in_side
+            frame = (
+                jnp.pad(left.astype(cdt), ((0, 0), (0, 0), (0, ww - b), (0, 0)))
+                + jnp.pad(right.astype(cdt), ((0, 0), (0, 0), (ww - b, 0), (0, 0)))
+                + jnp.pad(top.astype(cdt)[:, :, b:ww - b],
+                          ((0, 0), (0, hh - b), (b, b), (0, 0)))
+                + jnp.pad(bot.astype(cdt)[:, :, b:ww - b],
+                          ((0, 0), (hh - b, 0), (b, b), (0, 0)))
+            )
+            out_lr = jnp.where(in_side | in_topbot, frame, out_lr)
+
+        out = pixel_shuffle(out_lr, s)
+        n, hs, ws, c3 = out.shape
+        return (out.reshape(n, hs // s, s, ws // s, s, c3)
+                + tile[None, None, :, None, :, :]).reshape(n, hs, ws, c3)
 
     return fast_tail
 
@@ -282,14 +352,18 @@ def make_collapsed_edsr_forward(model, dtype=jnp.float32):
     features = p["first_conv"]["kernel"].shape[-1]
 
     def tail_fn(h):
-        # original tail on f32 for extraction: upsample -> final conv -> -mean
+        # original tail in the CALLER's dtype (f32 during extraction;
+        # the border strips at inference run it in the compute dtype —
+        # forcing f32 there cost full relayout copies, see BASELINE.md)
         from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
+
+        cdt = h.dtype
 
         def conv(x, w, b):
             return jax.lax.conv_general_dilated(
-                x, jnp.asarray(w, jnp.float32), (1, 1), "SAME",
+                x, jnp.asarray(w, cdt), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(b, jnp.float32)
+            ) + jnp.asarray(b, cdt)
 
         up = p["upsample"]
         i = 0
@@ -300,7 +374,7 @@ def make_collapsed_edsr_forward(model, dtype=jnp.float32):
             out = pixel_shuffle(out, 2 if scale != 3 else 3)
             i += 1
         out = conv(out, p["final_conv"]["kernel"], p["final_conv"]["bias"])
-        return out - jnp.asarray(DIV2K_RGB_MEAN, jnp.float32)
+        return out - jnp.asarray(DIV2K_RGB_MEAN, cdt)
 
     # tap radius: +1 LR per conv stage in the chain (see module docstring)
     n_stages = len([k for k in p["upsample"] if k.startswith("conv")])

@@ -101,6 +101,49 @@ def pack_kernel_b(k) -> np.ndarray:
     return _route(k, -1)
 
 
+def pack_kernel_same(k):
+    """grid0 -> grid0 packed kernel for a single SAME conv of ANY odd
+    width (no grid1, no masks — pad blocks ARE the original zero padding).
+
+    Used for odd-count conv chains (e.g. the collapsed tail's 5x5 conv,
+    where N=48 underfill costs 3x — BASELINE.md tail anatomy). Overhead:
+    (R+2)/(2R+1) x 4/2 ... concretely 2x raw FLOPs for 3x3, 1.2x for 5x5.
+
+    Returns (kernel (kh, R+2, 2ci, 2co), (pad_left, pad_right)) for
+    packed-W padding. Entry [ky, w, e*ci+i, d*co+o] = k[ky, dx+R] with
+    dx = 2w + e - d - 2*pad, |dx| <= R.
+    """
+    k = jnp.asarray(k)
+    kh, kw, ci, co = k.shape
+    assert kw % 2 == 1
+    R = kw // 2
+    pad = (R + 1) // 2
+    kw_p = ((R + 2 * pad + 1) // 2) + 1
+    zero = jnp.zeros((kh, ci, co), k.dtype)
+
+    def entry(w, e, d):
+        dx = 2 * w + e - d - 2 * pad
+        return k[:, dx + R] if -R <= dx <= R else zero
+
+    planes = [
+        jnp.concatenate([
+            jnp.concatenate([entry(w, e, 0), entry(w, e, 1)], axis=-1)
+            for e in (0, 1)
+        ], axis=-2)
+        for w in range(kw_p)
+    ]
+    return jnp.stack(planes, axis=1), (pad, kw_p - 1 - pad)
+
+
+def conv_same(x, kernel_packed, pads, bias_packed=None):
+    """grid0 (N,H,W2,2C) -> grid0 (N,H,W2,2Co) single packed SAME conv."""
+    kh = kernel_packed.shape[0]
+    out = jax.lax.conv_general_dilated(
+        x, kernel_packed, (1, 1), ((kh // 2, kh // 2), pads),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out if bias_packed is None else out + bias_packed
+
+
 def pack_bias(b):
     """(C,) -> (2C,): bias broadcasts over the column-offset axis."""
     b = jnp.asarray(b)
@@ -236,6 +279,7 @@ def make_packed_edsr_forward(model, dtype=jnp.float32):
         h = h + res
         return fast_tail(h)
 
+    forward.__wrapped_tail__ = fast_tail
     return forward
 
 
