@@ -121,9 +121,15 @@ def make_collapsed_tail(
 
     kernel_packed, kernel_pads = pack_kernel_same(kernel)
 
-    def fast_tail(h):
+    def fast_tail(h, packed=False):
         """Collapsed conv for the interior + original tail stitched onto a
         (radius)-wide border frame.
+
+        packed=True: `h` is already width-packed (grid0, 2C channels at
+        half width, even original W) — the main conv consumes it
+        directly and the thin border strips unpack only the slices they
+        need, avoiding full-tensor relayouts at the 64<->128-channel
+        tiling boundary (device trace, BASELINE.md tail anatomy).
 
         The collapse is exact only where every intermediate tap of the
         original chain is in-bounds; within `r` LR px of the border, the
@@ -139,17 +145,24 @@ def make_collapsed_tail(
         in XLA layout copies than in the conv (device trace,
         BASELINE.md tail anatomy).
         """
-        hh, ww = h.shape[1], h.shape[2]
+        if packed:
+            h0, hh, ww = h, h.shape[1], h.shape[2] * 2
+        else:
+            h0, hh, ww = None, h.shape[1], h.shape[2]
         s = scale
         tile = jnp.asarray(bias_tile, h.dtype)  # (s, s, 3)
 
         b = min(r, hh, ww)  # border band width (LR px)
         if b > 0 and (2 * b >= hh or 2 * b >= ww):
             # image too small for an interior: the original tail is exact
+            if packed:
+                h = unpack_w(h0)
             return tail_fn(h)
 
         if ww % 2 == 0:
-            out_lr = unpack_w(conv_same(pack_w(h), kernel_packed.astype(h.dtype),
+            if h0 is None:
+                h0 = pack_w(h)
+            out_lr = unpack_w(conv_same(h0, kernel_packed.astype(h.dtype),
                                         kernel_pads))
         else:
             out_lr = jax.lax.conv_general_dilated(
@@ -180,10 +193,19 @@ def make_collapsed_tail(
                       - tile[None, None, :, None, :, :]).reshape(nn_, hs_, ws_, c3)
                 return pixel_unshuffle(so, s)
 
+            if packed:
+                # unpack only the thin slices the strips need
+                wb = (strip + 1) // 2
+                h_t, h_b = unpack_w(h0[:, :strip]), unpack_w(h0[:, hh - strip:])
+                h_l = unpack_w(h0[:, :, :wb])[:, :, :strip]
+                h_r = unpack_w(h0[:, :, h0.shape[2] - wb:])[:, :, -strip:]
+            else:
+                h_t, h_b = h[:, :strip], h[:, hh - strip:]
+                h_l, h_r = h[:, :, :strip], h[:, :, ww - strip:]
             # opposing strips batched into ONE original-tail call each
             # (its many small layout ops are latency-bound on TPU)
-            tb = tail_fn(jnp.concatenate([h[:, :strip], h[:, hh - strip:]], axis=0))
-            lr_ = tail_fn(jnp.concatenate([h[:, :, :strip], h[:, :, ww - strip:]], axis=0))
+            tb = tail_fn(jnp.concatenate([h_t, h_b], axis=0))
+            lr_ = tail_fn(jnp.concatenate([h_l, h_r], axis=0))
             top = strip_lr(tb[:n], rows=(0, bs))
             bot = strip_lr(tb[n:], rows=(tb.shape[1] - bs, tb.shape[1]))
             left = strip_lr(lr_[:n], cols=(0, bs))

@@ -269,12 +269,17 @@ def make_packed_edsr_forward(model, dtype=jnp.float32):
                 mask1, mask0, res_weight)
             i += 1
 
-        res = unpack_w(res)
-        if odd:
-            res = res[:, :, :ww]
-            h = unpack_w(h0)[:, :, :ww]
-        else:
-            h = unpack_w(h0)
+        if not odd:
+            # stay packed through after_res_conv, the global skip, and
+            # into the tail's packed conv: crossing the 64<->128-channel
+            # tiling boundary costs a full relayout copy each way
+            # (device trace, BASELINE.md tail anatomy)
+            arc = sp["after_res_conv"]
+            kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
+            res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
+            return fast_tail(h0 + res, packed=True)
+        res = unpack_w(res)[:, :, :ww]
+        h = unpack_w(h0)[:, :, :ww]
         res = conv(res, sp["after_res_conv"]["kernel"], sp["after_res_conv"]["bias"])
         h = h + res
         return fast_tail(h)
