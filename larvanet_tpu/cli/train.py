@@ -31,6 +31,9 @@ def main(argv=None):
                         help="Size of each input image patch.")
     parser.add_argument("--train_path", type=str, required=True,
                         help="Base path of the trained model to be saved.")
+    parser.add_argument("--async_checkpoint", type=int, default=0,
+                        help="Write checkpoints on a background thread (device snapshot is "
+                             "immediate; serialization+IO never stall the train loop).")
     parser.add_argument("--max_steps", type=int, default=300000,
                         help="The maximum number of training steps.")
     parser.add_argument("--log_freq", type=int, default=10,
@@ -60,6 +63,7 @@ def main(argv=None):
     model, model_args, remaining = common.setup_model(
         args.model, remaining, scale_list, is_training=True, global_step=args.global_step
     )
+    model.async_checkpoints = bool(args.async_checkpoint)
     common.warn_leftovers(remaining)
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path
@@ -108,6 +112,7 @@ def main(argv=None):
                 model.save(base_path=args.train_path)
                 print("saved a model checkpoint at step %d" % (model.global_step,))
 
+    model.wait_for_checkpoints()
     print("finished")
     for w in summary_writers.values():
         w.close()

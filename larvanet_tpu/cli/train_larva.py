@@ -51,6 +51,9 @@ def main(argv=None):
                         help="Accepted for reference-CLI parity; ignored.")
     parser.add_argument("--train_path", type=str, required=True,
                         help="Base path of the trained model to be saved.")
+    parser.add_argument("--async_checkpoint", type=int, default=0,
+                        help="Write checkpoints on a background thread (device snapshot is "
+                             "immediate; serialization+IO never stall the train loop).")
     parser.add_argument("--max_steps", type=int, default=0,
                         help="Stop after this many steps (0 = run until interrupted, like the reference).")
     parser.add_argument("--log_freq", type=int, default=10,
@@ -84,6 +87,7 @@ def main(argv=None):
     model, model_args, remaining = common.setup_model(
         args.model, remaining, scale_list, is_training=True, global_step=args.global_step
     )
+    model.async_checkpoints = bool(args.async_checkpoint)
     common.warn_leftovers(remaining)
     model.volume_per_step = args.input_patch_size ** 2 * args.batch_size * 3
 
@@ -143,6 +147,7 @@ def main(argv=None):
     finally:
         if threaded:
             dataloader.stop_queue_runners()
+    model.wait_for_checkpoints()
     print("finished")
     summary.close()
 

@@ -46,6 +46,8 @@ def main(argv=None):
     parser.add_argument("--scales", type=str, default="4")
     parser.add_argument("--cuda_device", type=str, default="-1")
     parser.add_argument("--train_path", type=str, required=True)
+    parser.add_argument("--async_checkpoint", type=int, default=0,
+                        help="Write checkpoints on a background thread.")
     parser.add_argument("--max_steps", type=int, default=300000)
     parser.add_argument("--log_freq", type=int, default=10)
     parser.add_argument("--summary_freq", type=int, default=1000)
@@ -70,6 +72,7 @@ def main(argv=None):
     model, model_args, remaining = common.setup_model(
         args.model, remaining, scale_list, is_training=True, global_step=args.global_step
     )
+    model.async_checkpoints = bool(args.async_checkpoint)
     common.warn_leftovers(remaining)
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path
@@ -132,6 +135,7 @@ def main(argv=None):
     finally:
         if getattr(dataloader, "is_threaded", False):
             dataloader.stop_queue_runners()
+    model.wait_for_checkpoints()
     print("finished")
     summary.close()
 

@@ -240,13 +240,16 @@ class SRModel:
     # ---- checkpointing ----------------------------------------------------
 
     def _state_dict(self) -> Dict[str, Any]:
+        # leaves stay DEVICE arrays: host conversion happens in save()
+        # (sync) or on the async writer thread — converting here would
+        # block on the tunnel's slow D2H path even for async saves
         state = {
-            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "params": self.params,
             "global_step": self.global_step,
             "total_volume": self.total_volume,
         }
         if self.opt_state is not None:
-            state["opt_state"] = jax.tree_util.tree_map(np.asarray, self.opt_state)
+            state["opt_state"] = self.opt_state
         return state
 
     def _load_state_dict(self, state: Dict[str, Any], strict: bool = True) -> None:
@@ -273,8 +276,23 @@ class SRModel:
         return "model_%d.ckpt" % (self.global_step,)
 
     def save(self, base_path: str) -> str:
+        """Write a checkpoint. With `self.async_checkpoints` set (the
+        train CLIs' --async_checkpoint), returns as soon as the state is
+        snapshotted to fresh device buffers; serialization and disk IO
+        happen on a background thread (utils/checkpoints.py) — on this
+        TPU tunnel a synchronous save stalls the loop on ~200 KB/s D2H.
+        Call wait_for_checkpoints() before depending on the file."""
         os.makedirs(base_path, exist_ok=True)
         path = os.path.join(base_path, self.checkpoint_name())
+        state = serialization.to_state_dict(self._state_dict())
+
+        if getattr(self, "async_checkpoints", False):
+            if getattr(self, "_ckpt_writer", None) is None:
+                from larvanet_tpu.utils.checkpoints import AsyncCheckpointWriter
+
+                self._ckpt_writer = AsyncCheckpointWriter()
+            self._ckpt_writer.submit(state, path)
+            return path
 
         def to_host(leaf):
             # Device arrays -> numpy; leave Python scalars/strings alone
@@ -285,11 +303,17 @@ class SRModel:
             return leaf
 
         payload = serialization.msgpack_serialize(
-            jax.tree_util.tree_map(to_host, serialization.to_state_dict(self._state_dict()))
+            jax.tree_util.tree_map(to_host, state)
         )
         with open(path, "wb") as f:
             f.write(payload)
         return path
+
+    def wait_for_checkpoints(self) -> None:
+        """Block until every async save has reached disk (no-op for
+        synchronous saves); re-raises writer errors."""
+        if getattr(self, "_ckpt_writer", None) is not None:
+            self._ckpt_writer.wait()
 
     def restore(self, ckpt_path: str, target=None, strict: bool = True) -> None:
         with open(ckpt_path, "rb") as f:
