@@ -79,6 +79,16 @@ def main():
 
         forward = make_packed_larvanet_forward(model, dtype=dtype)
         log("using width-packed trunk")
+    elif args.packed_trunk and args.model == "TreeNet":
+        from larvanet_tpu.ops.packed_trunk import make_packed_treenet_forward
+
+        forward = make_packed_treenet_forward(model, dtype=dtype)
+        log("using width-packed trunk")
+    elif args.packed_trunk and args.model.startswith("hrsr"):
+        from larvanet_tpu.ops.packed_trunk import make_packed_hrsr_forward
+
+        forward = make_packed_hrsr_forward(model, dtype=dtype)
+        log("using width-packed trunk")
     elif args.packed_trunk and args.model.startswith(("msrr", "dwsr")):
         from larvanet_tpu.ops.packed_trunk import make_packed_msrr_forward
 

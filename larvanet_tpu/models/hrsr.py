@@ -73,7 +73,34 @@ class HRSRModule(nn.Module):
         return out + interpolated_base(x, self.scale, self.interpolate)
 
 
-class HRSR(SRModel):
+
+class _HRSRPackedMixin:
+    """--packed_trunk routing to ops/packed_trunk.make_packed_hrsr_forward
+    (exact reparametrization; LR trunk packed, HR part plain)."""
+
+    def prepare(self, is_training, scales, global_step=0, seed=0):
+        self._packed_cache = None
+        super().prepare(is_training, scales, global_step=global_step, seed=seed)
+
+    def _packed_fwd(self):
+        if getattr(self, "_packed_cache", None) is None:
+            from larvanet_tpu.ops.packed_trunk import make_packed_hrsr_forward
+
+            self._packed_cache = make_packed_hrsr_forward(self)
+        return self._packed_cache
+
+    def _forward_impl(self, params, x):
+        if getattr(self.args, "packed_trunk", 0):
+            return self._packed_fwd()(params, x)
+        return super()._forward_impl(params, x)
+
+    def _compute_loss(self, params, inputs, targets):
+        if getattr(self.args, "packed_trunk", 0):
+            return self.loss(self._packed_fwd()(params, inputs), targets)
+        return super()._compute_loss(params, inputs, targets)
+
+
+class HRSR(_HRSRPackedMixin, SRModel):
     """AdamW + externally-stepped plateau scheduler (train_schedule flow)."""
 
     optimizer_kind = "adamw"
@@ -104,6 +131,8 @@ class HRSR(SRModel):
                             help="cooldown for reduce lr")
         parser.add_argument("--learning_rate_decay_steps", type=int, default=200000,
                             help="The number of training steps to perform learning rate decay.")
+        parser.add_argument("--packed_trunk", type=int, default=1,
+                            help="Width-packed LR trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -161,7 +190,7 @@ def _create_hrsr_():
     return HRSRUnderscore()
 
 
-class HRSRC3(SRModel):
+class HRSRC3(_HRSRPackedMixin, SRModel):
     """hrsr_c3: stepwise Adam (reference models/hrsr_c3.py:48-54)."""
 
     optimizer_kind = "adam"
@@ -183,6 +212,8 @@ class HRSRC3(SRModel):
                             help="Learning rate decay factor.")
         parser.add_argument("--learning_rate_decay_steps", type=int, default=200000,
                             help="The number of training steps to perform learning rate decay.")
+        parser.add_argument("--packed_trunk", type=int, default=1,
+                            help="Width-packed LR trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 

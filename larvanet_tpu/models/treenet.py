@@ -77,6 +77,7 @@ class TreeNet(SRModel):
         super().__init__()
         self.scheduler = None
 
+
     def parse_args(self, args):
         parser = argparse.ArgumentParser()
         parser.add_argument("--num_common_blocks", type=int, default=8,
@@ -103,6 +104,8 @@ class TreeNet(SRModel):
                             help="Minimum learning rate.")
         parser.add_argument("--patience", type=int, default=1,
                             help="patience for lr scheduler")
+        parser.add_argument("--packed_trunk", type=int, default=1,
+                            help="Width-packed trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -120,6 +123,7 @@ class TreeNet(SRModel):
         return self.module.init(rng, dummy, branches="all")
 
     def prepare(self, is_training, scales, global_step=0, seed=0):
+        self._packed_cache = None
         super().prepare(is_training, scales, global_step=global_step, seed=seed)
         if is_training:
             from larvanet_tpu.train.schedules import StepLR
@@ -132,8 +136,23 @@ class TreeNet(SRModel):
     def get_learning_rate(self):
         return self.scheduler.get_lr() if self.scheduler is not None else self.args.lr
 
+    def _packed_fwd(self):
+        if getattr(self, "_packed_cache", None) is None:
+            from larvanet_tpu.ops.packed_trunk import make_packed_treenet_forward
+
+            self._packed_cache = make_packed_treenet_forward(self)
+        return self._packed_cache
+
+    def _forward_impl(self, params, x):
+        if getattr(self.args, "packed_trunk", 0):
+            return self._packed_fwd()(params, x)
+        return super()._forward_impl(params, x)
+
     def _compute_loss(self, params, inputs, targets):
-        outs = self.module.apply({"params": params}, inputs, branches="all")
+        if getattr(self.args, "packed_trunk", 0):
+            outs = self._packed_fwd()(params, inputs, branches="all")
+        else:
+            outs = self.module.apply({"params": params}, inputs, branches="all")
         losses = [l1_loss(o, targets) for o in outs]
         return sum(losses) / len(losses)
 

@@ -359,6 +359,145 @@ def make_packed_edsr_train_forward(model, dtype=jnp.float32):
     return forward
 
 
+def packed_block(h0, blk, mask1, mask0=None, res_weight=1.0, act=jax.nn.relu,
+                 dtype=jnp.float32):
+    """packed_resblock from a {conv1: {kernel,bias}, conv2: ...} subtree."""
+    return packed_resblock(
+        h0,
+        pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
+        pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
+        pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
+        pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
+        mask1, mask0, res_weight, act=act)
+
+
+def make_packed_treenet_forward(model, dtype=jnp.float32):
+    """Width-packed TreeNet forward (reference models/TreeNet.py:226-256):
+    shared 48ch trunk + per-branch ResBlock runs, all packed.
+    Returns forward(params, x, branches=0 | int | 'all') mirroring the
+    module's signature (validate_tree sweeps branches; training uses
+    'all'). Differentiable — used for training too.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import get_activation, interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    lrelu = get_activation("leaky_relu", 0.1)
+
+    def forward(params, x, branches=0):
+        sp = serialization.to_state_dict(params)
+        x = x.astype(dtype)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        n, hh, ww, _ = x.shape
+        odd = ww % 2 == 1
+        h = lrelu(conv(x, sp["first_conv"]))
+        if odd:
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        c = h.shape[-1]
+        fea = pack_w(h)
+        mask1 = grid1_mask(fea.shape[2] + 1, c, dtype, odd_src_width=odd)
+        mask0 = grid0_mask(fea.shape[2], c, dtype) if odd else None
+        if odd:
+            fea = fea * mask0
+        for i in range(mod.num_common_blocks):
+            fea = packed_block(fea, sp["common_block_%d" % i], mask1, mask0,
+                               mod.res_weight, dtype=dtype)
+
+        base = interpolated_base(x, mod.scale, mod.interpolate)
+
+        def run_branch(b):
+            h = fea
+            for i in range(mod.num_branch_blocks):
+                h = packed_block(h, sp["branch_%d_block_%d" % (b, i)], mask1,
+                                 mask0, mod.res_weight, dtype=dtype)
+            h = unpack_w(h)
+            if odd:
+                h = h[:, :, :ww]
+            return pixel_shuffle(h, mod.scale) + base
+
+        if branches == "all":
+            return [run_branch(b) for b in range(mod.num_branches)]
+        return run_branch(int(branches))
+
+    return forward
+
+
+def make_packed_hrsr_forward(model, dtype=jnp.float32):
+    """Width-packed HRSR forward (reference models/hrsr*.py): the 48ch LR
+    ResBlock trunk packs; the HR-domain part (3-16ch convs at 16x the
+    pixels) stays plain — its channel counts are too small to pack
+    profitably and it is a tiny share of FLOPs. Differentiable.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import get_activation, interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    lrelu = get_activation("leaky_relu", 0.1)
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+        x = x.astype(dtype)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        n, hh, ww, _ = x.shape
+        odd = ww % 2 == 1
+        out = lrelu(conv(x, sp["first_conv"]))
+        if odd:
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        c = out.shape[-1]
+        h0 = pack_w(out)
+        mask1 = grid1_mask(h0.shape[2] + 1, c, dtype, odd_src_width=odd)
+        mask0 = grid0_mask(h0.shape[2], c, dtype) if odd else None
+        if odd:
+            h0 = h0 * mask0
+        for i in range(mod.num_lr_blocks):
+            h0 = packed_block(h0, sp["lr_block_%d" % i], mask1, mask0,
+                              mod.res_weight, dtype=dtype)
+        out = unpack_w(h0)
+        if odd:
+            out = out[:, :, :ww]
+        out = pixel_shuffle(out, mod.scale)
+
+        def resblock_plain(h, blk, kernel_size=3):
+            t = conv(h, blk["conv1"])
+            t = jax.nn.relu(t)
+            t = conv(t, blk["conv2"])
+            if mod.res_weight != 1.0 and mod.c3_style:
+                t = t * jnp.asarray(mod.res_weight, t.dtype)
+            return h + t
+
+        if mod.num_hr_blocks > 0:
+            if mod.c3_style:
+                for i in range(mod.num_hr_blocks):
+                    out = resblock_plain(out, sp["hr_block_%d" % i])
+            else:
+                out = lrelu(conv(out, sp["middle_conv"]))
+                for i in range(mod.num_hr_blocks):
+                    blk = sp["hr_block_%d" % i]
+                    t = jax.nn.relu(conv(out, blk["conv1"]))
+                    out = out + conv(t, blk["conv2"])
+        if not mod.c3_style and mod.num_hr_filters != 3:
+            out = conv(lrelu(out), sp["final_conv"])
+        return out + interpolated_base(x, mod.scale, mod.interpolate)
+
+    return forward
+
+
 def make_packed_msrr_forward(model, dtype=jnp.float32):
     """Width-packed forward for the MSRR family (differentiable; used for
     both inference and training). Covers MSRRModule (64ch trunk,

@@ -198,3 +198,33 @@ def test_packed_msrr_family_matches_plain(name, flags):
         np.testing.assert_allclose(
             np.asarray(m._forward_impl(m.params, x)),
             np.asarray(m2._forward_impl(m2.params, x)), atol=1e-3, rtol=1e-5)
+
+
+@pytest.mark.parametrize("name,flags", [
+    ("TreeNet", ["--num_common_blocks", "2", "--num_branches", "2", "--num_branch_blocks", "1"]),
+    ("hrsr", ["--num_lr_blocks", "2", "--num_hr_blocks", "2", "--num_hr_filters", "6"]),
+    ("hrsr", ["--num_lr_blocks", "2", "--num_hr_blocks", "0"]),
+    ("hrsr_", ["--num_lr_blocks", "2", "--num_hr_blocks", "1"]),
+    ("hrsr_c3", ["--num_lr_blocks", "2", "--num_hr_blocks", "2"]),
+])
+def test_packed_treenet_hrsr_matches_plain(name, flags):
+    """Forward AND training-loss parity for the TreeNet/HRSR families."""
+    from larvanet_tpu.core.registry import get_model
+
+    rng = np.random.default_rng(0)
+    m = get_model(name)
+    m.parse_args(flags + ["--packed_trunk", "1"])
+    m.prepare(is_training=True, scales=[4])
+    m2 = get_model(name)
+    m2.parse_args(flags + ["--packed_trunk", "0"])
+    m2.prepare(is_training=True, scales=[4])
+    m2.params = m.params
+    for hw in [(8, 10), (7, 9)]:
+        x = jnp.asarray(rng.uniform(0, 255, (1,) + hw + (3,)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(m._forward_impl(m.params, x)),
+            np.asarray(m2._forward_impl(m2.params, x)), atol=1e-3, rtol=1e-5)
+    xt = jnp.asarray(rng.uniform(0, 255, (2, 8, 8, 3)).astype(np.float32))
+    tt = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
+    assert abs(float(m._compute_loss(m.params, xt, tt))
+               - float(m2._compute_loss(m2.params, xt, tt))) < 1e-3
