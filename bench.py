@@ -52,6 +52,9 @@ def main():
                         help="Use the exact collapsed linear tail for EDSR-style models (ops/collapsed_tail.py).")
     parser.add_argument("--packed_trunk", type=int, default=1,
                         help="Width-packed trunk (3x2/128ch convs, ops/packed_trunk.py); exact, ~2x per trunk conv on v5e.")
+    parser.add_argument("--int8_trunk", type=int, default=0,
+                        help="Opt-in W8A8 quantized trunk for EDSR (316 TOPS on v5e; "
+                             "statically calibrated, NOT float-exact — see ops/packed_trunk.py).")
     args, model_flags = parser.parse_known_args()
 
     import jax
@@ -74,7 +77,14 @@ def main():
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), model.params)
 
     forward = lambda p, x: model.module.apply({"params": p}, x)
-    if args.packed_trunk and args.model.startswith(("LarvaNet", "LarvaLeg")):
+    if args.int8_trunk and args.model in ("edsr", "edsr_loss"):
+        from larvanet_tpu.ops.packed_trunk import make_int8_edsr_forward
+
+        calib = np.random.default_rng(1).uniform(
+            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
+        forward = make_int8_edsr_forward(model, calib, dtype=dtype)
+        log("using int8 (W8A8) packed trunk + collapsed tail")
+    elif args.packed_trunk and args.model.startswith(("LarvaNet", "LarvaLeg")):
         from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
 
         forward = make_packed_larvanet_forward(model, dtype=dtype)

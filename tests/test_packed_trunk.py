@@ -228,3 +228,27 @@ def test_packed_treenet_hrsr_matches_plain(name, flags):
     tt = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
     assert abs(float(m._compute_loss(m.params, xt, tt))
                - float(m2._compute_loss(m2.params, xt, tt))) < 1e-3
+
+
+def test_int8_edsr_forward_close_to_float():
+    """Opt-in W8A8 trunk: quantization noise must be far below visual
+    thresholds (the path is documented as not-float-exact)."""
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import (
+        make_int8_edsr_forward, make_packed_edsr_forward)
+
+    m = get_model("edsr")
+    m.parse_args(["--edsr_res_blocks", "4", "--edsr_conv_features", "16"])
+    m.prepare(is_training=False, scales=[4])
+    rng = np.random.default_rng(0)
+    calib = rng.uniform(0, 255, (2, 24, 24, 3)).astype(np.float32)
+    f_q = make_int8_edsr_forward(m, calib, dtype=jnp.float32)
+    f_ref = make_packed_edsr_forward(m, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 24, 24, 3)).astype(np.float32))
+    a = np.asarray(f_q(m.params, x)).astype(np.float64)
+    b = np.asarray(f_ref(m.params, x)).astype(np.float64)
+    psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
+    assert psnr > 55.0, psnr
+
+    with pytest.raises(ValueError):
+        f_q(m.params, jnp.zeros((1, 24, 23, 3), jnp.float32))
