@@ -734,6 +734,152 @@ def make_int8_edsr_forward(model, calib_batch, dtype=jnp.bfloat16):
     return forward
 
 
+def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized LarvaNet inference (same scheme as
+    make_int8_edsr_forward: per-output-channel weight scales, static
+    per-site activation scales from one bf16 pass over `calib_batch`,
+    quant/dequant fused into conv epilogues; the residual stream, head,
+    pixel shuffle, and bicubic base stay bf16). At the packed 96-channel
+    shape int8 sustains 220 TOPS vs 116 TF/s bf16 on v5e (1.9x,
+    BASELINE.md). Supports plain-body configs without tail; raises
+    ValueError otherwise (callers fall back).
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.larvanet import FEATURES, SCALE
+    from larvanet_tpu.models.layers import interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    if mod.body_style != "plain" or mod.use_tail:
+        raise ValueError("int8 path supports plain-body no-tail configs")
+    exits = None
+    if getattr(model, "has_early_exit", False):
+        exits = int(getattr(model.args, "leg", len(mod.num_blocks)))
+        if exits == 0:
+            # pure base: nothing to quantize
+            return lambda params, x: interpolated_base(
+                x.astype(dtype), SCALE, mod.interpolate)
+    n_run = exits if exits is not None else len(mod.num_blocks)
+    num_blocks = mod.num_blocks
+
+    sp0 = serialization.to_state_dict(model.params)
+
+    def _conv_pairs():
+        """(site_name, conv1_subtree, conv2_subtree, has_skip) in forward order."""
+        pairs = []
+        for i in range(n_run):
+            body = sp0["body_%d" % i]
+            for bidx in range(num_blocks[i]):
+                pairs.append(("b%d_%d" % (i, bidx),
+                              body["block_%d" % bidx]["conv1"],
+                              body["block_%d" % bidx]["conv2"], "res"))
+        if mod.leg_style in ("2conv", "skip"):
+            leg = sp0["leg_%d" % (n_run - 1)]
+            pairs.append(("leg", leg["recon1"], leg["recon2"],
+                          "skip" if mod.leg_style == "skip" else "none"))
+        elif mod.leg_style == "resblock":
+            leg = sp0["leg_%d" % (n_run - 1)]
+            pairs.append(("leg", leg["recon"]["conv1"], leg["recon"]["conv2"], "res"))
+        return pairs
+
+    pairs = _conv_pairs()
+
+    def _structure(params, x, record=None, quant=None):
+        """Shared trunk walker: bf16 (record maxima) or int8 (quant)."""
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        h = conv(x, sp["head"])
+        h0 = pack_w(h)
+        mask1 = grid1_mask(h0.shape[2] + 1, FEATURES, dtype)
+
+        def pair_bf16(idx, hin, p1, p2, kind):
+            ka = pack_kernel_a(jnp.asarray(p1["kernel"], dtype))
+            ba = pack_bias(jnp.asarray(p1["bias"], dtype))
+            kb = pack_kernel_b(jnp.asarray(p2["kernel"], dtype))
+            bb = pack_bias(jnp.asarray(p2["bias"], dtype))
+            record.append(jnp.max(jnp.abs(hin)).astype(jnp.float32))
+            t = jax.nn.relu(conv_a(hin, ka, ba)) * mask1
+            record.append(jnp.max(jnp.abs(t)).astype(jnp.float32))
+            t = conv_b(t, kb, bb)
+            if kind == "res" or kind == "skip":
+                t = t + hin
+            return t
+
+        def pair_int8(idx, hin, p1, p2, kind):
+            q = quant[idx]
+            s_in, s_mid = q["s_in"], q["s_mid"]
+            xq = jnp.clip(jnp.round(hin.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)
+            t = jax.lax.conv_general_dilated(
+                xq, q["ka"], (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            t = jax.nn.relu((t.astype(jnp.float32) * (s_in * q["sa"])).astype(dtype)
+                            + q["ba"]) * mask1
+            tq = jnp.clip(jnp.round(t.astype(jnp.float32) / s_mid), -127, 127).astype(jnp.int8)
+            t = jax.lax.conv_general_dilated(
+                tq, q["kb"], (1, 1), ((1, 1), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            t = (t.astype(jnp.float32) * (s_mid * q["sb"])).astype(dtype) + q["bb"]
+            if kind == "res" or kind == "skip":
+                t = t + hin
+            return t
+
+        pair = pair_bf16 if record is not None else pair_int8
+        fea = h0
+        idx = 0
+        for i in range(n_run):
+            hcur = fea
+            for bidx in range(num_blocks[i]):
+                hcur = pair(idx, hcur, *[p for p in pairs[idx][1:3]], pairs[idx][3])
+                idx += 1
+            fea = fea + hcur
+        if mod.leg_style == "none":
+            out = fea
+        else:
+            out = pair(idx, fea, pairs[idx][1], pairs[idx][2], pairs[idx][3])
+        base = interpolated_base(x, SCALE, mod.interpolate)
+        return pixel_shuffle(unpack_w(out), SCALE) + base
+
+    # calibration pass — eager (jit would turn the recorded maxima into
+    # tracers); runs once on a small batch
+    record = []
+    _ = _structure(model.params, jnp.asarray(calib_batch, jnp.float32),
+                   record=record)
+    maxima = [float(v) for v in record]
+    quant = []
+    for i, (name, p1, p2, kind) in enumerate(pairs):
+        ka = np.asarray(pack_kernel_a(jnp.asarray(p1["kernel"], jnp.float32)))
+        kb = np.asarray(pack_kernel_b(jnp.asarray(p2["kernel"], jnp.float32)))
+        sa = np.abs(ka).max(axis=(0, 1, 2)) / 127.0 + 1e-12
+        sb = np.abs(kb).max(axis=(0, 1, 2)) / 127.0 + 1e-12
+        quant.append(dict(
+            ka=jnp.asarray(np.rint(ka / sa).astype(np.int8)),
+            sa=jnp.asarray(sa, jnp.float32),
+            ba=pack_bias(jnp.asarray(p1["bias"], dtype)),
+            kb=jnp.asarray(np.rint(kb / sb).astype(np.int8)),
+            sb=jnp.asarray(sb, jnp.float32),
+            bb=pack_bias(jnp.asarray(p2["bias"], dtype)),
+            s_in=maxima[2 * i] * 1.05 / 127.0,
+            s_mid=maxima[2 * i + 1] * 1.05 / 127.0,
+        ))
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("int8 trunk requires even width")
+        return _structure(params, x, quant=quant)
+
+    return forward
+
+
 def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
     """Inference-optimized LarvaNet forward with a width-packed trunk.
 

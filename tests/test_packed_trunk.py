@@ -252,3 +252,39 @@ def test_int8_edsr_forward_close_to_float():
 
     with pytest.raises(ValueError):
         f_q(m.params, jnp.zeros((1, 24, 23, 3), jnp.float32))
+
+
+@pytest.mark.parametrize("name,flags", [
+    ("LarvaNet", ["--num_modules", "2", "--num_blocks", "2,3"]),
+    ("LarvaNet_skip", ["--num_modules", "2", "--num_blocks", "1,2"]),
+    ("LarvaNet_1c", ["--num_modules", "2", "--num_blocks", "1,2"]),
+    ("LarvaNet_0c", ["--num_modules", "2", "--num_blocks", "1,2"]),
+])
+def test_int8_larvanet_forward_close_to_float(name, flags):
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import (
+        make_int8_larvanet_forward, make_packed_larvanet_forward)
+
+    rng = np.random.default_rng(0)
+    m = get_model(name)
+    m.parse_args(flags)
+    m.prepare(is_training=False, scales=[4])
+    calib = rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32)
+    fq = make_int8_larvanet_forward(m, calib, dtype=jnp.float32)
+    fr = make_packed_larvanet_forward(m, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 3)).astype(np.float32))
+    a = np.asarray(fq(m.params, x)).astype(np.float64)
+    b = np.asarray(fr(m.params, x)).astype(np.float64)
+    psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
+    assert psnr > 55.0, psnr
+
+
+def test_int8_larvanet_rejects_tail_configs():
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import make_int8_larvanet_forward
+
+    m = get_model("LarvaNetV2")
+    m.parse_args(["--num_modules", "2", "--num_blocks", "1,1"])
+    m.prepare(is_training=False, scales=[4])
+    with pytest.raises(ValueError):
+        make_int8_larvanet_forward(m, np.zeros((1, 8, 8, 3), np.float32))
