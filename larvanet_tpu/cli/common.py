@@ -11,6 +11,8 @@ from __future__ import annotations
 import argparse
 from typing import List, Optional, Sequence
 
+import numpy as np
+
 from larvanet_tpu.core.config import parse_scale_list
 from larvanet_tpu.core import registry
 
@@ -61,6 +63,7 @@ def maybe_collapse_tail(model, args) -> None:
         model.args.packed_trunk = int(args.packed_trunk)
         model._packed_infer = None
         model._packed_all = None
+        model._packed_cache = None
     if getattr(args, "packed_trunk", 1) and model_name.startswith(("LarvaNet", "LarvaLeg")):
         from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
 
@@ -81,6 +84,53 @@ def maybe_collapse_tail(model, args) -> None:
 
         model._fwd_jit = jax.jit(make_collapsed_edsr_forward(model))
         print("inference: collapsed linear tail enabled")
+
+
+def maybe_int8_trunk(model, args, get_calib) -> None:
+    """Route inference through the opt-in W8A8 quantized trunk when
+    --int8_trunk is set (ops/packed_trunk.py; EDSR + plain LarvaNet
+    families). `get_calib` lazily returns an NHWC float32 batch (e.g.
+    the first input image) used to calibrate activation scales.
+    Odd-width inputs fall back to the exact bf16 packed forward.
+    NOT float-exact — measured -0.056 dB on a trained model
+    (BASELINE.md); the default path stays exact."""
+    import jax
+
+    if not getattr(args, "int8_trunk", 0):
+        return
+    model_name = getattr(args, "model", None) or ""
+    calib = np.asarray(get_calib(), np.float32)
+    if calib.shape[2] % 2:
+        calib = calib[:, :, : calib.shape[2] // 2 * 2]
+    try:
+        if model_name in ("edsr", "edsr_loss"):
+            from larvanet_tpu.ops.packed_trunk import (
+                make_int8_edsr_forward, make_packed_edsr_forward)
+
+            int8_fwd = make_int8_edsr_forward(model, calib)
+            exact_fwd = make_packed_edsr_forward(model)
+        elif model_name.startswith(("LarvaNet", "LarvaLeg")):
+            from larvanet_tpu.ops.packed_trunk import (
+                make_int8_larvanet_forward, make_packed_larvanet_forward)
+
+            int8_fwd = make_int8_larvanet_forward(model, calib)
+            exact_fwd = make_packed_larvanet_forward(model)
+        else:
+            print("--int8_trunk: no int8 path for model %r; ignoring" % (model_name,))
+            return
+    except ValueError as e:
+        print("--int8_trunk: %s; ignoring" % (e,))
+        return
+
+    int8_jit, exact_jit = jax.jit(int8_fwd), jax.jit(exact_fwd)
+
+    def fwd(params, x):
+        if x.shape[2] % 2:
+            return exact_jit(params, x)  # odd width: exact fallback
+        return int8_jit(params, x)
+
+    model._fwd_jit = fwd
+    print("inference: int8 (W8A8) packed trunk enabled (NOT float-exact)")
 
 
 def maybe_spatial_shard(model, args, scale: int) -> None:

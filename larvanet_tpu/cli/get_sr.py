@@ -49,6 +49,9 @@ def main(argv=None):
                         help="Exact collapsed linear tail for EDSR-family inference (1.6x on TPU; ops/collapsed_tail.py).")
     parser.add_argument("--packed_trunk", type=int, default=1,
                         help="Width-packed trunk for EDSR-family inference (exact; ~1.45x on TPU; ops/packed_trunk.py).")
+    parser.add_argument("--int8_trunk", type=int, default=0,
+                        help="Opt-in W8A8 quantized trunk (EDSR/LarvaNet families; calibrated "
+                             "on the first input; NOT float-exact, ~-0.06 dB measured).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -61,9 +64,12 @@ def main(argv=None):
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
-    common.maybe_spatial_shard(model, args, scale_list[0])
 
     image_names = io.list_pngs(args.input_path)
+    common.maybe_int8_trunk(model, args, lambda: io.load_image_chw(
+        os.path.join(args.input_path, image_names[0] + ".png")).transpose(1, 2, 0)[None])
+    common.maybe_spatial_shard(model, args, scale_list[0])
+
     print("%d images are prepared" % (len(image_names),))
     os.makedirs(args.output_path, exist_ok=True)
 

@@ -35,6 +35,9 @@ def main(argv=None):
                         help="Exact collapsed linear tail for EDSR-family inference (1.6x on TPU; ops/collapsed_tail.py).")
     parser.add_argument("--packed_trunk", type=int, default=1,
                         help="Width-packed trunk for EDSR-family inference (exact; ~1.45x on TPU; ops/packed_trunk.py).")
+    parser.add_argument("--int8_trunk", type=int, default=0,
+                        help="Opt-in W8A8 quantized trunk (EDSR/LarvaNet families; calibrated "
+                             "on the first input; NOT float-exact, ~-0.06 dB measured).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -52,6 +55,14 @@ def main(argv=None):
         model.restore(ckpt_path=args.restore_path, target=args.restore_target)
         print("restored the model")
     common.maybe_collapse_tail(model, args)
+    if args.int8_trunk:
+        if dataloader is not None:
+            common.maybe_int8_trunk(model, args, lambda: dataloader.get_image_pair(
+                image_index=0, scale=scale_list[0])[0].transpose(1, 2, 0)[None])
+        else:
+            import numpy as _np
+            common.maybe_int8_trunk(model, args, lambda: _np.random.default_rng(0).uniform(
+                0, 255, (1, args.input_height, args.input_width, 3)).astype(_np.float32))
 
     scale = scale_list[0]
     durations = []
