@@ -498,6 +498,93 @@ def make_packed_hrsr_forward(model, dtype=jnp.float32):
     return forward
 
 
+def make_int8_msrr_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized MSRR-family inference (same scheme and
+    caveats as make_int8_edsr_forward). Non-depthwise configs only."""
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    kind = type(mod).__name__
+    if kind == "MSRRReducedModule" and mod.depthwise:
+        raise ValueError("depthwise blocks do not pack")
+    scale = mod.scale
+    res_weight = float(mod.res_weight)
+    lrelu = get_activation("leaky_relu", 0.1)
+    if kind == "MSRRReducedModule":
+        block_act = get_activation(mod.block_activation, mod.slope)
+    else:
+        block_act = jax.nn.relu
+
+    sp0 = serialization.to_state_dict(model.params)
+    n_blocks = len([k for k in sp0 if k.startswith("res_block_")])
+    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
+
+    def walk(params, x, pair):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, name, p=None):
+            p = sp[name] if p is None else p
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        if kind == "MSRRReducedModule":
+            x_in = x + jnp.asarray(DIV2K_RGB_MEAN, dtype) if mod.base == "meanshift" else x
+            h = conv(x_in, "first_conv")
+            if mod.first_activation:
+                h = get_activation(mod.first_activation, mod.slope)(h)
+        else:
+            h = lrelu(conv(x, "first_conv" if kind == "MSRRModule" else "conv_first"))
+        h0 = pack_w(h)
+        mask1 = grid1_mask(h0.shape[2] + 1, h.shape[-1], dtype)
+        for i in range(n_blocks):
+            blk = sp["res_block_%d" % i]
+            h0 = pair(i, h0, blk["conv1"], blk["conv2"], mask1,
+                      act=block_act, res_weight=res_weight)
+        out = unpack_w(h0)
+
+        if kind == "MSRRReducedModule":
+            out = pixel_shuffle(out, scale)
+            if mod.base == "meanshift":
+                return out - jnp.asarray(DIV2K_RGB_MEAN, dtype)
+            if mod.base is not None:
+                return out + interpolated_base(x, scale, mod.base)
+            return out
+        if kind == "MSRRModule":
+            up, j, stages = sp["upsample"], 0, []
+            while ("conv%d" % j) in up:
+                stages.append(up["conv%d" % j]); j += 1
+            for j, stage in enumerate(stages):
+                out = pixel_shuffle(conv(out, None, stage), 2 if scale != 3 else 3)
+                if j < len(stages) - 1:
+                    out = lrelu(out)
+            if scale != 3:
+                out = lrelu(out)
+            out = lrelu(conv(out, "HR_conv"))
+            out = conv(out, "final_conv")
+            return out + interpolated_base(x, scale, "bilinear")
+        out = lrelu(pixel_shuffle(conv(out, "upconv1"), 2))
+        out = lrelu(pixel_shuffle(conv(out, "upconv2"), 2))
+        out = conv(lrelu(conv(out, "HRconv")), "conv_last")
+        return out + interpolated_base(x, 4, "bilinear")
+
+    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    finish([(sp0["res_block_%d" % i]["conv1"], sp0["res_block_%d" % i]["conv2"])
+            for i in range(n_blocks)])
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("int8 trunk requires even width")
+        return walk(params, x, pair_int8)
+
+    return forward
+
+
 def make_packed_msrr_forward(model, dtype=jnp.float32):
     """Width-packed forward for the MSRR family (differentiable; used for
     both inference and training). Covers MSRRModule (64ch trunk,
@@ -606,6 +693,83 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
     return forward
 
 
+def _quantize_pair_weights(p1, p2, dtype):
+    """Pack + int8-quantize one conv pair (per-output-channel scales)."""
+    ka = np.asarray(pack_kernel_a(jnp.asarray(p1["kernel"], jnp.float32)))
+    kb = np.asarray(pack_kernel_b(jnp.asarray(p2["kernel"], jnp.float32)))
+    sa = np.abs(ka).max(axis=(0, 1, 2)) / 127.0 + 1e-12
+    sb = np.abs(kb).max(axis=(0, 1, 2)) / 127.0 + 1e-12
+    return dict(
+        ka=jnp.asarray(np.rint(ka / sa).astype(np.int8)),
+        sa=jnp.asarray(sa, jnp.float32),
+        ba=pack_bias(jnp.asarray(p1["bias"], dtype)),
+        kb=jnp.asarray(np.rint(kb / sb).astype(np.int8)),
+        sb=jnp.asarray(sb, jnp.float32),
+        bb=pack_bias(jnp.asarray(p2["bias"], dtype)),
+    )
+
+
+def make_pair_runner(dtype):
+    """Returns (pair_bf16, pair_int8, finish_calibration).
+
+    The family walkers (EDSR / LarvaNet / MSRR / ...) call
+    `pair(idx, h, p1, p2, mask1, kind, act)` for each conv pair; during
+    calibration pair_bf16 records per-site maxima, afterwards
+    finish_calibration(pairs) quantizes the weights and pair_int8
+    replays the walk W8A8 (quant/dequant fused into conv epilogues).
+    kind: 'res' (skip add) | 'none'; act applied between the convs.
+    """
+    record = []
+    quant = []
+
+    def pair_bf16(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
+                  res_weight=1.0):
+        ka = pack_kernel_a(jnp.asarray(p1["kernel"], dtype))
+        ba = pack_bias(jnp.asarray(p1["bias"], dtype))
+        kb = pack_kernel_b(jnp.asarray(p2["kernel"], dtype))
+        bb = pack_bias(jnp.asarray(p2["bias"], dtype))
+        record.append(jnp.max(jnp.abs(hin)).astype(jnp.float32))
+        t = act(conv_a(hin, ka, ba)) * mask1
+        record.append(jnp.max(jnp.abs(t)).astype(jnp.float32))
+        t = conv_b(t, kb, bb)
+        if res_weight != 1.0:
+            t = t * jnp.asarray(res_weight, dtype)
+        return hin + t if kind == "res" else t
+
+    def finish_calibration(pairs):
+        maxima = [float(v) for v in record]
+        for i, (p1, p2) in enumerate(pairs):
+            q = _quantize_pair_weights(p1, p2, dtype)
+            q["s_in"] = maxima[2 * i] * 1.05 / 127.0
+            q["s_mid"] = maxima[2 * i + 1] * 1.05 / 127.0
+            quant.append(q)
+
+    def pair_int8(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
+                  res_weight=1.0):
+        q = quant[idx]
+        s_in, s_mid = q["s_in"], q["s_mid"]
+        xq = jnp.clip(jnp.round(hin.astype(jnp.float32) / s_in),
+                      -127, 127).astype(jnp.int8)
+        t = jax.lax.conv_general_dilated(
+            xq, q["ka"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        t = act((t.astype(jnp.float32) * (s_in * q["sa"])).astype(dtype)
+                + q["ba"]) * mask1
+        tq = jnp.clip(jnp.round(t.astype(jnp.float32) / s_mid),
+                      -127, 127).astype(jnp.int8)
+        t = jax.lax.conv_general_dilated(
+            tq, q["kb"], (1, 1), ((1, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        t = (t.astype(jnp.float32) * (s_mid * q["sb"])).astype(dtype) + q["bb"]
+        if res_weight != 1.0:
+            t = t * jnp.asarray(res_weight, dtype)
+        return hin + t if kind == "res" else t
+
+    return pair_bf16, pair_int8, finish_calibration
+
+
 def make_int8_edsr_forward(model, calib_batch, dtype=jnp.bfloat16):
     """Opt-in W8A8 quantized EDSR inference (serving path, NOT default).
 
@@ -633,9 +797,9 @@ def make_int8_edsr_forward(model, calib_batch, dtype=jnp.bfloat16):
     res_weight = float(getattr(model.args, "edsr_res_weight", 1.0))
     sp0 = serialization.to_state_dict(model.params)
     n_blocks = len([k for k in sp0 if k.startswith("res_block_")])
+    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
 
-    # ---- calibration: per-site maxima from one bf16 packed pass --------
-    def _trunk_sites(params, x):
+    def walk(params, x, pair):
         sp = serialization.to_state_dict(params)
 
         def conv(h, w, b):
@@ -648,88 +812,25 @@ def make_int8_edsr_forward(model, calib_batch, dtype=jnp.bfloat16):
         h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
         h0 = pack_w(h)
         mask1 = grid1_mask(h0.shape[2] + 1, h.shape[-1], dtype)
-        maxima = []
         res = h0
         for i in range(n_blocks):
             blk = sp["res_block_%d" % i]
-            ka = pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype))
-            ba = pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype))
-            kb = pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype))
-            bb = pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype))
-            m_in = jnp.max(jnp.abs(res)).astype(jnp.float32)
-            t = jax.nn.relu(conv_a(res, ka, ba)) * mask1
-            m_mid = jnp.max(jnp.abs(t)).astype(jnp.float32)
-            maxima.append((m_in, m_mid))
-            t = conv_b(t, kb, bb)
-            if res_weight != 1.0:
-                t = t * jnp.asarray(res_weight, dtype)
-            res = res + t
-        return maxima
-
-    calib = jax.jit(_trunk_sites)(model.params,
-                                  jnp.asarray(calib_batch, jnp.float32))
-    # 1.05 headroom: calibration batch may not contain the true maxima
-    scales = [(float(a) * 1.05 / 127.0, float(b) * 1.05 / 127.0)
-              for a, b in calib]
-
-    # ---- quantized weights (per output channel), baked ------------------
-    wq = []
-    for i in range(n_blocks):
-        blk = sp0["res_block_%d" % i]
-        ka = np.asarray(pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], jnp.float32)))
-        kb = np.asarray(pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], jnp.float32)))
-        sa = np.abs(ka).max(axis=(0, 1, 2)) / 127.0 + 1e-12
-        sb = np.abs(kb).max(axis=(0, 1, 2)) / 127.0 + 1e-12
-        wq.append(dict(
-            ka=jnp.asarray(np.rint(ka / sa).astype(np.int8)),
-            sa=jnp.asarray(sa, jnp.float32),
-            ba=pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
-            kb=jnp.asarray(np.rint(kb / sb).astype(np.int8)),
-            sb=jnp.asarray(sb, jnp.float32),
-            bb=pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
-        ))
-
-    def _q(x, s):
-        return jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
-
-    def _conv_q(xq, kq, padding):
-        return jax.lax.conv_general_dilated(
-            xq, kq, (1, 1), padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32)
-
-    def forward(params, x):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, w, b):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(w, dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(b, dtype)
-
-        if x.shape[2] % 2:
-            raise ValueError("int8 trunk requires even width")
-        h = x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
-        h0 = pack_w(h)
-        mask1 = grid1_mask(h0.shape[2] + 1, h.shape[-1], dtype)
-
-        res = h0
-        for i, q in enumerate(wq):
-            s_in, s_mid = scales[i]
-            t = _conv_q(_q(res, s_in), q["ka"], ((1, 1), (1, 1)))
-            t = t.astype(jnp.float32) * (s_in * q["sa"])
-            t = jax.nn.relu(t.astype(dtype) + q["ba"]) * mask1
-            t = _conv_q(_q(t, s_mid), q["kb"], ((1, 1), (0, 0)))
-            t = (t.astype(jnp.float32) * (s_mid * q["sb"])).astype(dtype) + q["bb"]
-            if res_weight != 1.0:
-                t = t * jnp.asarray(res_weight, dtype)
-            res = res + t
-
+            res = pair(i, res, blk["conv1"], blk["conv2"], mask1,
+                       res_weight=res_weight)
         arc = sp["after_res_conv"]
         kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
         res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
         return fast_tail(h0 + res, packed=True)
+
+    # eager calibration pass records per-site maxima
+    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    finish([(sp0["res_block_%d" % i]["conv1"], sp0["res_block_%d" % i]["conv2"])
+            for i in range(n_blocks)])
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("int8 trunk requires even width")
+        return walk(params, x, pair_int8)
 
     return forward
 
@@ -764,29 +865,23 @@ def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
     num_blocks = mod.num_blocks
 
     sp0 = serialization.to_state_dict(model.params)
+    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
 
-    def _conv_pairs():
-        """(site_name, conv1_subtree, conv2_subtree, has_skip) in forward order."""
-        pairs = []
-        for i in range(n_run):
-            body = sp0["body_%d" % i]
-            for bidx in range(num_blocks[i]):
-                pairs.append(("b%d_%d" % (i, bidx),
-                              body["block_%d" % bidx]["conv1"],
-                              body["block_%d" % bidx]["conv2"], "res"))
-        if mod.leg_style in ("2conv", "skip"):
-            leg = sp0["leg_%d" % (n_run - 1)]
-            pairs.append(("leg", leg["recon1"], leg["recon2"],
-                          "skip" if mod.leg_style == "skip" else "none"))
-        elif mod.leg_style == "resblock":
-            leg = sp0["leg_%d" % (n_run - 1)]
-            pairs.append(("leg", leg["recon"]["conv1"], leg["recon"]["conv2"], "res"))
-        return pairs
+    pairs = []  # (conv1_subtree, conv2_subtree, kind) in forward order
+    for i in range(n_run):
+        body = sp0["body_%d" % i]
+        for bidx in range(num_blocks[i]):
+            pairs.append((body["block_%d" % bidx]["conv1"],
+                          body["block_%d" % bidx]["conv2"], "res"))
+    if mod.leg_style in ("2conv", "skip"):
+        leg = sp0["leg_%d" % (n_run - 1)]
+        pairs.append((leg["recon1"], leg["recon2"],
+                      "res" if mod.leg_style == "skip" else "none"))
+    elif mod.leg_style == "resblock":
+        leg = sp0["leg_%d" % (n_run - 1)]
+        pairs.append((leg["recon"]["conv1"], leg["recon"]["conv2"], "res"))
 
-    pairs = _conv_pairs()
-
-    def _structure(params, x, record=None, quant=None):
-        """Shared trunk walker: bf16 (record maxima) or int8 (quant)."""
+    def walk(params, x, pair):
         sp = serialization.to_state_dict(params)
 
         def conv(h, p):
@@ -796,86 +891,33 @@ def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
             ) + jnp.asarray(p["bias"], dtype)
 
         x = x.astype(dtype)
-        h = conv(x, sp["head"])
-        h0 = pack_w(h)
+        h0 = pack_w(conv(x, sp["head"]))
         mask1 = grid1_mask(h0.shape[2] + 1, FEATURES, dtype)
-
-        def pair_bf16(idx, hin, p1, p2, kind):
-            ka = pack_kernel_a(jnp.asarray(p1["kernel"], dtype))
-            ba = pack_bias(jnp.asarray(p1["bias"], dtype))
-            kb = pack_kernel_b(jnp.asarray(p2["kernel"], dtype))
-            bb = pack_bias(jnp.asarray(p2["bias"], dtype))
-            record.append(jnp.max(jnp.abs(hin)).astype(jnp.float32))
-            t = jax.nn.relu(conv_a(hin, ka, ba)) * mask1
-            record.append(jnp.max(jnp.abs(t)).astype(jnp.float32))
-            t = conv_b(t, kb, bb)
-            if kind == "res" or kind == "skip":
-                t = t + hin
-            return t
-
-        def pair_int8(idx, hin, p1, p2, kind):
-            q = quant[idx]
-            s_in, s_mid = q["s_in"], q["s_mid"]
-            xq = jnp.clip(jnp.round(hin.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)
-            t = jax.lax.conv_general_dilated(
-                xq, q["ka"], (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
-            t = jax.nn.relu((t.astype(jnp.float32) * (s_in * q["sa"])).astype(dtype)
-                            + q["ba"]) * mask1
-            tq = jnp.clip(jnp.round(t.astype(jnp.float32) / s_mid), -127, 127).astype(jnp.int8)
-            t = jax.lax.conv_general_dilated(
-                tq, q["kb"], (1, 1), ((1, 1), (0, 0)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
-            t = (t.astype(jnp.float32) * (s_mid * q["sb"])).astype(dtype) + q["bb"]
-            if kind == "res" or kind == "skip":
-                t = t + hin
-            return t
-
-        pair = pair_bf16 if record is not None else pair_int8
         fea = h0
         idx = 0
         for i in range(n_run):
             hcur = fea
             for bidx in range(num_blocks[i]):
-                hcur = pair(idx, hcur, *[p for p in pairs[idx][1:3]], pairs[idx][3])
+                hcur = pair(idx, hcur, pairs[idx][0], pairs[idx][1], mask1,
+                            kind=pairs[idx][2])
                 idx += 1
             fea = fea + hcur
         if mod.leg_style == "none":
             out = fea
         else:
-            out = pair(idx, fea, pairs[idx][1], pairs[idx][2], pairs[idx][3])
+            out = pair(idx, fea, pairs[idx][0], pairs[idx][1], mask1,
+                       kind=pairs[idx][2])
         base = interpolated_base(x, SCALE, mod.interpolate)
         return pixel_shuffle(unpack_w(out), SCALE) + base
 
-    # calibration pass — eager (jit would turn the recorded maxima into
-    # tracers); runs once on a small batch
-    record = []
-    _ = _structure(model.params, jnp.asarray(calib_batch, jnp.float32),
-                   record=record)
-    maxima = [float(v) for v in record]
-    quant = []
-    for i, (name, p1, p2, kind) in enumerate(pairs):
-        ka = np.asarray(pack_kernel_a(jnp.asarray(p1["kernel"], jnp.float32)))
-        kb = np.asarray(pack_kernel_b(jnp.asarray(p2["kernel"], jnp.float32)))
-        sa = np.abs(ka).max(axis=(0, 1, 2)) / 127.0 + 1e-12
-        sb = np.abs(kb).max(axis=(0, 1, 2)) / 127.0 + 1e-12
-        quant.append(dict(
-            ka=jnp.asarray(np.rint(ka / sa).astype(np.int8)),
-            sa=jnp.asarray(sa, jnp.float32),
-            ba=pack_bias(jnp.asarray(p1["bias"], dtype)),
-            kb=jnp.asarray(np.rint(kb / sb).astype(np.int8)),
-            sb=jnp.asarray(sb, jnp.float32),
-            bb=pack_bias(jnp.asarray(p2["bias"], dtype)),
-            s_in=maxima[2 * i] * 1.05 / 127.0,
-            s_mid=maxima[2 * i + 1] * 1.05 / 127.0,
-        ))
+    # eager calibration pass (jit would turn recorded maxima into tracers)
+    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    finish([(p1, p2) for p1, p2, _k in pairs])
 
     def forward(params, x):
         if x.shape[2] % 2:
             raise ValueError("int8 trunk requires even width")
-        return _structure(params, x, quant=quant)
+        return walk(params, x, pair_int8)
 
     return forward
 

@@ -288,3 +288,29 @@ def test_int8_larvanet_rejects_tail_configs():
     m.prepare(is_training=False, scales=[4])
     with pytest.raises(ValueError):
         make_int8_larvanet_forward(m, np.zeros((1, 8, 8, 3), np.float32))
+
+
+@pytest.mark.parametrize("name,flags", [
+    ("msrr_reduced", ["--num_blocks", "3"]),
+    ("msrr", ["--num_blocks", "2", "--num_filters", "16"]),
+    ("msrr_test", ["--num_blocks", "2", "--num_filters", "16"]),
+    ("msrr_reduced_leaky", ["--num_blocks", "2", "--slope", "0.3"]),
+    ("msrr_reduced_meanshift", ["--num_blocks", "2"]),
+])
+def test_int8_msrr_forward_close_to_float(name, flags):
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import (
+        make_int8_msrr_forward, make_packed_msrr_forward)
+
+    rng = np.random.default_rng(0)
+    m = get_model(name)
+    m.parse_args(flags)
+    m.prepare(is_training=False, scales=[4])
+    calib = rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32)
+    fq = make_int8_msrr_forward(m, calib, dtype=jnp.float32)
+    fr = make_packed_msrr_forward(m, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 3)).astype(np.float32))
+    a = np.asarray(fq(m.params, x)).astype(np.float64)
+    b = np.asarray(fr(m.params, x)).astype(np.float64)
+    psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
+    assert psnr > 55.0, psnr
