@@ -430,6 +430,51 @@ def make_packed_treenet_forward(model, dtype=jnp.float32):
     return forward
 
 
+def make_int8_treenet_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized TreeNet inference (branch 0, the reference's
+    inference path); same scheme and caveats as make_int8_edsr_forward."""
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import get_activation, interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    lrelu = get_activation("leaky_relu", 0.1)
+    sp0 = serialization.to_state_dict(model.params)
+    names = (["common_block_%d" % i for i in range(mod.num_common_blocks)]
+             + ["branch_0_block_%d" % i for i in range(mod.num_branch_blocks)])
+    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
+
+    def walk(params, x, pair):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        h0 = pack_w(lrelu(conv(x, sp["first_conv"])))
+        mask1 = grid1_mask(h0.shape[2] + 1, h0.shape[-1] // 2, dtype)
+        for i, name in enumerate(names):
+            blk = sp[name]
+            h0 = pair(i, h0, blk["conv1"], blk["conv2"], mask1,
+                      res_weight=mod.res_weight)
+        base = interpolated_base(x, mod.scale, mod.interpolate)
+        return pixel_shuffle(unpack_w(h0), mod.scale) + base
+
+    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    finish([(sp0[n]["conv1"], sp0[n]["conv2"]) for n in names])
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("int8 trunk requires even width")
+        return walk(params, x, pair_int8)
+
+    return forward
+
+
 def make_packed_hrsr_forward(model, dtype=jnp.float32):
     """Width-packed HRSR forward (reference models/hrsr*.py): the 48ch LR
     ResBlock trunk packs; the HR-domain part (3-16ch convs at 16x the

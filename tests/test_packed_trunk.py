@@ -314,3 +314,41 @@ def test_int8_msrr_forward_close_to_float(name, flags):
     b = np.asarray(fr(m.params, x)).astype(np.float64)
     psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
     assert psnr > 55.0, psnr
+
+
+@pytest.mark.parametrize("scale", [2, 3])
+def test_packed_edsr_other_scales(scale):
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
+
+    m = get_model("edsr")
+    m.parse_args(["--edsr_res_blocks", "2", "--edsr_conv_features", "8"])
+    m.prepare(is_training=False, scales=[scale])
+    fwd = make_packed_edsr_forward(m, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    for hw in [(8, 10), (7, 9)]:
+        x = jnp.asarray(rng.uniform(0, 255, (1,) + hw + (3,)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(fwd(m.params, x)),
+            np.asarray(m.module.apply({"params": m.params}, x)),
+            atol=0.5, rtol=1e-4)
+
+
+def test_int8_treenet_forward_close_to_float():
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import (
+        make_int8_treenet_forward, make_packed_treenet_forward)
+
+    rng = np.random.default_rng(0)
+    m = get_model("TreeNet")
+    m.parse_args(["--num_common_blocks", "2", "--num_branches", "2",
+                  "--num_branch_blocks", "2"])
+    m.prepare(is_training=False, scales=[4])
+    calib = rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32)
+    fq = make_int8_treenet_forward(m, calib, dtype=jnp.float32)
+    fr = make_packed_treenet_forward(m, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 3)).astype(np.float32))
+    a = np.asarray(fq(m.params, x)).astype(np.float64)
+    b = np.asarray(fr(m.params, x)).astype(np.float64)
+    psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
+    assert psnr > 55.0, psnr
