@@ -43,6 +43,11 @@ def main():
     parser.add_argument("--num_blocks", default="4,4")
     parser.add_argument("--ensemble", type=int, default=1,
                         help="average N differently-seeded checkpoints on device")
+    parser.add_argument("--int8", type=int, default=0,
+                        help="W8A8 quantized trunk (opt-in, NOT float-exact; ops/packed_trunk.py). "
+                             "NOTE: measured SLOWER than bf16 at batch-1 full-frame (0.300 vs "
+                             "0.265 s/frame) — the f32 dequant intermediates dominate without "
+                             "batch amortization; int8 wins at batched-tile inference.")
     args = parser.parse_args()
 
     import jax
@@ -76,6 +81,14 @@ def main():
             return outs.mean(axis=0)
 
         params = stacked
+    elif args.int8 and args.model.startswith("LarvaNet"):
+        from larvanet_tpu.ops.packed_trunk import make_int8_larvanet_forward
+
+        calib = np.random.default_rng(2).uniform(
+            0, 255, (1, 128, 256, 3)).astype(np.float32)
+        apply_fn = make_int8_larvanet_forward(model, calib)
+        params = model.params
+        print("int8 (W8A8) trunk enabled (not float-exact)")
     else:
         apply_fn = model._forward_impl
         params = model.params
