@@ -120,7 +120,34 @@ class REGOModule(nn.Module):
         return sr + interpolated_base(x, self.scale, self.interpolate)
 
 
-class REGONet(SRModel):
+
+class _REGOPackedMixin:
+    """--packed_trunk routing to ops/packed_trunk.make_packed_rego_forward
+    (exact reparametrization of the triangular RESBlock wavefront)."""
+
+    def prepare(self, is_training, scales, global_step=0, seed=0):
+        self._packed_cache = None
+        super().prepare(is_training, scales, global_step=global_step, seed=seed)
+
+    def _packed_fwd(self):
+        if getattr(self, "_packed_cache", None) is None:
+            from larvanet_tpu.ops.packed_trunk import make_packed_rego_forward
+
+            self._packed_cache = make_packed_rego_forward(self)
+        return self._packed_cache
+
+    def _forward_impl(self, params, x):
+        if getattr(self.args, "packed_trunk", 0):
+            return self._packed_fwd()(params, x)
+        return super()._forward_impl(params, x)
+
+    def _compute_loss(self, params, inputs, targets):
+        if getattr(self.args, "packed_trunk", 0):
+            return self.loss(self._packed_fwd()(params, inputs), targets)
+        return super()._compute_loss(params, inputs, targets)
+
+
+class REGONet(_REGOPackedMixin, SRModel):
     optimizer_kind = "adam"
     loss = staticmethod(l1_loss)
 
@@ -140,6 +167,8 @@ class REGONet(SRModel):
                             help="Learning rate decay factor.")
         parser.add_argument("--learning_rate_decay_steps", type=int, default=200000,
                             help="The number of training steps to perform learning rate decay.")
+        parser.add_argument("--packed_trunk", type=int, default=1,
+                            help="Width-packed trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -183,6 +212,8 @@ class REGOSerial(REGONet):
                             help="Learning rate decay factor.")
         parser.add_argument("--learning_rate_decay_steps", type=int, default=200000,
                             help="The number of training steps to perform learning rate decay.")
+        parser.add_argument("--packed_trunk", type=int, default=1,
+                            help="Width-packed trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 

@@ -630,6 +630,120 @@ def make_int8_msrr_forward(model, calib_batch, dtype=jnp.bfloat16):
     return forward
 
 
+def concat_packed_perm(src_channels, kernel_packed):
+    """Fix a packed conv kernel to consume CONCATENATED packed tensors.
+
+    concat([pack_w(a), pack_w(b)], -1) is a channel PERMUTATION of
+    pack_w(concat([a, b], -1)): source s's slot (e, c) sits at
+    s*2*C_s + e*C_s + c instead of e*sum(C) + offset_s + c. A conv
+    absorbs any input permutation in its kernel, so REGO-style fusion
+    convs stay packed with zero layout ops."""
+    total = sum(src_channels)
+    perm = np.empty(2 * total, np.int64)
+    a = 0
+    off = 0
+    for cs in src_channels:
+        for e in (0, 1):
+            for c in range(cs):
+                perm[a] = e * total + off + c
+                a += 1
+        off += cs
+    return kernel_packed[:, :, jnp.asarray(perm), :]
+
+
+def make_packed_rego_forward(model, dtype=jnp.float32):
+    """Width-packed REGO-Net forward (reference models/REGO-Net.py /
+    REGO-serial.py): the triangular RESBlock wavefront runs fully
+    packed — block outputs (res, x+res) stay grid0; the diagonal
+    fusion concat happens on packed tensors, with the fusion convs'
+    kernels input-permuted to match (concat_packed_perm). Only the
+    3-channel head and the final shuffle/base are unpacked.
+    Differentiable (used for training too).
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    F = mod.features
+    lrelu = get_activation("leaky_relu", 0.1)
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        n, hh, ww, _ = x.shape
+        odd = ww % 2 == 1
+        h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["feature_extraction"])
+        if odd:
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        fea = pack_w(h)
+        w2 = fea.shape[2]
+        mask1 = grid1_mask(w2 + 1, F, dtype, odd_src_width=odd)
+        mask0 = grid0_mask(w2, F, dtype) if odd else None
+        if odd:
+            fea = fea * mask0
+
+        def resb(name, hin):
+            blk = sp[name]
+            t = conv_a(hin, pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
+                       pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)))
+            t = lrelu(t) * mask1
+            t = conv_b(t, pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
+                       pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)))
+            if mod.res_weight != 1.0:
+                t = t * jnp.asarray(mod.res_weight, dtype)
+            out = hin + t
+            if mask0 is not None:
+                t, out = t * mask0, out * mask0
+            return t, out
+
+        def fused_conv(p, srcs, out_features):
+            # packed single conv over a concat of packed sources
+            kp, pads = pack_kernel_same(jnp.asarray(p["kernel"], dtype))
+            kp = concat_packed_perm([F] * len(srcs), kp)
+            h = conv_same(jnp.concatenate(srcs, axis=-1), kp, pads,
+                          pack_bias(jnp.asarray(p["bias"], dtype)))
+            return h if mask0 is None else h * grid0_mask(w2, out_features, dtype)
+
+        for k in range(mod.num_regos):
+            # triangular wavefront (reference REGO-Net.py), packed
+            err, f = resb("RESB_%d_0_0" % k, fea)
+            err_in, fea_in = [err], [f]
+            err_out, fea_out = err_in, fea_in
+            for i in range(1, mod.len_side):
+                err_out, fea_out = [], []
+                e0, f0 = resb("RESB_%d_%d_0" % (k, i), err_in[0])
+                err_out.append(e0); fea_out.append(f0)
+                for j in range(1, i):
+                    e1, f1 = resb("RESB_%d_%d_%d" % (k, i - j, j),
+                                  fea_in[j - 1] + err_in[j])
+                    err_out.append(e1); fea_out.append(f1)
+                e2, f2 = resb("RESB_%d_0_%d" % (k, i), fea_in[i - 1])
+                err_out.append(e2); fea_out.append(f2)
+                err_in, fea_in = err_out, fea_out
+            mids = [e + f for e, f in zip(err_out[1:], fea_out[:-1])]
+            srcs = [err_out[0], *mids, fea_out[-1]]
+            if k != mod.num_regos - 1:
+                fea = fused_conv(sp["conv_%d" % k], srcs, F)
+
+        sr = fused_conv(sp["SRrecon"], srcs, 3 * mod.scale ** 2)
+        sr = unpack_w(sr)
+        if odd:
+            sr = sr[:, :, :ww]
+        sr = pixel_shuffle(sr, mod.scale)
+        return sr + interpolated_base(x, mod.scale, mod.interpolate)
+
+    return forward
+
+
 def make_packed_msrr_forward(model, dtype=jnp.float32):
     """Width-packed forward for the MSRR family (differentiable; used for
     both inference and training). Covers MSRRModule (64ch trunk,
