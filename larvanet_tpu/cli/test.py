@@ -33,6 +33,10 @@ def main(argv=None):
                         help="Accepted for reference-CLI parity; ignored.")
     parser.add_argument("--restore_path", type=str, required=True,
                         help="Checkpoint path to be restored.")
+    parser.add_argument("--collapsed_tail", type=int, default=1,
+                        help="Exact collapsed linear tail for EDSR-family inference (ops/collapsed_tail.py).")
+    parser.add_argument("--packed_trunk", type=int, default=1,
+                        help="Width-packed trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
     parser.add_argument("--input_root_path", type=str, default="data/test_LR",
                         help="Root of LR benchmark trees (reference hardcoded C:/aim2020/data/test_LR).")
     parser.add_argument("--truth_root_path", type=str, default="data/test_HR",
@@ -52,6 +56,7 @@ def main(argv=None):
     common.warn_leftovers(remaining)
     model.restore(ckpt_path=args.restore_path)
     print("restored the model")
+    common.maybe_collapse_tail(model, args)
 
     output_root = os.path.join(args.output_root_path, args.model)
     os.makedirs(output_root, exist_ok=True)
