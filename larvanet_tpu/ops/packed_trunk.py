@@ -192,6 +192,33 @@ def grid0_mask(w_packed: int, c: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(m, dtype)
 
 
+def packed_entry(h, dtype):
+    """Shared trunk prologue: zero-pad odd widths, pack, build masks.
+
+    h: the head conv's output (N, H, W, C). Returns
+    (h0, mask1, mask0, odd) with h0 grid0-packed and already masked for
+    the odd-W case; every family forward starts here.
+    """
+    ww = h.shape[2]
+    odd = ww % 2 == 1
+    if odd:
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    c = h.shape[-1]
+    h0 = pack_w(h)
+    w2 = h0.shape[2]
+    mask1 = grid1_mask(w2 + 1, c, dtype, odd_src_width=odd)
+    mask0 = grid0_mask(w2, c, dtype) if odd else None
+    if odd:
+        h0 = h0 * mask0
+    return h0, mask1, mask0, odd
+
+
+def packed_exit(h0, odd, ww):
+    """Inverse of packed_entry's packing: unpack and crop the pad column."""
+    out = unpack_w(h0)
+    return out[:, :, :ww] if odd else out
+
+
 def packed_resblock(h0, ka, ba, kb, bb, mask1, mask0=None, res_weight=1.0,
                     act=jax.nn.relu):
     """One SR ResBlock (conv-act-conv + skip), fully in grid0/grid1.
@@ -243,18 +270,9 @@ def make_packed_edsr_forward(model, dtype=jnp.float32):
             ) + jnp.asarray(b, dtype)
 
         n, hh, ww, _ = x.shape
-        odd = ww % 2 == 1
         h = x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
         h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
-        if odd:
-            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        c = h.shape[-1]
-        h0 = pack_w(h)
-        w2 = h0.shape[2]
-        mask1 = grid1_mask(w2 + 1, c, dtype, odd_src_width=odd)
-        mask0 = grid0_mask(w2, c, dtype) if odd else None
-        if odd:
-            h0 = h0 * mask0
+        h0, mask1, mask0, odd = packed_entry(h, dtype)
 
         res = h0
         i = 0
@@ -315,18 +333,9 @@ def make_packed_edsr_train_forward(model, dtype=jnp.float32):
             ) + jnp.asarray(b, dtype)
 
         n, hh, ww, _ = x.shape
-        odd = ww % 2 == 1
         h = x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype)
         h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
-        if odd:
-            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        c = h.shape[-1]
-        h0 = pack_w(h)
-        w2 = h0.shape[2]
-        mask1 = grid1_mask(w2 + 1, c, dtype, odd_src_width=odd)
-        mask0 = grid0_mask(w2, c, dtype) if odd else None
-        if odd:
-            h0 = h0 * mask0
+        h0, mask1, mask0, odd = packed_entry(h, dtype)
 
         res = h0
         i = 0
@@ -397,16 +406,8 @@ def make_packed_treenet_forward(model, dtype=jnp.float32):
             ) + jnp.asarray(p["bias"], dtype)
 
         n, hh, ww, _ = x.shape
-        odd = ww % 2 == 1
         h = lrelu(conv(x, sp["first_conv"]))
-        if odd:
-            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        c = h.shape[-1]
-        fea = pack_w(h)
-        mask1 = grid1_mask(fea.shape[2] + 1, c, dtype, odd_src_width=odd)
-        mask0 = grid0_mask(fea.shape[2], c, dtype) if odd else None
-        if odd:
-            fea = fea * mask0
+        fea, mask1, mask0, odd = packed_entry(h, dtype)
         for i in range(mod.num_common_blocks):
             fea = packed_block(fea, sp["common_block_%d" % i], mask1, mask0,
                                mod.res_weight, dtype=dtype)
@@ -418,9 +419,7 @@ def make_packed_treenet_forward(model, dtype=jnp.float32):
             for i in range(mod.num_branch_blocks):
                 h = packed_block(h, sp["branch_%d_block_%d" % (b, i)], mask1,
                                  mask0, mod.res_weight, dtype=dtype)
-            h = unpack_w(h)
-            if odd:
-                h = h[:, :, :ww]
+            h = packed_exit(h, odd, ww)
             return pixel_shuffle(h, mod.scale) + base
 
         if branches == "all":
@@ -500,22 +499,12 @@ def make_packed_hrsr_forward(model, dtype=jnp.float32):
             ) + jnp.asarray(p["bias"], dtype)
 
         n, hh, ww, _ = x.shape
-        odd = ww % 2 == 1
         out = lrelu(conv(x, sp["first_conv"]))
-        if odd:
-            out = jnp.pad(out, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        c = out.shape[-1]
-        h0 = pack_w(out)
-        mask1 = grid1_mask(h0.shape[2] + 1, c, dtype, odd_src_width=odd)
-        mask0 = grid0_mask(h0.shape[2], c, dtype) if odd else None
-        if odd:
-            h0 = h0 * mask0
+        h0, mask1, mask0, odd = packed_entry(out, dtype)
         for i in range(mod.num_lr_blocks):
             h0 = packed_block(h0, sp["lr_block_%d" % i], mask1, mask0,
                               mod.res_weight, dtype=dtype)
-        out = unpack_w(h0)
-        if odd:
-            out = out[:, :, :ww]
+        out = packed_exit(h0, odd, ww)
         out = pixel_shuffle(out, mod.scale)
 
         def resblock_plain(h, blk, kernel_size=3):
@@ -680,16 +669,9 @@ def make_packed_rego_forward(model, dtype=jnp.float32):
 
         x = x.astype(dtype)
         n, hh, ww, _ = x.shape
-        odd = ww % 2 == 1
         h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["feature_extraction"])
-        if odd:
-            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        fea = pack_w(h)
+        fea, mask1, mask0, odd = packed_entry(h, dtype)
         w2 = fea.shape[2]
-        mask1 = grid1_mask(w2 + 1, F, dtype, odd_src_width=odd)
-        mask0 = grid0_mask(w2, F, dtype) if odd else None
-        if odd:
-            fea = fea * mask0
 
         def resb(name, hin):
             blk = sp[name]
@@ -735,9 +717,7 @@ def make_packed_rego_forward(model, dtype=jnp.float32):
                 fea = fused_conv(sp["conv_%d" % k], srcs, F)
 
         sr = fused_conv(sp["SRrecon"], srcs, 3 * mod.scale ** 2)
-        sr = unpack_w(sr)
-        if odd:
-            sr = sr[:, :, :ww]
+        sr = packed_exit(sr, odd, ww)
         sr = pixel_shuffle(sr, mod.scale)
         return sr + interpolated_base(x, mod.scale, mod.interpolate)
 
@@ -795,15 +775,7 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
         else:
             raise ValueError(kind)
 
-        if odd:
-            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        c = h.shape[-1]
-        h0 = pack_w(h)
-        w2 = h0.shape[2]
-        mask1 = grid1_mask(w2 + 1, c, dtype, odd_src_width=odd)
-        mask0 = grid0_mask(w2, c, dtype) if odd else None
-        if odd:
-            h0 = h0 * mask0
+        h0, mask1, mask0, odd = packed_entry(h, dtype)
 
         i = 0
         while ("res_block_%d" % i) in sp:
@@ -817,9 +789,7 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
                 mask1, mask0, res_weight, act=block_act)
             i += 1
 
-        out = unpack_w(h0)
-        if odd:
-            out = out[:, :, :ww]
+        out = packed_exit(h0, odd, ww)
 
         if kind == "MSRRReducedModule":
             out = pixel_shuffle(out, scale)
@@ -1148,16 +1118,8 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
             return t if mask0 is None else t * mask0
 
         n, hh, ww, _ = x.shape
-        odd = ww % 2 == 1
         h = conv(x.astype(dtype), sp["head"]["kernel"], sp["head"]["bias"])
-        if odd:
-            h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        fea = pack_w(h)
-        w2 = fea.shape[2]
-        mask1 = grid1_mask(w2 + 1, FEATURES, dtype, odd_src_width=odd)
-        mask0 = grid0_mask(w2, FEATURES, dtype) if odd else None
-        if odd:
-            fea = fea * mask0
+        fea, mask1, mask0, odd = packed_entry(h, dtype)
 
         features = []
         res = fea
@@ -1184,14 +1146,11 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
             raise ValueError(mod.leg_style)
 
         def finish(packed_fea):
-            r = unpack_w(packed_fea)
-            if odd:
-                r = r[:, :, :ww]
-            return pixel_shuffle(r, SCALE) + base
+            return pixel_shuffle(packed_exit(packed_fea, odd, ww), SCALE) + base
 
         def tail_out():
             # the 3-conv tail runs unpacked (odd conv count)
-            cats = [unpack_w(f)[:, :, :ww] if odd else unpack_w(f) for f in features]
+            cats = [packed_exit(f, odd, ww) for f in features]
             t = conv(jnp.concatenate(cats, axis=-1),
                      sp["tail_merge"]["kernel"], sp["tail_merge"]["bias"])
             r = conv(t, sp["tail_recon1"]["kernel"], sp["tail_recon1"]["bias"])
