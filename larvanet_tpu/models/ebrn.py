@@ -163,6 +163,9 @@ class _EBRNBase(SRModel):
                             help="Learning rate decay factor.")
         parser.add_argument("--learning_rate_decay_steps", type=int, default=200000,
                             help="The number of training steps to perform learning rate decay.")
+        parser.add_argument("--packed_trunk", type=int, default=1,
+                            help="Width-packed trunk for the ebrn_rm variants (exact; "
+                                 "ops/packed_trunk.py); full EBRN runs the plain graph.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -181,6 +184,33 @@ class _EBRNBase(SRModel):
         )
 
 
+
+class _EBRNRMPackedMixin:
+    """--packed_trunk routing for the ebrn_rm variants (exact; ops/
+    packed_trunk.make_packed_ebrn_rm_forward)."""
+
+    def prepare(self, is_training, scales, global_step=0, seed=0):
+        self._packed_cache = None
+        super().prepare(is_training, scales, global_step=global_step, seed=seed)
+
+    def _packed_fwd(self):
+        if getattr(self, "_packed_cache", None) is None:
+            from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_rm_forward
+
+            self._packed_cache = make_packed_ebrn_rm_forward(self)
+        return self._packed_cache
+
+    def _forward_impl(self, params, x):
+        if getattr(self.args, "packed_trunk", 0):
+            return self._packed_fwd()(params, x)
+        return super()._forward_impl(params, x)
+
+    def _compute_loss(self, params, inputs, targets):
+        if getattr(self.args, "packed_trunk", 0):
+            return self.loss(self._packed_fwd()(params, inputs), targets)
+        return super()._compute_loss(params, inputs, targets)
+
+
 @register_model("ebrn")
 def _create_ebrn():
     return type("EBRN", (_EBRNBase,), {})()
@@ -188,12 +218,12 @@ def _create_ebrn():
 
 @register_model("ebrn_rm")
 def _create_ebrn_rm():
-    return type("EBRNRM", (_EBRNBase,), {"module_cls": EBRNRMModule})()
+    return type("EBRNRM", (_EBRNRMPackedMixin, _EBRNBase,), {"module_cls": EBRNRMModule})()
 
 
 @register_model("ebrn_rm_BLI")
 def _create_ebrn_rm_bli():
     return type(
-        "EBRNRMBLI", (_EBRNBase,),
+        "EBRNRMBLI", (_EBRNRMPackedMixin, _EBRNBase,),
         {"module_cls": EBRNRMModule, "module_kwargs": {"bilinear_base": True}},
     )()

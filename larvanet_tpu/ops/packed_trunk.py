@@ -724,6 +724,83 @@ def make_packed_rego_forward(model, dtype=jnp.float32):
     return forward
 
 
+def make_packed_ebrn_rm_forward(model, dtype=jnp.float32):
+    """Width-packed ebrn_rm / ebrn_rm_BLI forward (reference
+    models/ebrn_rm.py): the BRM conv pairs, the single-conv fusion
+    cascade (grid0->grid0 via pack_kernel_same) and the concat recon
+    conv (input-permuted, concat_packed_perm) all run packed; only the
+    3-channel head and the final shuffle are unpacked. Differentiable.
+    The full EBRN (strided ConvTranspose back-projection) stays on the
+    plain graph — strides do not fit the column-pair grids.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    if type(mod).__name__ != "EBRNRMModule":
+        raise ValueError("packed path supports the ebrn_rm variants only")
+    F = mod.features
+    lrelu = get_activation("leaky_relu", 0.05)
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        ww = x.shape[2]
+        inp = x if mod.bilinear_base else x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
+        h0, mask1, mask0, odd = packed_entry(conv(inp, sp["first_conv"]), dtype)
+
+        def brm(i, hin):
+            res = conv_a(hin, pack_kernel_a(jnp.asarray(sp["brm_%d_conv1" % i]["kernel"], dtype)),
+                         pack_bias(jnp.asarray(sp["brm_%d_conv1" % i]["bias"], dtype)))
+            res = lrelu(res) * mask1
+            res = conv_b(res, pack_kernel_b(jnp.asarray(sp["brm_%d_conv2" % i]["kernel"], dtype)),
+                         pack_bias(jnp.asarray(sp["brm_%d_conv2" % i]["bias"], dtype)))
+            if mask0 is not None:
+                res = res * mask0
+            return res, hin + res
+
+        out_list = []
+        h = h0
+        for i in range(mod.num_brms - 1):
+            res, out = brm(i, h)
+            out_list.append(out)
+            h = res  # residual stream feeds the next BRM (ebrn_rm.py forward)
+        _, out = brm(mod.num_brms - 1, h)
+
+        def single(p, hin, out_features):
+            kp, pads = pack_kernel_same(jnp.asarray(p["kernel"], dtype))
+            o = conv_same(hin, kp, pads, pack_bias(jnp.asarray(p["bias"], dtype)))
+            if mask0 is not None:
+                o = o * grid0_mask(o.shape[2], out_features, dtype)
+            return o
+
+        out_prime_list = [out]
+        for i in range(mod.num_brms - 1):
+            out = single(sp["fusion_%d" % i], out + out_list[-(i + 1)], F)
+            out_prime_list.append(out)
+
+        cat = jnp.concatenate(out_prime_list, axis=-1)
+        kp, pads = pack_kernel_same(jnp.asarray(sp["upsample_conv"]["kernel"], dtype))
+        kp = concat_packed_perm([F] * mod.num_brms, kp)
+        up = conv_same(cat, kp, pads,
+                       pack_bias(jnp.asarray(sp["upsample_conv"]["bias"], dtype)))
+        sr = pixel_shuffle(packed_exit(up, odd, ww), mod.scale)
+        if mod.bilinear_base:
+            return sr + interpolated_base(x, mod.scale, "bilinear")
+        return sr - jnp.asarray(DIV2K_RGB_MEAN, dtype)
+
+    return forward
+
+
 def make_packed_msrr_forward(model, dtype=jnp.float32):
     """Width-packed forward for the MSRR family (differentiable; used for
     both inference and training). Covers MSRRModule (64ch trunk,

@@ -375,3 +375,26 @@ def test_packed_rego_matches_plain(name):
     tt = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
     assert abs(float(m._compute_loss(m.params, xt, tt))
                - float(m2._compute_loss(m2.params, xt, tt))) < 1e-3
+
+
+@pytest.mark.parametrize("name", ["ebrn_rm", "ebrn_rm_BLI"])
+def test_packed_ebrn_rm_matches_plain(name):
+    from larvanet_tpu.core.registry import get_model
+
+    rng = np.random.default_rng(0)
+    m = get_model(name)
+    m.parse_args(["--num_brms", "3", "--num_filters", "8", "--packed_trunk", "1"])
+    m.prepare(is_training=True, scales=[4])
+    m2 = get_model(name)
+    m2.parse_args(["--num_brms", "3", "--num_filters", "8", "--packed_trunk", "0"])
+    m2.prepare(is_training=True, scales=[4])
+    m2.params = m.params
+    for hw in [(8, 10), (7, 9)]:
+        x = jnp.asarray(rng.uniform(0, 255, (1,) + hw + (3,)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(m._forward_impl(m.params, x)),
+            np.asarray(m2._forward_impl(m2.params, x)), atol=1e-2, rtol=1e-5)
+    xt = jnp.asarray(rng.uniform(0, 255, (2, 8, 8, 3)).astype(np.float32))
+    tt = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
+    assert abs(float(m._compute_loss(m.params, xt, tt))
+               - float(m2._compute_loss(m2.params, xt, tt))) < 1e-3
