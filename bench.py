@@ -110,6 +110,11 @@ def main():
 
         forward = make_packed_larvanet_forward(model, dtype=dtype)
         log("using width-packed trunk")
+    elif args.packed_trunk and args.model == "mamnet":
+        from larvanet_tpu.ops.packed_trunk import make_packed_mamnet_forward
+
+        forward = make_packed_mamnet_forward(model, dtype=dtype)
+        log("using width-packed trunk + collapsed tail")
     elif args.packed_trunk and args.model.startswith("ebrn_rm"):
         from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_rm_forward
 

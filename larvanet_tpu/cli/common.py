@@ -70,6 +70,12 @@ def maybe_collapse_tail(model, args) -> None:
         model._fwd_jit = jax.jit(make_packed_larvanet_forward(model))
         print("inference: width-packed trunk enabled")
         return
+    if getattr(args, "packed_trunk", 1) and model_name == "mamnet":
+        from larvanet_tpu.ops.packed_trunk import make_packed_mamnet_forward
+
+        model._fwd_jit = jax.jit(make_packed_mamnet_forward(model))
+        print("inference: width-packed trunk + collapsed tail enabled")
+        return
     if not getattr(args, "collapsed_tail", 0):
         return
     if model_name not in ("edsr", "edsr_loss"):

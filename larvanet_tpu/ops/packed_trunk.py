@@ -801,6 +801,127 @@ def make_packed_ebrn_rm_forward(model, dtype=jnp.float32):
     return forward
 
 
+def depthwise_packed(x0, kernel, dtype):
+    """Exact depthwise 3x3 SAME conv in the grid0-packed domain.
+
+    A depthwise conv maps each channel from itself, but packed slots
+    (d, c) draw taps from BOTH slots of channel c; splitting by source
+    slot parity gives four small grouped convs over the half-channel
+    slices (dx parity must match e-d, so each pair uses either the
+    center tap or the two outer taps):
+      out_d0 = K[:,1] * x_e0  +  {K[:,0], K[:,2]} over x_e1 (pad left)
+      out_d1 = {K[:,0], K[:,2]} over x_e0 (pad right)  +  K[:,1] * x_e1
+    kernel: original (3, 3, 1, C) HWIO depthwise kernel.
+    """
+    c = kernel.shape[-1]
+    k = jnp.asarray(kernel, dtype)
+    xe0, xe1 = x0[..., :c], x0[..., c:]
+
+    def gconv(x, kern, wpad):
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1), ((1, 1), wpad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+    center = k[:, 1:2]                     # (3, 1, 1, C)
+    outer = jnp.stack([k[:, 0], k[:, 2]], axis=1)  # (3, 2, 1, C)
+    out_d0 = gconv(xe0, center, (0, 0)) + gconv(xe1, outer, (1, 0))
+    out_d1 = gconv(xe0, outer, (0, 1)) + gconv(xe1, center, (0, 0))
+    return jnp.concatenate([out_d0, out_d1], axis=-1)
+
+
+def make_packed_mamnet_forward(model, dtype=jnp.float32):
+    """Width-packed MAMNet forward (reference models/mamnet.py): the
+    conv pairs pack as usual; the MAM attention runs packed too — the
+    channel variance combines the two column slots' moments, the 1x1
+    squeeze/excite acts on the tiny (N,1,1,C) statistics, and the
+    depthwise conv uses depthwise_packed. The linear upsample tail is
+    collapsed (ops/collapsed_tail.make_collapsed_tail) and consumes the
+    packed features directly. Inference only (uses baked tail params).
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_tail
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    F = mod.features
+    scale = model.scale
+    res_weight = float(mod.res_weight)
+    p0 = serialization.to_state_dict(model.params)
+
+    def tail_fn(h):
+        cdt = h.dtype
+
+        def conv(x, p):
+            return jax.lax.conv_general_dilated(
+                x, jnp.asarray(p["kernel"], cdt), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], cdt)
+
+        up, i, out = p0["upsample"], 0, h
+        while ("conv%d" % i) in up:
+            out = pixel_shuffle(conv(out, up["conv%d" % i]), 2 if scale != 3 else 3)
+            i += 1
+        out = conv(out, p0["final_conv"])
+        return out - jnp.asarray(DIV2K_RGB_MEAN, cdt)
+
+    n_stages = len([k for k in p0["upsample"] if k.startswith("conv")])
+    fast_tail = make_collapsed_tail(tail_fn, F, scale, radius=1 + n_stages)
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        n, hh, ww, _ = x.shape
+        if ww % 2:
+            raise ValueError("packed MAMNet requires even width")
+        n_pix = hh * ww
+        h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["first_conv"])
+        h0, mask1, mask0, odd = packed_entry(h, dtype)
+
+        def mam(t, p):
+            # channel stats combine the two column slots' moments
+            s1 = jnp.sum(t, axis=(1, 2), keepdims=True)
+            s2 = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(1, 2), keepdims=True)
+            s1 = s1[..., :F] + s1[..., F:]
+            s2 = s2[..., :F] + s2[..., F:]
+            mean = s1.astype(jnp.float32) / n_pix
+            var = ((s2 - n_pix * jnp.square(mean)) / max(n_pix - 1, 1)).astype(dtype)
+            icd = conv(jax.nn.relu(conv(var, p["mam"]["du1"])), p["mam"]["du2"])
+            csd = depthwise_packed(t, p["mam"]["depthwise"]["kernel"], dtype) \
+                + pack_bias(jnp.asarray(p["mam"]["depthwise"]["bias"], dtype))
+            gate = jax.nn.sigmoid(jnp.tile(var + icd, (1, 1, 1, 2)) + csd)
+            return t * gate
+
+        res = h0
+        for i in range(mod.num_blocks):
+            blk = sp["mam_block_%d" % i]
+            t = conv_a(res, pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
+                       pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)))
+            t = jax.nn.relu(t) * mask1
+            t = conv_b(t, pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
+                       pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)))
+            t = mam(t, blk)
+            if res_weight != 1.0:
+                t = t * jnp.asarray(res_weight, dtype)
+            res = res + t
+
+        arc = sp["after_res_conv"]
+        kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
+        res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
+        return fast_tail(h0 + res, packed=True)
+
+    return forward
+
+
 def make_packed_msrr_forward(model, dtype=jnp.float32):
     """Width-packed forward for the MSRR family (differentiable; used for
     both inference and training). Covers MSRRModule (64ch trunk,

@@ -398,3 +398,25 @@ def test_packed_ebrn_rm_matches_plain(name):
     tt = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
     assert abs(float(m._compute_loss(m.params, xt, tt))
                - float(m2._compute_loss(m2.params, xt, tt))) < 1e-3
+
+
+def test_packed_mamnet_matches_module():
+    """Packed MAM attention (slot-combined variance + decomposed
+    depthwise) + collapsed tail vs the plain module graph."""
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import make_packed_mamnet_forward
+
+    rng = np.random.default_rng(0)
+    m = get_model("mamnet")
+    m.parse_args(["--num_blocks", "3", "--num_filters", "32"])
+    m.prepare(is_training=False, scales=[4])
+    fwd = make_packed_mamnet_forward(m, dtype=jnp.float32)
+    for hw in [(8, 10), (12, 16)]:
+        x = jnp.asarray(rng.uniform(0, 255, (1,) + hw + (3,)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(fwd(m.params, x)),
+            np.asarray(m.module.apply({"params": m.params}, x)),
+            atol=0.3, rtol=2e-3)
+
+    with pytest.raises(ValueError):
+        fwd(m.params, jnp.zeros((1, 8, 9, 3), jnp.float32))
