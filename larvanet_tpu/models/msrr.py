@@ -178,14 +178,20 @@ class _PackedTrunkMixin:
         if getattr(self.args, "packed_trunk", 0):
             fwd = self._packed_fwd()
             if fwd is not None:
-                return fwd(params, x)
+                try:
+                    return fwd(params, x)
+                except ValueError:
+                    pass  # e.g. odd width with depthwise blocks
         return super()._forward_impl(params, x)
 
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
             fwd = self._packed_fwd()
             if fwd is not None:
-                return self.loss(fwd(params, inputs), targets)
+                try:
+                    return self.loss(fwd(params, inputs), targets)
+                except ValueError:
+                    pass  # e.g. odd width with depthwise blocks
         return super()._compute_loss(params, inputs, targets)
 
 

@@ -543,7 +543,10 @@ def make_int8_msrr_forward(model, calib_batch, dtype=jnp.bfloat16):
     mod = model.module
     kind = type(mod).__name__
     if kind == "MSRRReducedModule" and mod.depthwise:
-        raise ValueError("depthwise blocks do not pack")
+        # exact packed decomposition exists (packed_dw_resblock) but is
+        # 4.4x slower on v5e — keep dwsr on the plain graph
+        raise ValueError("depthwise blocks do not pack profitably")
+    depthwise = False
     scale = mod.scale
     res_weight = float(mod.res_weight)
     lrelu = get_activation("leaky_relu", 0.1)
@@ -830,6 +833,39 @@ def depthwise_packed(x0, kernel, dtype):
     return jnp.concatenate([out_d0, out_d1], axis=-1)
 
 
+def pointwise_packed(x0, kernel, bias, dtype):
+    """1x1 conv in the grid0-packed domain: slots mix channels only
+    within their own column offset, i.e. a feature_group_count=2 conv
+    whose kernel repeats the original (1,1,C,C) for both groups — the
+    SAME MACs as the unpacked conv (no structural zeros)."""
+    k = jnp.asarray(kernel, dtype)  # (1, 1, C, C)
+    kk = jnp.concatenate([k, k], axis=-1)  # groups share the weights
+    out = jax.lax.conv_general_dilated(
+        x0, kk, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=2)
+    return out + pack_bias(jnp.asarray(bias, dtype))
+
+
+def packed_dw_resblock(h0, blk, act, dtype):
+    """DepthwiseSeparableResBlock (dw-pw-act-dw-pw + skip, reference
+    models/dwsr_reduced.py) fully in grid0: depthwise via
+    depthwise_packed, pointwise via pointwise_packed. No grid1, no
+    masks (even-W inputs). EXACT but a measured NEGATIVE RESULT as a
+    whole-trunk strategy: dwsr 14.9 -> 3.4 MP/s on v5e (the grouped
+    half-channel convs are latency-bound) — kept for the MAM attention,
+    whose single depthwise per block amortizes fine, and as a
+    documented dead end (BASELINE.md)."""
+    t = depthwise_packed(h0, blk["dw1"]["kernel"], dtype) \
+        + pack_bias(jnp.asarray(blk["dw1"]["bias"], dtype))
+    t = pointwise_packed(t, blk["pw1"]["kernel"], blk["pw1"]["bias"], dtype)
+    t = act(t)
+    t = depthwise_packed(t, blk["dw2"]["kernel"], dtype) \
+        + pack_bias(jnp.asarray(blk["dw2"]["bias"], dtype))
+    t = pointwise_packed(t, blk["pw2"]["kernel"], blk["pw2"]["bias"], dtype)
+    return h0 + t
+
+
 def make_packed_mamnet_forward(model, dtype=jnp.float32):
     """Width-packed MAMNet forward (reference models/mamnet.py): the
     conv pairs pack as usual; the MAM attention runs packed too — the
@@ -927,9 +963,10 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
     both inference and training). Covers MSRRModule (64ch trunk,
     reference models/msrr.py:214-248), MSRRReducedModule non-depthwise
     (48ch trunk, models/msrr_reduced*.py) and MSRRTestModule (64ch,
-    models/msrr_test.py). Raises ValueError for depthwise blocks (the
-    packed layout cannot express per-channel grouping without a
-    transpose); callers fall back to the plain graph.
+    models/msrr_test.py). Depthwise (dwsr) configs raise ValueError and
+    fall back to the plain graph: the packed decomposition
+    (packed_dw_resblock) is exact but MEASURED 4.4x SLOWER on v5e —
+    the half-channel grouped convs are latency-bound (BASELINE.md).
     """
     from flax import serialization
 
@@ -939,7 +976,10 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
     mod = model.module
     kind = type(mod).__name__
     if kind == "MSRRReducedModule" and mod.depthwise:
-        raise ValueError("depthwise blocks do not pack")
+        # exact packed decomposition exists (packed_dw_resblock) but is
+        # 4.4x slower on v5e — keep dwsr on the plain graph
+        raise ValueError("depthwise blocks do not pack profitably")
+    depthwise = False
     scale = mod.scale
     res_weight = float(mod.res_weight)
     lrelu = get_activation("leaky_relu", 0.1)
@@ -956,7 +996,8 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
 
         x = x.astype(dtype)
         n, hh, ww, _ = x.shape
-        odd = ww % 2 == 1
+        if depthwise and ww % 2 == 1:
+            raise ValueError("packed depthwise blocks require even width")
 
         if kind == "MSRRReducedModule":
             x_in = x + jnp.asarray(DIV2K_RGB_MEAN, dtype) if mod.base == "meanshift" else x
@@ -978,13 +1019,16 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
         i = 0
         while ("res_block_%d" % i) in sp:
             blk = sp["res_block_%d" % i]
-            h0 = packed_resblock(
-                h0,
-                pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
-                pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
-                pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
-                pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
-                mask1, mask0, res_weight, act=block_act)
+            if depthwise:
+                h0 = packed_dw_resblock(h0, blk, jax.nn.relu, dtype)
+            else:
+                h0 = packed_resblock(
+                    h0,
+                    pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
+                    pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
+                    pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
+                    pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
+                    mask1, mask0, res_weight, act=block_act)
             i += 1
 
         out = packed_exit(h0, odd, ww)
