@@ -84,6 +84,13 @@ def main():
             0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
         forward = make_int8_edsr_forward(model, calib, dtype=dtype)
         log("using int8 (W8A8) packed trunk + collapsed tail")
+    elif args.int8_trunk and args.model.startswith("REGO"):
+        from larvanet_tpu.ops.packed_trunk import make_int8_rego_forward
+
+        calib = np.random.default_rng(1).uniform(
+            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
+        forward = make_int8_rego_forward(model, calib, dtype=dtype)
+        log("using int8 (W8A8) packed trunk")
     elif args.int8_trunk and args.model == "TreeNet":
         from larvanet_tpu.ops.packed_trunk import make_int8_treenet_forward
 

@@ -643,6 +643,92 @@ def concat_packed_perm(src_channels, kernel_packed):
     return kernel_packed[:, :, jnp.asarray(perm), :]
 
 
+def make_int8_rego_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized REGO-Net inference (same scheme and caveats
+    as make_int8_edsr_forward): the triangular RESBlock wavefront runs
+    int8 ('both'-kind pairs); the fusion/recon singles stay bf16 packed."""
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    F = mod.features
+    lrelu = get_activation("leaky_relu", 0.1)
+    sp0 = serialization.to_state_dict(model.params)
+    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
+
+    # fixed wavefront visit order -> stable pair indices
+    order = []
+    for k in range(mod.num_regos):
+        order.append("RESB_%d_0_0" % k)
+        for i in range(1, mod.len_side):
+            order.append("RESB_%d_%d_0" % (k, i))
+            for j in range(1, i):
+                order.append("RESB_%d_%d_%d" % (k, i - j, j))
+            order.append("RESB_%d_0_%d" % (k, i))
+    index = {n: i for i, n in enumerate(order)}
+
+    def walk(params, x, pair):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["feature_extraction"])
+        fea, mask1, mask0, odd = packed_entry(h, dtype)
+        ww = x.shape[2]
+        w2 = fea.shape[2]
+
+        def resb(name, hin):
+            return pair(index[name], hin, sp[name]["conv1"], sp[name]["conv2"],
+                        mask1, kind="both", act=lrelu, res_weight=mod.res_weight)
+
+        def fused_conv(p, srcs, out_features):
+            kp, pads = pack_kernel_same(jnp.asarray(p["kernel"], dtype))
+            kp = concat_packed_perm([F] * len(srcs), kp)
+            return conv_same(jnp.concatenate(srcs, axis=-1), kp, pads,
+                             pack_bias(jnp.asarray(p["bias"], dtype)))
+
+        for k in range(mod.num_regos):
+            err, f = resb("RESB_%d_0_0" % k, fea)
+            err_in, fea_in = [err], [f]
+            err_out, fea_out = err_in, fea_in
+            for i in range(1, mod.len_side):
+                err_out, fea_out = [], []
+                e0, f0 = resb("RESB_%d_%d_0" % (k, i), err_in[0])
+                err_out.append(e0); fea_out.append(f0)
+                for j in range(1, i):
+                    e1, f1 = resb("RESB_%d_%d_%d" % (k, i - j, j),
+                                  fea_in[j - 1] + err_in[j])
+                    err_out.append(e1); fea_out.append(f1)
+                e2, f2 = resb("RESB_%d_0_%d" % (k, i), fea_in[i - 1])
+                err_out.append(e2); fea_out.append(f2)
+                err_in, fea_in = err_out, fea_out
+            mids = [e + f for e, f in zip(err_out[1:], fea_out[:-1])]
+            srcs = [err_out[0], *mids, fea_out[-1]]
+            if k != mod.num_regos - 1:
+                fea = fused_conv(sp["conv_%d" % k], srcs, F)
+
+        sr = fused_conv(sp["SRrecon"], srcs, 3 * mod.scale ** 2)
+        sr = pixel_shuffle(packed_exit(sr, odd, ww), mod.scale)
+        return sr + interpolated_base(x, mod.scale, mod.interpolate)
+
+    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    finish([(sp0[n]["conv1"], sp0[n]["conv2"]) for n in order])
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("int8 trunk requires even width")
+        return walk(params, x, pair_int8)
+
+    return forward
+
+
 def make_packed_rego_forward(model, dtype=jnp.float32):
     """Width-packed REGO-Net forward (reference models/REGO-Net.py /
     REGO-serial.py): the triangular RESBlock wavefront runs fully
@@ -1088,7 +1174,8 @@ def make_pair_runner(dtype):
     calibration pair_bf16 records per-site maxima, afterwards
     finish_calibration(pairs) quantizes the weights and pair_int8
     replays the walk W8A8 (quant/dequant fused into conv epilogues).
-    kind: 'res' (skip add) | 'none'; act applied between the convs.
+    kind: 'res' (skip add) | 'none' | 'both' (REGO-style, returns
+    (t, hin + t)); act applied between the convs.
     """
     record = []
     quant = []
@@ -1105,6 +1192,8 @@ def make_pair_runner(dtype):
         t = conv_b(t, kb, bb)
         if res_weight != 1.0:
             t = t * jnp.asarray(res_weight, dtype)
+        if kind == "both":
+            return t, hin + t
         return hin + t if kind == "res" else t
 
     def finish_calibration(pairs):
@@ -1136,6 +1225,8 @@ def make_pair_runner(dtype):
         t = (t.astype(jnp.float32) * (s_mid * q["sb"])).astype(dtype) + q["bb"]
         if res_weight != 1.0:
             t = t * jnp.asarray(res_weight, dtype)
+        if kind == "both":
+            return t, hin + t
         return hin + t if kind == "res" else t
 
     return pair_bf16, pair_int8, finish_calibration

@@ -420,3 +420,23 @@ def test_packed_mamnet_matches_module():
 
     with pytest.raises(ValueError):
         fwd(m.params, jnp.zeros((1, 8, 9, 3), jnp.float32))
+
+
+@pytest.mark.parametrize("name", ["REGO-Net", "REGO-serial"])
+def test_int8_rego_forward_close_to_float(name):
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import (
+        make_int8_rego_forward, make_packed_rego_forward)
+
+    rng = np.random.default_rng(0)
+    m = get_model(name)
+    m.parse_args(["--len_side", "3", "--num_filters", "8"])
+    m.prepare(is_training=False, scales=[4])
+    calib = rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32)
+    fq = make_int8_rego_forward(m, calib, dtype=jnp.float32)
+    fr = make_packed_rego_forward(m, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 3)).astype(np.float32))
+    a = np.asarray(fq(m.params, x)).astype(np.float64)
+    b = np.asarray(fr(m.params, x)).astype(np.float64)
+    psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
+    assert psnr > 55.0, psnr
