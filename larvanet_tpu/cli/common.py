@@ -121,6 +121,12 @@ def maybe_int8_trunk(model, args, get_calib) -> None:
 
             int8_fwd = make_int8_larvanet_forward(model, calib)
             exact_fwd = make_packed_larvanet_forward(model)
+        elif model_name.startswith("REGO"):
+            from larvanet_tpu.ops.packed_trunk import (
+                make_int8_rego_forward, make_packed_rego_forward)
+
+            int8_fwd = make_int8_rego_forward(model, calib)
+            exact_fwd = make_packed_rego_forward(model)
         elif model_name.startswith(("msrr", "dwsr")):
             from larvanet_tpu.ops.packed_trunk import (
                 make_int8_msrr_forward, make_packed_msrr_forward)
