@@ -98,6 +98,20 @@ def main():
             0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
         forward = make_int8_treenet_forward(model, calib, dtype=dtype)
         log("using int8 (W8A8) packed trunk")
+    elif args.int8_trunk and args.model.startswith("hrsr"):
+        from larvanet_tpu.ops.packed_trunk import make_int8_hrsr_forward
+
+        calib = np.random.default_rng(1).uniform(
+            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
+        forward = make_int8_hrsr_forward(model, calib, dtype=dtype)
+        log("using int8 (W8A8) packed trunk")
+    elif args.int8_trunk and args.model.startswith("ebrn_rm"):
+        from larvanet_tpu.ops.packed_trunk import make_int8_ebrn_rm_forward
+
+        calib = np.random.default_rng(1).uniform(
+            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
+        forward = make_int8_ebrn_rm_forward(model, calib, dtype=dtype)
+        log("using int8 (W8A8) packed trunk")
     elif args.int8_trunk and args.model.startswith(("msrr", "dwsr")):
         from larvanet_tpu.ops.packed_trunk import make_int8_msrr_forward
 

@@ -127,6 +127,18 @@ def maybe_int8_trunk(model, args, get_calib) -> None:
 
             int8_fwd = make_int8_rego_forward(model, calib)
             exact_fwd = make_packed_rego_forward(model)
+        elif model_name.startswith("hrsr"):
+            from larvanet_tpu.ops.packed_trunk import (
+                make_int8_hrsr_forward, make_packed_hrsr_forward)
+
+            int8_fwd = make_int8_hrsr_forward(model, calib)
+            exact_fwd = make_packed_hrsr_forward(model)
+        elif model_name.startswith("ebrn_rm"):
+            from larvanet_tpu.ops.packed_trunk import (
+                make_int8_ebrn_rm_forward, make_packed_ebrn_rm_forward)
+
+            int8_fwd = make_int8_ebrn_rm_forward(model, calib)
+            exact_fwd = make_packed_ebrn_rm_forward(model)
         elif model_name.startswith(("msrr", "dwsr")):
             from larvanet_tpu.ops.packed_trunk import (
                 make_int8_msrr_forward, make_packed_msrr_forward)

@@ -474,6 +474,138 @@ def make_int8_treenet_forward(model, calib_batch, dtype=jnp.bfloat16):
     return forward
 
 
+def make_int8_hrsr_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized HRSR inference: the packed LR ResBlock trunk
+    runs int8; the HR-domain part stays plain bf16 (tiny channel counts).
+    Same scheme and caveats as make_int8_edsr_forward."""
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import get_activation, interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    lrelu = get_activation("leaky_relu", 0.1)
+    sp0 = serialization.to_state_dict(model.params)
+    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
+
+    def walk(params, x, pair):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        ww = x.shape[2]
+        h0, mask1, mask0, odd = packed_entry(lrelu(conv(x, sp["first_conv"])), dtype)
+        for i in range(mod.num_lr_blocks):
+            blk = sp["lr_block_%d" % i]
+            h0 = pair(i, h0, blk["conv1"], blk["conv2"], mask1,
+                      res_weight=mod.res_weight)
+        out = pixel_shuffle(packed_exit(h0, odd, ww), mod.scale)
+
+        if mod.num_hr_blocks > 0:
+            if mod.c3_style:
+                for i in range(mod.num_hr_blocks):
+                    blk = sp["hr_block_%d" % i]
+                    t = conv(jax.nn.relu(conv(out, blk["conv1"])), blk["conv2"])
+                    if mod.res_weight != 1.0:
+                        t = t * jnp.asarray(mod.res_weight, dtype)
+                    out = out + t
+            else:
+                out = lrelu(conv(out, sp["middle_conv"]))
+                for i in range(mod.num_hr_blocks):
+                    blk = sp["hr_block_%d" % i]
+                    out = out + conv(jax.nn.relu(conv(out, blk["conv1"])), blk["conv2"])
+        if not mod.c3_style and mod.num_hr_filters != 3:
+            out = conv(lrelu(out), sp["final_conv"])
+        return out + interpolated_base(x, mod.scale, mod.interpolate)
+
+    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    finish([(sp0["lr_block_%d" % i]["conv1"], sp0["lr_block_%d" % i]["conv2"])
+            for i in range(mod.num_lr_blocks)])
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("int8 trunk requires even width")
+        return walk(params, x, pair_int8)
+
+    return forward
+
+
+def make_int8_ebrn_rm_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized ebrn_rm inference: the BRM pairs run int8
+    ('both'-kind); the fusion cascade and concat recon stay bf16 packed.
+    Same scheme and caveats as make_int8_edsr_forward."""
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    if type(mod).__name__ != "EBRNRMModule":
+        raise ValueError("int8 path supports the ebrn_rm variants only")
+    F = mod.features
+    lrelu = get_activation("leaky_relu", 0.05)
+    sp0 = serialization.to_state_dict(model.params)
+    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
+
+    def walk(params, x, pair):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        ww = x.shape[2]
+        inp = x if mod.bilinear_base else x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
+        h0, mask1, mask0, odd = packed_entry(conv(inp, sp["first_conv"]), dtype)
+
+        out_list = []
+        h = h0
+        for i in range(mod.num_brms):
+            res, out = pair(i, h, sp["brm_%d_conv1" % i], sp["brm_%d_conv2" % i],
+                            mask1, kind="both", act=lrelu)
+            if i < mod.num_brms - 1:
+                out_list.append(out)
+                h = res
+
+        def single(p, hin):
+            kp, pads = pack_kernel_same(jnp.asarray(p["kernel"], dtype))
+            return conv_same(hin, kp, pads, pack_bias(jnp.asarray(p["bias"], dtype)))
+
+        out_prime_list = [out]
+        for i in range(mod.num_brms - 1):
+            out = single(sp["fusion_%d" % i], out + out_list[-(i + 1)])
+            out_prime_list.append(out)
+
+        cat = jnp.concatenate(out_prime_list, axis=-1)
+        kp, pads = pack_kernel_same(jnp.asarray(sp["upsample_conv"]["kernel"], dtype))
+        kp = concat_packed_perm([F] * mod.num_brms, kp)
+        up = conv_same(cat, kp, pads,
+                       pack_bias(jnp.asarray(sp["upsample_conv"]["bias"], dtype)))
+        sr = pixel_shuffle(packed_exit(up, odd, ww), mod.scale)
+        if mod.bilinear_base:
+            return sr + interpolated_base(x, mod.scale, "bilinear")
+        return sr - jnp.asarray(DIV2K_RGB_MEAN, dtype)
+
+    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    finish([(sp0["brm_%d_conv1" % i], sp0["brm_%d_conv2" % i])
+            for i in range(mod.num_brms)])
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("int8 trunk requires even width")
+        return walk(params, x, pair_int8)
+
+    return forward
+
+
 def make_packed_hrsr_forward(model, dtype=jnp.float32):
     """Width-packed HRSR forward (reference models/hrsr*.py): the 48ch LR
     ResBlock trunk packs; the HR-domain part (3-16ch convs at 16x the

@@ -440,3 +440,31 @@ def test_int8_rego_forward_close_to_float(name):
     b = np.asarray(fr(m.params, x)).astype(np.float64)
     psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
     assert psnr > 55.0, psnr
+
+
+@pytest.mark.parametrize("name,flags,maker,ref_maker", [
+    ("hrsr", ["--num_lr_blocks", "2", "--num_hr_blocks", "2", "--num_hr_filters", "6"],
+     "make_int8_hrsr_forward", "make_packed_hrsr_forward"),
+    ("hrsr_c3", ["--num_lr_blocks", "3", "--num_hr_blocks", "1"],
+     "make_int8_hrsr_forward", "make_packed_hrsr_forward"),
+    ("ebrn_rm", ["--num_brms", "3", "--num_filters", "8"],
+     "make_int8_ebrn_rm_forward", "make_packed_ebrn_rm_forward"),
+    ("ebrn_rm_BLI", ["--num_brms", "3", "--num_filters", "8"],
+     "make_int8_ebrn_rm_forward", "make_packed_ebrn_rm_forward"),
+])
+def test_int8_hrsr_ebrn_rm_close_to_float(name, flags, maker, ref_maker):
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops import packed_trunk as pt
+
+    rng = np.random.default_rng(0)
+    m = get_model(name)
+    m.parse_args(flags)
+    m.prepare(is_training=False, scales=[4])
+    calib = rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32)
+    fq = getattr(pt, maker)(m, calib, dtype=jnp.float32)
+    fr = getattr(pt, ref_maker)(m, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 3)).astype(np.float32))
+    a = np.asarray(fq(m.params, x)).astype(np.float64)
+    b = np.asarray(fr(m.params, x)).astype(np.float64)
+    psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
+    assert psnr > 55.0, psnr
