@@ -127,6 +127,12 @@ def maybe_int8_trunk(model, args, get_calib) -> None:
 
             int8_fwd = make_int8_rego_forward(model, calib)
             exact_fwd = make_packed_rego_forward(model)
+        elif model_name == "TreeNet":
+            from larvanet_tpu.ops.packed_trunk import (
+                make_int8_treenet_forward, make_packed_treenet_forward)
+
+            int8_fwd = make_int8_treenet_forward(model, calib)
+            exact_fwd = make_packed_treenet_forward(model)
         elif model_name.startswith("hrsr"):
             from larvanet_tpu.ops.packed_trunk import (
                 make_int8_hrsr_forward, make_packed_hrsr_forward)
