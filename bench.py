@@ -131,6 +131,11 @@ def main():
 
         forward = make_packed_larvanet_forward(model, dtype=dtype)
         log("using width-packed trunk")
+    elif args.packed_trunk and args.model == "imdn_aim2019":
+        from larvanet_tpu.ops.packed_trunk import make_packed_imdn_forward
+
+        forward = make_packed_imdn_forward(model, dtype=dtype)
+        log("using width-packed trunk")
     elif args.packed_trunk and args.model == "mamnet":
         from larvanet_tpu.ops.packed_trunk import make_packed_mamnet_forward
 

@@ -64,7 +64,40 @@ class IMDNModule(nn.Module):
         return MeanShift(sign=-1.0)(x)
 
 
-class IMDN(SRModel):
+
+class _IMDNPackedMixin:
+    """--packed_trunk routing (exact; ops/packed_trunk.
+    make_packed_imdn_forward); odd widths fall back to the plain graph."""
+
+    def prepare(self, is_training, scales, global_step=0, seed=0):
+        self._packed_cache = None
+        super().prepare(is_training, scales, global_step=global_step, seed=seed)
+
+    def _packed_fwd(self):
+        if getattr(self, "_packed_cache", None) is None:
+            from larvanet_tpu.ops.packed_trunk import make_packed_imdn_forward
+
+            self._packed_cache = make_packed_imdn_forward(self)
+        return self._packed_cache
+
+    def _forward_impl(self, params, x):
+        if getattr(self.args, "packed_trunk", 0):
+            try:
+                return self._packed_fwd()(params, x)
+            except ValueError:
+                pass  # odd width
+        return super()._forward_impl(params, x)
+
+    def _compute_loss(self, params, inputs, targets):
+        if getattr(self.args, "packed_trunk", 0):
+            try:
+                return self.loss(self._packed_fwd()(params, inputs), targets)
+            except ValueError:
+                pass
+        return super()._compute_loss(params, inputs, targets)
+
+
+class IMDN(_IMDNPackedMixin, SRModel):
     optimizer_kind = "adam"
     loss = staticmethod(l1_loss)
 
@@ -80,6 +113,10 @@ class IMDN(SRModel):
                             help="Learning rate decay factor.")
         parser.add_argument("--learning_rate_decay_steps", type=int, default=200000,
                             help="The number of training steps to perform learning rate decay.")
+        parser.add_argument("--packed_trunk", type=int, default=0,
+                            help="Width-packed trunk (exact but MEASURED SLOWER for IMDN: "
+                                 "13.7 vs 17.4 MP/s — the channel-split glue outweighs the "
+                                 "conv gains; default off, see BASELINE.md).")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 

@@ -1084,6 +1084,115 @@ def packed_dw_resblock(h0, blk, act, dtype):
     return h0 + t
 
 
+def _grid1_to_grid0_identity(c, dtype):
+    """(1, 2, 2c, 2c) kernel that re-gathers a grid1-packed tensor onto
+    grid0 (identity values, VALID padding): out col 2j+d = in col 2j+d,
+    i.e. entries (w=0, e=1, d=0) and (w=1, e=0, d=1). Used for the tiny
+    distilled slices in IMDN whose grid parity disagrees with the fuse
+    concat."""
+    k = np.zeros((1, 2, 2 * c, 2 * c), np.float32)
+    for cc in range(c):
+        k[0, 0, c + cc, cc] = 1.0
+        k[0, 1, cc, c + cc] = 1.0
+    return jnp.asarray(k, dtype)
+
+
+def make_packed_imdn_forward(model, dtype=jnp.float32):
+    """Width-packed IMDN forward (reference models/imdn_aim2019.py): the
+    four 3x3 convs per IMDBlock alternate grid0->grid1->grid0 (A/B
+    pairs), the progressive channel splits slice the packed tensors
+    directly (slot layout keeps per-offset channel ranges contiguous),
+    the grid1-parity distills re-gather to grid0 with a tiny identity
+    conv, and the 1x1 fuse runs packed with its inputs permuted
+    (concat_packed_perm). Even widths only (odd W falls back via the
+    wrapper). Differentiable.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    mod = model.module
+    F = mod.features
+    d = int(F * 0.25)
+    r = F - d
+    lrelu = get_activation("leaky_relu", 0.05)
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        ww = x.shape[2]
+        if ww % 2:
+            raise ValueError("packed IMDN requires even width")
+        h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["first_conv"])
+        h0, mask1, _m0, odd = packed_entry(h, dtype)
+        ident = _grid1_to_grid0_identity(d, dtype)
+
+        def cslice(t, c_total, lo, hi):
+            # original channels [lo, hi) of a packed tensor
+            return jnp.concatenate(
+                [t[..., lo:hi], t[..., c_total + lo:c_total + hi]], axis=-1)
+
+        def block(hin, blk):
+            # conv1: grid0 -> grid1 (full F channels)
+            t1 = conv_a(hin, pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
+                        pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)))
+            t1 = lrelu(t1) * mask1
+            dist1 = cslice(t1, F, 0, d)          # grid1
+            rem1 = cslice(t1, F, d, F)           # grid1, r channels
+            # conv2: grid1 -> grid0
+            t2 = conv_b(rem1, pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
+                        pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)))
+            t2 = lrelu(t2)
+            dist2 = cslice(t2, F, 0, d)          # grid0
+            rem2 = cslice(t2, F, d, F)           # grid0
+            # conv3: grid0 -> grid1
+            t3 = conv_a(rem2, pack_kernel_a(jnp.asarray(blk["conv3"]["kernel"], dtype)),
+                        pack_bias(jnp.asarray(blk["conv3"]["bias"], dtype)))
+            t3 = lrelu(t3) * mask1
+            dist3 = cslice(t3, F, 0, d)          # grid1
+            rem3 = cslice(t3, F, d, F)           # grid1
+            # conv4: grid1 -> grid0 (d output channels)
+            t4 = conv_b(rem3, pack_kernel_b(jnp.asarray(blk["conv4"]["kernel"], dtype)),
+                        pack_bias(jnp.asarray(blk["conv4"]["bias"], dtype)))
+            t4 = lrelu(t4)
+            # re-gather the grid1 distills onto grid0 (tiny identity convs)
+            def g1g0(t):
+                return jax.lax.conv_general_dilated(
+                    t, ident, (1, 1), ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            res = jnp.concatenate([g1g0(dist1), dist2, g1g0(dist3), t4], axis=-1)
+            # 1x1 fuse, packed, inputs permuted to the concat layout
+            kp, pads = pack_kernel_same(jnp.asarray(blk["conv5"]["kernel"], dtype))
+            kp = concat_packed_perm([d] * 4, kp)
+            res = conv_same(res, kp, pads,
+                            pack_bias(jnp.asarray(blk["conv5"]["bias"], dtype)))
+            return hin + res
+
+        res = h0
+        for i in range(mod.num_blocks):
+            res = block(res, sp["imd_block_%d" % i])
+
+        arc = sp["after_res_conv"]
+        kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
+        res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
+        h0 = h0 + res
+        upc = sp["upsample_conv"]
+        kp, pads = pack_kernel_same(jnp.asarray(upc["kernel"], dtype))
+        up = conv_same(h0, kp, pads, pack_bias(jnp.asarray(upc["bias"], dtype)))
+        out = pixel_shuffle(packed_exit(up, odd, ww), mod.scale)
+        return out - jnp.asarray(DIV2K_RGB_MEAN, dtype)
+
+    return forward
+
+
 def make_packed_mamnet_forward(model, dtype=jnp.float32):
     """Width-packed MAMNet forward (reference models/mamnet.py): the
     conv pairs pack as usual; the MAM attention runs packed too — the

@@ -468,3 +468,27 @@ def test_int8_hrsr_ebrn_rm_close_to_float(name, flags, maker, ref_maker):
     b = np.asarray(fr(m.params, x)).astype(np.float64)
     psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
     assert psnr > 55.0, psnr
+
+
+def test_packed_imdn_matches_plain():
+    """Packed IMDN: grid-alternating convs, packed channel splits,
+    identity re-gather for grid1 distills, permuted 1x1 fuse."""
+    from larvanet_tpu.core.registry import get_model
+
+    rng = np.random.default_rng(0)
+    m = get_model("imdn_aim2019")
+    m.parse_args(["--num_blocks", "2", "--num_filters", "16", "--packed_trunk", "1"])
+    m.prepare(is_training=True, scales=[4])
+    m2 = get_model("imdn_aim2019")
+    m2.parse_args(["--num_blocks", "2", "--num_filters", "16", "--packed_trunk", "0"])
+    m2.prepare(is_training=True, scales=[4])
+    m2.params = m.params
+    for hw in [(8, 10), (7, 9)]:  # odd width exercises the fallback
+        x = jnp.asarray(rng.uniform(0, 255, (1,) + hw + (3,)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(m._forward_impl(m.params, x)),
+            np.asarray(m2._forward_impl(m2.params, x)), atol=1e-2, rtol=1e-5)
+    xt = jnp.asarray(rng.uniform(0, 255, (2, 8, 8, 3)).astype(np.float32))
+    tt = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
+    assert abs(float(m._compute_loss(m.params, xt, tt))
+               - float(m2._compute_loss(m2.params, xt, tt))) < 1e-3
