@@ -98,6 +98,13 @@ def main():
             0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
         forward = make_int8_treenet_forward(model, calib, dtype=dtype)
         log("using int8 (W8A8) packed trunk")
+    elif args.int8_trunk and args.model == "mamnet":
+        from larvanet_tpu.ops.packed_trunk import make_int8_mamnet_forward
+
+        calib = np.random.default_rng(1).uniform(
+            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
+        forward = make_int8_mamnet_forward(model, calib, dtype=dtype)
+        log("using int8 (W8A8) packed trunk + collapsed tail")
     elif args.int8_trunk and args.model.startswith("hrsr"):
         from larvanet_tpu.ops.packed_trunk import make_int8_hrsr_forward
 

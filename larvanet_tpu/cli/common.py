@@ -145,6 +145,12 @@ def maybe_int8_trunk(model, args, get_calib) -> None:
 
             int8_fwd = make_int8_ebrn_rm_forward(model, calib)
             exact_fwd = make_packed_ebrn_rm_forward(model)
+        elif model_name == "mamnet":
+            from larvanet_tpu.ops.packed_trunk import (
+                make_int8_mamnet_forward, make_packed_mamnet_forward)
+
+            int8_fwd = make_int8_mamnet_forward(model, calib)
+            exact_fwd = make_packed_mamnet_forward(model)
         elif model_name.startswith(("msrr", "dwsr")):
             from larvanet_tpu.ops.packed_trunk import (
                 make_int8_msrr_forward, make_packed_msrr_forward)

@@ -72,15 +72,27 @@ class EDSR(SRModel):
         parser.add_argument("--packed_trunk", type=int, default=1,
                             help="Width-packed trunk for training (exact reparametrization, "
                                  "~1.5x on TPU; ops/packed_trunk.py). 0 = plain module graph.")
+        parser.add_argument("--collapsed_tail_train", type=int, default=1,
+                            help="Train through the LIVE collapsed tail (differentiable "
+                                 "in-graph composition of the upsample chain; loss/grad-"
+                                 "equivalent, removes the 256-ch PixelShuffle transposes "
+                                 "from fwd+bwd; ops/packed_trunk.py). Requires "
+                                 "--packed_trunk. 0 = plain live tail.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
             if getattr(self, "_packed_train", None) is None:
-                from larvanet_tpu.ops.packed_trunk import make_packed_edsr_train_forward
+                from larvanet_tpu.ops.packed_trunk import (
+                    make_packed_collapsed_edsr_train_forward,
+                    make_packed_edsr_train_forward,
+                )
 
-                self._packed_train = make_packed_edsr_train_forward(self)
+                builder = (make_packed_collapsed_edsr_train_forward
+                           if getattr(self.args, "collapsed_tail_train", 0)
+                           else make_packed_edsr_train_forward)
+                self._packed_train = builder(self)
             return self.loss(self._packed_train(params, inputs), targets)
         return super()._compute_loss(params, inputs, targets)
 

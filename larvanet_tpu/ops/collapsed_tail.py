@@ -103,7 +103,6 @@ def make_collapsed_tail(
     ):
         kernel_np = kernel_np[1:-1, 1:-1]
     kernel = jnp.asarray(kernel_np)
-    r = kernel_np.shape[0] // 2  # effective radius after trimming
 
     # interior bias tile: central s x s block of the zero response on a
     # canvas large enough that the block is interior
@@ -113,131 +112,228 @@ def make_collapsed_tail(
     bias_tile = np.asarray(tail_fn(zero))[0, cc * scale:(cc + 1) * scale,
                                           cc * scale:(cc + 1) * scale, :]
 
-    # packed grid0->grid0 kernel for the main conv (the plain conv's
-    # N=3*s*s output underfills the MXU 3x — BASELINE.md tail anatomy)
+    def fast_tail(h, packed=False):
+        return apply_collapsed_tail(h, kernel, jnp.asarray(bias_tile),
+                                    tail_fn, scale, packed=packed)
+
+    return fast_tail
+
+
+def apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale, packed=False):
+    """Collapsed conv for the interior + original tail stitched onto an
+    r-wide border frame (r = kernel radius).
+
+    kernel (2r+1, 2r+1, C, 3*s*s) and bias_tile (s, s, 3) may be traced
+    values (live weights — see live_collapsed_edsr_tail), in which case
+    the whole map is differentiable; with baked constants this is the
+    inference fast path (make_collapsed_tail). The main conv runs
+    width-packed grid0->grid0 (pack_kernel_same; the plain conv's
+    N=3*s*s output underfills the MXU 3x — BASELINE.md tail anatomy).
+
+    packed=True: `h` is already width-packed (grid0, 2C channels at
+    half width, even original W) — the main conv consumes it
+    directly and the thin border strips unpack only the slices they
+    need, avoiding full-tensor relayouts at the 64<->128-channel
+    tiling boundary (device trace, BASELINE.md tail anatomy).
+
+    The collapse is exact only where every intermediate tap of the
+    original chain is in-bounds; within `r` LR px of the border, the
+    original stages' SAME padding cuts paths whose endpoint taps are
+    still in-bounds, so those rows/cols are recomputed with the
+    original tail on thin halo strips (strip outer edge == true
+    border => identical padding; inner halo of `r` isolates it).
+
+    All stitching happens PRE-SHUFFLE in the LR 3s² -channel domain
+    (thin in-place row/col updates), followed by ONE pixel shuffle
+    with the periodic interior bias fused into its epilogue — the
+    first design stitched HR 3-channel tensors and spent more time
+    in XLA layout copies than in the conv (device trace,
+    BASELINE.md tail anatomy).
+    """
     from larvanet_tpu.ops.packed_trunk import (
         conv_same, pack_kernel_same, pack_w, unpack_w)
     from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
 
-    kernel_packed, kernel_pads = pack_kernel_same(kernel)
+    r = kernel.shape[0] // 2
 
-    def fast_tail(h, packed=False):
-        """Collapsed conv for the interior + original tail stitched onto a
-        (radius)-wide border frame.
+    if packed:
+        h0, hh, ww = h, h.shape[1], h.shape[2] * 2
+    else:
+        h0, hh, ww = None, h.shape[1], h.shape[2]
+    s = scale
+    tile = jnp.asarray(bias_tile, h.dtype)  # (s, s, 3)
 
-        packed=True: `h` is already width-packed (grid0, 2C channels at
-        half width, even original W) — the main conv consumes it
-        directly and the thin border strips unpack only the slices they
-        need, avoiding full-tensor relayouts at the 64<->128-channel
-        tiling boundary (device trace, BASELINE.md tail anatomy).
-
-        The collapse is exact only where every intermediate tap of the
-        original chain is in-bounds; within `r` LR px of the border, the
-        original stages' SAME padding cuts paths whose endpoint taps are
-        still in-bounds, so those rows/cols are recomputed with the
-        original tail on thin halo strips (strip outer edge == true
-        border => identical padding; inner halo of `r` isolates it).
-
-        All stitching happens PRE-SHUFFLE in the LR 3s² -channel domain
-        (thin in-place row/col updates), followed by ONE pixel shuffle
-        with the periodic interior bias fused into its epilogue — the
-        first design stitched HR 3-channel tensors and spent more time
-        in XLA layout copies than in the conv (device trace,
-        BASELINE.md tail anatomy).
-        """
+    b = min(r, hh, ww)  # border band width (LR px)
+    if b > 0 and (2 * b >= hh or 2 * b >= ww):
+        # image too small for an interior: the original tail is exact
         if packed:
-            h0, hh, ww = h, h.shape[1], h.shape[2] * 2
+            h = unpack_w(h0)
+        return tail_fn(h)
+
+    if ww % 2 == 0:
+        if h0 is None:
+            h0 = pack_w(h)
+        kp, kp_pads = pack_kernel_same(kernel.astype(h.dtype))
+        out_lr = unpack_w(conv_same(h0, kp, kp_pads))
+    else:
+        out_lr = jax.lax.conv_general_dilated(
+            h, kernel.astype(h.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    if b > 0:
+        # halo = r suffices: kept output rows < b need input rows
+        # <= b-1+r, and the strip's inner-edge truncation only
+        # affects output rows >= strip - r = b
+        halo = min(r, hh - b, ww - b)
+        strip = b + max(halo, 0)
+        bs = b * s
+        n = h.shape[0]
+
+        def strip_lr(strip_out, rows=None, cols=None):
+            # HR strip -> LR 3s²-channel border block, interior bias
+            # removed (it is re-added globally after the shuffle; the
+            # subtraction+re-add cancels exactly, so the border keeps
+            # the strip's own truncated biases)
+            so = strip_out
+            if rows is not None:
+                so = so[:, rows[0]:rows[1]]
+            if cols is not None:
+                so = so[:, :, cols[0]:cols[1]]
+            nn_, hs_, ws_, c3 = so.shape
+            so = (so.reshape(nn_, hs_ // s, s, ws_ // s, s, c3)
+                  - tile[None, None, :, None, :, :]).reshape(nn_, hs_, ws_, c3)
+            return pixel_unshuffle(so, s)
+
+        if packed:
+            # unpack only the thin slices the strips need
+            wb = (strip + 1) // 2
+            h_t, h_b = unpack_w(h0[:, :strip]), unpack_w(h0[:, hh - strip:])
+            h_l = unpack_w(h0[:, :, :wb])[:, :, :strip]
+            h_r = unpack_w(h0[:, :, h0.shape[2] - wb:])[:, :, -strip:]
         else:
-            h0, hh, ww = None, h.shape[1], h.shape[2]
-        s = scale
-        tile = jnp.asarray(bias_tile, h.dtype)  # (s, s, 3)
+            h_t, h_b = h[:, :strip], h[:, hh - strip:]
+            h_l, h_r = h[:, :, :strip], h[:, :, ww - strip:]
+        # opposing strips batched into ONE original-tail call each
+        # (its many small layout ops are latency-bound on TPU)
+        tb = tail_fn(jnp.concatenate([h_t, h_b], axis=0))
+        lr_ = tail_fn(jnp.concatenate([h_l, h_r], axis=0))
+        top = strip_lr(tb[:n], rows=(0, bs))
+        bot = strip_lr(tb[n:], rows=(tb.shape[1] - bs, tb.shape[1]))
+        left = strip_lr(lr_[:n], cols=(0, bs))
+        right = strip_lr(lr_[n:], cols=(lr_.shape[2] - bs, lr_.shape[2]))
 
-        b = min(r, hh, ww)  # border band width (LR px)
-        if b > 0 and (2 * b >= hh or 2 * b >= ww):
-            # image too small for an interior: the original tail is exact
-            if packed:
-                h = unpack_w(h0)
-            return tail_fn(h)
+        # Border replacement as pad+select arithmetic, NOT
+        # dynamic-update-slice: thin W-axis DUS at 48 channels
+        # measured 1.7 ms of latency-bound masked writes, while
+        # pads+selects fuse into the downstream shuffle's read.
+        # Regions are disjoint: side strips own the full-height
+        # columns (incl. corners), top/bot own the middle columns.
+        cdt = out_lr.dtype
+        row_idx = jnp.arange(hh)[None, :, None, None]
+        col_idx = jnp.arange(ww)[None, None, :, None]
+        in_side = (col_idx < b) | (col_idx >= ww - b)
+        in_topbot = ((row_idx < b) | (row_idx >= hh - b)) & ~in_side
+        frame = (
+            jnp.pad(left.astype(cdt), ((0, 0), (0, 0), (0, ww - b), (0, 0)))
+            + jnp.pad(right.astype(cdt), ((0, 0), (0, 0), (ww - b, 0), (0, 0)))
+            + jnp.pad(top.astype(cdt)[:, :, b:ww - b],
+                      ((0, 0), (0, hh - b), (b, b), (0, 0)))
+            + jnp.pad(bot.astype(cdt)[:, :, b:ww - b],
+                      ((0, 0), (hh - b, 0), (b, b), (0, 0)))
+        )
+        out_lr = jnp.where(in_side | in_topbot, frame, out_lr)
 
-        if ww % 2 == 0:
-            if h0 is None:
-                h0 = pack_w(h)
-            out_lr = unpack_w(conv_same(h0, kernel_packed.astype(h.dtype),
-                                        kernel_pads))
-        else:
-            out_lr = jax.lax.conv_general_dilated(
-                h, kernel.astype(h.dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = pixel_shuffle(out_lr, s)
+    n, hs, ws, c3 = out.shape
+    return (out.reshape(n, hs // s, s, ws // s, s, c3)
+            + tile[None, None, :, None, :, :]).reshape(n, hs, ws, c3)
 
-        if b > 0:
-            # halo = r suffices: kept output rows < b need input rows
-            # <= b-1+r, and the strip's inner-edge truncation only
-            # affects output rows >= strip - r = b
-            halo = min(r, hh - b, ww - b)
-            strip = b + max(halo, 0)
-            bs = b * s
-            n = h.shape[0]
 
-            def strip_lr(strip_out, rows=None, cols=None):
-                # HR strip -> LR 3s²-channel border block, interior bias
-                # removed (it is re-added globally after the shuffle; the
-                # subtraction+re-add cancels exactly, so the border keeps
-                # the strip's own truncated biases)
-                so = strip_out
-                if rows is not None:
-                    so = so[:, rows[0]:rows[1]]
-                if cols is not None:
-                    so = so[:, :, cols[0]:cols[1]]
-                nn_, hs_, ws_, c3 = so.shape
-                so = (so.reshape(nn_, hs_ // s, s, ws_ // s, s, c3)
-                      - tile[None, None, :, None, :, :]).reshape(nn_, hs_, ws_, c3)
-                return pixel_unshuffle(so, s)
+def live_collapsed_edsr_tail(sp, scale, dtype=jnp.float32):
+    """(kernel, bias_tile, tail_fn) composed from LIVE EDSR tail weights.
 
-            if packed:
-                # unpack only the thin slices the strips need
-                wb = (strip + 1) // 2
-                h_t, h_b = unpack_w(h0[:, :strip]), unpack_w(h0[:, hh - strip:])
-                h_l = unpack_w(h0[:, :, :wb])[:, :, :strip]
-                h_r = unpack_w(h0[:, :, h0.shape[2] - wb:])[:, :, -strip:]
-            else:
-                h_t, h_b = h[:, :strip], h[:, hh - strip:]
-                h_l, h_r = h[:, :, :strip], h[:, :, ww - strip:]
-            # opposing strips batched into ONE original-tail call each
-            # (its many small layout ops are latency-bound on TPU)
-            tb = tail_fn(jnp.concatenate([h_t, h_b], axis=0))
-            lr_ = tail_fn(jnp.concatenate([h_l, h_r], axis=0))
-            top = strip_lr(tb[:n], rows=(0, bs))
-            bot = strip_lr(tb[n:], rows=(tb.shape[1] - bs, tb.shape[1]))
-            left = strip_lr(lr_[:n], cols=(0, bs))
-            right = strip_lr(lr_[n:], cols=(lr_.shape[2] - bs, lr_.shape[2]))
+    sp: a params state dict holding `upsample/conv{i}` and `final_conv`
+    (the chain of reference models/edsr.py:156-173 + :204-206). All
+    three returns are traced functions of sp, so the collapsed tail is
+    DIFFERENTIABLE — gradients flow to the original upsample/final-conv
+    parameters and training through the collapsed map is loss/grad-
+    equivalent to the plain chain (tests/test_collapsed_tail.py).
 
-            # Border replacement as pad+select arithmetic, NOT
-            # dynamic-update-slice: thin W-axis DUS at 48 channels
-            # measured 1.7 ms of latency-bound masked writes, while
-            # pads+selects fuse into the downstream shuffle's read.
-            # Regions are disjoint: side strips own the full-height
-            # columns (incl. corners), top/bot own the middle columns.
-            cdt = out_lr.dtype
-            row_idx = jnp.arange(hh)[None, :, None, None]
-            col_idx = jnp.arange(ww)[None, None, :, None]
-            in_side = (col_idx < b) | (col_idx >= ww - b)
-            in_topbot = ((row_idx < b) | (row_idx >= hh - b)) & ~in_side
-            frame = (
-                jnp.pad(left.astype(cdt), ((0, 0), (0, 0), (0, ww - b), (0, 0)))
-                + jnp.pad(right.astype(cdt), ((0, 0), (0, 0), (ww - b, 0), (0, 0)))
-                + jnp.pad(top.astype(cdt)[:, :, b:ww - b],
-                          ((0, 0), (0, hh - b), (b, b), (0, 0)))
-                + jnp.pad(bot.astype(cdt)[:, :, b:ww - b],
-                          ((0, 0), (hh - b, 0), (b, b), (0, 0)))
-            )
-            out_lr = jnp.where(in_side | in_topbot, frame, out_lr)
+    The composed kernel is obtained by a batched delta probe run inside
+    the graph: the response of the bias-less (pure linear) chain to
+    per-channel unit deltas IS the composed kernel. With FULL conv
+    padding nothing is truncated, so the probe canvas is exactly the
+    kernel support — (C, 1, 1, C) identity input, ~0.2 GMAC at EDSR
+    size, <1% of a training step. The bias tile is the biased chain's
+    zero response at the center of a (2R+1)² canvas (interior by the
+    same radius argument as apply_collapsed_tail's border band).
+    """
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
 
-        out = pixel_shuffle(out_lr, s)
-        n, hs, ws, c3 = out.shape
-        return (out.reshape(n, hs // s, s, ws // s, s, c3)
-                + tile[None, None, :, None, :, :]).reshape(n, hs, ws, c3)
+    f = 2 if scale != 3 else 3
+    up = sp["upsample"]
+    n_stages = len([k for k in up if k.startswith("conv")])
+    C = up["conv0"]["kernel"].shape[2]
 
-    return fast_tail
+    def full_conv(x, w):
+        kh = w.shape[0]
+        p = kh - 1
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # ---- kernel: delta probe of the bias-less chain, FULL padding ----
+    x = jnp.eye(C, dtype=jnp.float32).reshape(C, 1, 1, C)
+    start = 0  # true coordinate of probe index 0 (per-stage bookkeeping)
+    for i in range(n_stages):
+        w = jnp.asarray(up["conv%d" % i]["kernel"], jnp.float32)
+        x = full_conv(x, w)
+        start -= w.shape[0] // 2
+        x = pixel_shuffle(x, f)
+        start *= f
+    wf = jnp.asarray(sp["final_conv"]["kernel"], jnp.float32)
+    x = full_conv(x, wf)
+    start -= wf.shape[0] // 2
+
+    s = scale
+    T = x.shape[1]
+    R = (-start + s - 1) // s  # composed radius in LR px
+    pad_l = R * s + start
+    pad_r = (2 * R + 1) * s - T - pad_l
+    assert pad_l >= 0 and pad_r >= 0, (start, T, R)
+    xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (pad_l, pad_r), (0, 0)))
+    # padded index q' = (2R - U)*s + I: reshape to (cin, U', I, V', J, c),
+    # reorder to (U', V', cin, c, I, J), flip U'/V' (delta response is the
+    # spatially flipped kernel)
+    k = 2 * R + 1
+    kernel = xp.reshape(C, k, s, k, s, 3).transpose(1, 3, 0, 5, 2, 4)
+    kernel = jnp.flip(kernel.reshape(k, k, C, 3 * s * s), axis=(0, 1))
+    kernel = kernel.astype(dtype)
+
+    # ---- original chain with biases, in the caller's dtype ----
+    def tail_fn(h):
+        cdt = h.dtype
+
+        def conv(z, w, b):
+            return jax.lax.conv_general_dilated(
+                z, jnp.asarray(w, cdt), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(b, cdt)
+
+        out = h
+        for i in range(n_stages):
+            stage = up["conv%d" % i]
+            out = conv(out, stage["kernel"], stage["bias"])
+            out = pixel_shuffle(out, f)
+        out = conv(out, sp["final_conv"]["kernel"], sp["final_conv"]["bias"])
+        return out - jnp.asarray(DIV2K_RGB_MEAN, cdt)
+
+    # ---- interior bias tile: zero response at the canvas center ----
+    zero = jnp.zeros((1, 2 * R + 1, 2 * R + 1, C), dtype)
+    resp = tail_fn(zero)
+    bias_tile = resp[0, R * s:(R + 1) * s, R * s:(R + 1) * s, :]
+
+    return kernel, bias_tile, tail_fn
 
 
 def bicubic_phase_conv_kernel(scale: int, channels: int = 3) -> np.ndarray:

@@ -368,6 +368,68 @@ def make_packed_edsr_train_forward(model, dtype=jnp.float32):
     return forward
 
 
+def make_packed_collapsed_edsr_train_forward(model, dtype=jnp.float32):
+    """Differentiable EDSR forward: width-packed trunk + LIVE collapsed
+    tail. Nothing is baked — the collapsed tail kernel is re-composed
+    from the CURRENT upsample/final-conv params inside the graph
+    (ops/collapsed_tail.live_collapsed_edsr_tail, a <1%-of-step delta
+    probe), so gradients flow to the original parameters and training is
+    loss/grad-equivalent to module.apply (tests/test_collapsed_tail.py).
+
+    Motivation (BASELINE.md training table): with the trunk packed, the
+    EDSR training step is tail-bound — the 256-channel PixelShuffle
+    transposes run in fwd AND bwd. The collapsed tail removes them for
+    the patch interior in both directions (tail FLOPs 1.53 -> ~0.15
+    MF/LR-px); the border band recomputes the original live chain on
+    thin strips, exactly as at inference.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
+    from larvanet_tpu.ops.collapsed_tail import (
+        apply_collapsed_tail, live_collapsed_edsr_tail)
+
+    scale = model.scale
+    res_weight = float(getattr(model.args, "edsr_res_weight", 1.0))
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, w, b):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(w, dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(b, dtype)
+
+        n, hh, ww, _ = x.shape
+        h = x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype)
+        h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
+        h0, mask1, mask0, odd = packed_entry(h, dtype)
+
+        res = h0
+        i = 0
+        while ("res_block_%d" % i) in sp:
+            blk = sp["res_block_%d" % i]
+            res = packed_block(res, blk, mask1, mask0, res_weight, dtype=dtype)
+            i += 1
+
+        kernel, bias_tile, tail_fn = live_collapsed_edsr_tail(sp, scale, dtype)
+        if not odd:
+            # stay packed through after_res_conv + global skip into the
+            # collapsed tail's packed conv (no 64<->128 relayouts)
+            arc = sp["after_res_conv"]
+            kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
+            res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
+            return apply_collapsed_tail(h0 + res, kernel, bias_tile, tail_fn,
+                                        scale, packed=True)
+        res = unpack_w(res)[:, :, :ww]
+        h = unpack_w(h0)[:, :, :ww]
+        res = conv(res, sp["after_res_conv"]["kernel"], sp["after_res_conv"]["bias"])
+        return apply_collapsed_tail(h + res, kernel, bias_tile, tail_fn, scale)
+
+    return forward
+
+
 def packed_block(h0, blk, mask1, mask0=None, res_weight=1.0, act=jax.nn.relu,
                  dtype=jnp.float32):
     """packed_resblock from a {conv1: {kernel,bias}, conv2: ...} subtree."""
@@ -1250,20 +1312,6 @@ def make_packed_mamnet_forward(model, dtype=jnp.float32):
         h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["first_conv"])
         h0, mask1, mask0, odd = packed_entry(h, dtype)
 
-        def mam(t, p):
-            # channel stats combine the two column slots' moments
-            s1 = jnp.sum(t, axis=(1, 2), keepdims=True)
-            s2 = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(1, 2), keepdims=True)
-            s1 = s1[..., :F] + s1[..., F:]
-            s2 = s2[..., :F] + s2[..., F:]
-            mean = s1.astype(jnp.float32) / n_pix
-            var = ((s2 - n_pix * jnp.square(mean)) / max(n_pix - 1, 1)).astype(dtype)
-            icd = conv(jax.nn.relu(conv(var, p["mam"]["du1"])), p["mam"]["du2"])
-            csd = depthwise_packed(t, p["mam"]["depthwise"]["kernel"], dtype) \
-                + pack_bias(jnp.asarray(p["mam"]["depthwise"]["bias"], dtype))
-            gate = jax.nn.sigmoid(jnp.tile(var + icd, (1, 1, 1, 2)) + csd)
-            return t * gate
-
         res = h0
         for i in range(mod.num_blocks):
             blk = sp["mam_block_%d" % i]
@@ -1272,7 +1320,7 @@ def make_packed_mamnet_forward(model, dtype=jnp.float32):
             t = jax.nn.relu(t) * mask1
             t = conv_b(t, pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
                        pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)))
-            t = mam(t, blk)
+            t = packed_mam_gate(t, blk, F, n_pix, dtype)
             if res_weight != 1.0:
                 t = t * jnp.asarray(res_weight, dtype)
             res = res + t
@@ -1281,6 +1329,95 @@ def make_packed_mamnet_forward(model, dtype=jnp.float32):
         kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
         res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
         return fast_tail(h0 + res, packed=True)
+
+    forward.__wrapped_tail__ = fast_tail
+    return forward
+
+
+def packed_mam_gate(t, blk, F, n_pix, dtype):
+    """MAM attention on a grid0-packed tensor (reference
+    models/mamnet.py:152-173): the channel variance (CSI) combines the
+    two column slots' moments, the 1x1 squeeze/excite (ICD) acts on the
+    tiny (N,1,1,F) statistics, and the depthwise CSD decomposes via
+    depthwise_packed; sigmoid gate multiplies the packed features."""
+
+    def conv(h, p):
+        return jax.lax.conv_general_dilated(
+            h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(p["bias"], dtype)
+
+    s1 = jnp.sum(t, axis=(1, 2), keepdims=True)
+    s2 = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(1, 2), keepdims=True)
+    s1 = s1[..., :F] + s1[..., F:]
+    s2 = s2[..., :F] + s2[..., F:]
+    mean = s1.astype(jnp.float32) / n_pix
+    var = ((s2 - n_pix * jnp.square(mean)) / max(n_pix - 1, 1)).astype(dtype)
+    icd = conv(jax.nn.relu(conv(var, blk["mam"]["du1"])), blk["mam"]["du2"])
+    csd = depthwise_packed(t, blk["mam"]["depthwise"]["kernel"], dtype) \
+        + pack_bias(jnp.asarray(blk["mam"]["depthwise"]["bias"], dtype))
+    gate = jax.nn.sigmoid(jnp.tile(var + icd, (1, 1, 1, 2)) + csd)
+    return t * gate
+
+
+def make_int8_mamnet_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized MAMNet inference: each MAMBlock's conv pair
+    runs int8 through the generic pair runner (kind='none'); the MAM
+    attention (variance CSI + 1x1 ICD + depthwise CSD, reference
+    models/mamnet.py:152-173), the residual stream, head, and the
+    collapsed tail stay bf16. Calibration / accuracy caveats identical
+    to make_int8_edsr_forward (NOT float-exact)."""
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
+
+    packed = make_packed_mamnet_forward(model, dtype=dtype)
+    fast_tail = packed.__wrapped_tail__
+    mod = model.module
+    F = mod.features
+    res_weight = float(mod.res_weight)
+    sp0 = serialization.to_state_dict(model.params)
+    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
+
+    def walk(params, x, pair):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        x = x.astype(dtype)
+        n, hh, ww, _ = x.shape
+        n_pix = hh * ww
+        h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["first_conv"])
+        h0 = pack_w(h)
+        mask1 = grid1_mask(h0.shape[2] + 1, F, dtype)
+        res = h0
+        for i in range(mod.num_blocks):
+            blk = sp["mam_block_%d" % i]
+            t = pair(i, res, blk["conv1"], blk["conv2"], mask1, kind="none")
+            t = packed_mam_gate(t, blk, F, n_pix, dtype)
+            if res_weight != 1.0:
+                t = t * jnp.asarray(res_weight, dtype)
+            res = res + t
+        arc = sp["after_res_conv"]
+        kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
+        res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
+        return fast_tail(h0 + res, packed=True)
+
+    calib = jnp.asarray(calib_batch, jnp.float32)
+    if calib.shape[2] % 2:
+        raise ValueError("int8 MAMNet calibration batch must have even width")
+    _ = walk(model.params, calib, pair_bf16)
+    finish([(sp0["mam_block_%d" % i]["conv1"], sp0["mam_block_%d" % i]["conv2"])
+            for i in range(mod.num_blocks)])
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("int8 trunk requires even width")
+        return walk(params, x, pair_int8)
 
     return forward
 

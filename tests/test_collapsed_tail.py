@@ -71,3 +71,71 @@ def test_larvanet_base_fold_rejects_other_configs():
     m.prepare(is_training=False, scales=[4])
     with pytest.raises(ValueError):
         make_collapsed_larvanet_forward(m)
+
+
+def test_live_tail_composition_matches_probe(rng):
+    """The in-graph (differentiable) delta-probe composition equals the
+    numeric probe extraction for every upsample-chain shape."""
+    from flax import serialization
+
+    from larvanet_tpu.ops.collapsed_tail import (
+        extract_collapsed_kernel, live_collapsed_edsr_tail)
+
+    for scale in (2, 3, 4):
+        m = get_model("edsr")
+        m.parse_args(["--edsr_conv_features", "8", "--edsr_res_blocks", "1"])
+        m.prepare(is_training=False, scales=[scale])
+        sp = serialization.to_state_dict(m.params)
+        kernel, bias_tile, tail_fn = live_collapsed_edsr_tail(sp, scale)
+        ref = extract_collapsed_kernel(tail_fn, 8, scale, radius=3)
+        r = kernel.shape[0] // 2
+        t = 3 - r
+        if t > 0:
+            assert not np.any(ref[:t]) and not np.any(ref[-t:])
+            ref = ref[t:-t, t:-t]
+        np.testing.assert_allclose(np.asarray(kernel), ref, atol=1e-5)
+        canvas = 14
+        cc = canvas // 2
+        zr = np.asarray(tail_fn(jnp.zeros((1, canvas, canvas, 8), jnp.float32)))
+        np.testing.assert_allclose(
+            np.asarray(bias_tile),
+            zr[0, cc * scale:(cc + 1) * scale, cc * scale:(cc + 1) * scale],
+            atol=1e-5)
+
+
+@pytest.mark.parametrize("hw", [(12, 16), (11, 13)])
+def test_packed_collapsed_train_forward_matches(hw, rng):
+    from larvanet_tpu.ops.packed_trunk import (
+        make_packed_collapsed_edsr_train_forward)
+
+    m = get_model("edsr")
+    m.parse_args(["--edsr_conv_features", "8", "--edsr_res_blocks", "2",
+                  "--edsr_res_weight", "0.5"])
+    m.prepare(is_training=True, scales=[4])
+    fwd = make_packed_collapsed_edsr_train_forward(m)
+    x = jnp.asarray(rng.uniform(0, 255, (2, *hw, 3)).astype(np.float32))
+    ref = np.asarray(m.module.apply({"params": m.params}, x))
+    got = np.asarray(jax.jit(fwd)(m.params, x))
+    np.testing.assert_allclose(got, ref, atol=0.1)
+
+
+def test_packed_collapsed_train_grads_match(rng):
+    """Gradients through the live collapsed tail equal the plain graph's
+    for EVERY parameter (trunk AND the composed upsample/final convs)."""
+    from larvanet_tpu.ops.packed_trunk import (
+        make_packed_collapsed_edsr_train_forward)
+
+    m = get_model("edsr")
+    m.parse_args(["--edsr_conv_features", "8", "--edsr_res_blocks", "1"])
+    m.prepare(is_training=True, scales=[4])
+    fwd = make_packed_collapsed_edsr_train_forward(m)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 12, 12, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 255, (2, 48, 48, 3)).astype(np.float32))
+
+    gr = jax.grad(lambda p: jnp.mean(jnp.abs(
+        m.module.apply({"params": p}, x) - t)))(m.params)
+    gn = jax.grad(lambda p: jnp.mean(jnp.abs(fwd(p, x) - t)))(m.params)
+    fr = np.asarray(jax.flatten_util.ravel_pytree(gr)[0])
+    fn = np.asarray(jax.flatten_util.ravel_pytree(gn)[0])
+    scale = max(np.abs(fr).max(), 1.0)
+    np.testing.assert_allclose(fn, fr, atol=2e-4 * scale)

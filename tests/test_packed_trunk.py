@@ -492,3 +492,25 @@ def test_packed_imdn_matches_plain():
     tt = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
     assert abs(float(m._compute_loss(m.params, xt, tt))
                - float(m2._compute_loss(m2.params, xt, tt))) < 1e-3
+
+
+def test_int8_mamnet_forward_close_to_float():
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import (
+        make_int8_mamnet_forward, make_packed_mamnet_forward)
+
+    rng = np.random.default_rng(0)
+    m = get_model("mamnet")
+    m.parse_args(["--mamnet_res_blocks", "3", "--mamnet_conv_features", "16"])
+    m.prepare(is_training=False, scales=[4])
+    calib = rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32)
+    fq = make_int8_mamnet_forward(m, calib, dtype=jnp.float32)
+    fr = make_packed_mamnet_forward(m, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 3)).astype(np.float32))
+    a = np.asarray(fq(m.params, x)).astype(np.float64)
+    b = np.asarray(fr(m.params, x)).astype(np.float64)
+    psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
+    assert psnr > 55.0, psnr
+
+    with pytest.raises(ValueError):
+        fq(m.params, jnp.zeros((1, 16, 15, 3), jnp.float32))
