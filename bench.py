@@ -52,6 +52,8 @@ def main():
                         help="Use the exact collapsed linear tail for EDSR-style models (ops/collapsed_tail.py).")
     parser.add_argument("--packed_trunk", type=int, default=1,
                         help="Width-packed trunk (3x2/128ch convs, ops/packed_trunk.py); exact, ~2x per trunk conv on v5e.")
+    parser.add_argument("--packed_full_ebrn", type=int, default=0,
+                        help="Opt-in packed HR flows for full EBRN (exact but measured slower; BASELINE.md).")
     parser.add_argument("--int8_trunk", type=int, default=0,
                         help="Opt-in W8A8 quantized trunk for EDSR (316 TOPS on v5e; "
                              "statically calibrated, NOT float-exact — see ops/packed_trunk.py).")
@@ -153,6 +155,12 @@ def main():
 
         forward = make_packed_ebrn_rm_forward(model, dtype=dtype)
         log("using width-packed trunk")
+    elif args.packed_full_ebrn and args.model == "ebrn":
+        # documented negative result (18% slower; BASELINE.md) — opt-in
+        from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_forward
+
+        forward = make_packed_ebrn_forward(model, dtype=dtype)
+        log("using width-packed HR flows")
     elif args.packed_trunk and args.model.startswith("REGO"):
         from larvanet_tpu.ops.packed_trunk import make_packed_rego_forward
 

@@ -166,6 +166,12 @@ class _EBRNBase(SRModel):
         parser.add_argument("--packed_trunk", type=int, default=1,
                             help="Width-packed trunk for the ebrn_rm variants (exact; "
                                  "ops/packed_trunk.py); full EBRN runs the plain graph.")
+        parser.add_argument("--packed_full_ebrn", type=int, default=0,
+                            help="Width-packed HR flows for FULL EBRN (exact) — measured "
+                                 "18%% SLOWER on v5e (the 64<->128-channel relayouts at "
+                                 "every up/down-projection boundary outweigh the conv win "
+                                 "on EBRN's huge HR tensors; BASELINE.md negative result). "
+                                 "Kept opt-in.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -211,9 +217,37 @@ class _EBRNRMPackedMixin:
         return super()._compute_loss(params, inputs, targets)
 
 
+class _EBRNPackedMixin:
+    """--packed_full_ebrn routing for FULL EBRN (exact; ops/packed_trunk.
+    make_packed_ebrn_forward). OPT-IN: measured 18% slower on v5e
+    (BASELINE.md negative result), default runs the plain graph. Even
+    widths only — odd-width inputs run the plain graph."""
+
+    def prepare(self, is_training, scales, global_step=0, seed=0):
+        self._packed_cache = None
+        super().prepare(is_training, scales, global_step=global_step, seed=seed)
+
+    def _packed_fwd(self):
+        if getattr(self, "_packed_cache", None) is None:
+            from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_forward
+
+            self._packed_cache = make_packed_ebrn_forward(self)
+        return self._packed_cache
+
+    def _forward_impl(self, params, x):
+        if getattr(self.args, "packed_full_ebrn", 0) and x.shape[2] % 2 == 0:
+            return self._packed_fwd()(params, x)
+        return super()._forward_impl(params, x)
+
+    def _compute_loss(self, params, inputs, targets):
+        if getattr(self.args, "packed_full_ebrn", 0) and inputs.shape[2] % 2 == 0:
+            return self.loss(self._packed_fwd()(params, inputs), targets)
+        return super()._compute_loss(params, inputs, targets)
+
+
 @register_model("ebrn")
 def _create_ebrn():
-    return type("EBRN", (_EBRNBase,), {})()
+    return type("EBRN", (_EBRNPackedMixin, _EBRNBase,), {})()
 
 
 @register_model("ebrn_rm")

@@ -99,8 +99,41 @@ class MAMNet(SRModel):
                             help="Learning rate decay factor.")
         parser.add_argument("--mamnet_learning_rate_decay_steps", type=int, default=200000,
                             help="The number of training steps to perform learning rate decay.")
+        parser.add_argument("--packed_trunk_train", type=int, default=0,
+                            help="Fully width-packed TRAINING graph (exact incl. the MAM "
+                                 "attention) — measured 5.7x SLOWER on v5e (the decomposed "
+                                 "depthwise CSD backward is latency-bound; BASELINE.md "
+                                 "negative result). Kept opt-in; default trains the plain "
+                                 "trunk. Even-width patches only.")
+        parser.add_argument("--collapsed_tail_train", type=int, default=1,
+                            help="Train through the LIVE collapsed tail (plain trunk; "
+                                 "loss/grad-equivalent, removes the 256-ch PixelShuffle "
+                                 "transposes from fwd+bwd; ops/packed_trunk.py). "
+                                 "0 = plain module graph.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
+
+    def prepare(self, is_training, scales, global_step=0, seed=0):
+        self._packed_train = None
+        self._collapsed_train = None
+        super().prepare(is_training, scales, global_step=global_step, seed=seed)
+
+    def _compute_loss(self, params, inputs, targets):
+        if getattr(self.args, "packed_trunk_train", 0) and inputs.shape[2] % 2 == 0:
+            if getattr(self, "_packed_train", None) is None:
+                from larvanet_tpu.ops.packed_trunk import (
+                    make_packed_collapsed_mamnet_train_forward)
+
+                self._packed_train = make_packed_collapsed_mamnet_train_forward(self)
+            return self.loss(self._packed_train(params, inputs), targets)
+        if getattr(self.args, "collapsed_tail_train", 0):
+            if getattr(self, "_collapsed_train", None) is None:
+                from larvanet_tpu.ops.packed_trunk import (
+                    make_collapsed_mamnet_train_forward)
+
+                self._collapsed_train = make_collapsed_mamnet_train_forward(self)
+            return self.loss(self._collapsed_train(params, inputs), targets)
+        return super()._compute_loss(params, inputs, targets)
 
     def build_module(self):
         return MAMNetModule(

@@ -1159,6 +1159,142 @@ def _grid1_to_grid0_identity(c, dtype):
     return jnp.asarray(k, dtype)
 
 
+def packed_prelu(t, slope, dtype):
+    """Per-channel PReLU on a packed tensor (slope broadcasts over the
+    column-offset axis, like biases)."""
+    s = pack_bias(jnp.asarray(slope, dtype))
+    return jnp.where(t >= 0, t, t * s)
+
+
+def make_packed_ebrn_forward(model, dtype=jnp.float32):
+    """Width-packed FULL EBRN forward (reference models/ebrn.py:135-233).
+
+    The cross-resolution projections (ConvTranspose up, strided down)
+    are structural and stay plain — but they are a small fraction of
+    EBRN's FLOPs. Everything running at a fixed grid packs:
+
+      * each BRM's 3-conv sr_flow at HR (the dominant cost: 16x the LR
+        pixel count at x4) as conv_a -> conv_b -> conv_a with packed
+        PReLUs, closed by the tiny grid1->grid0 identity regather;
+      * each BRM's 3-conv bp_flow on the LR residual stream (the diff
+        stream stays grid0-packed across BRMs);
+      * the feature-extract pair fe1/fe2 (fe0's N=4F output already
+        fills the MXU, it stays plain);
+      * the reverse fusion cascade at HR: conv_a + regather per fusion
+        (no activation between fusion convs, so the regather reads only
+        real column slots and no masking is needed).
+
+    The concat recon conv (N=3) and mean shifts stay plain. Even input
+    widths only (HR width W*s is then even for every scale); callers
+    fall back to the plain graph for odd W. Differentiable — packing is
+    slicing/concat of the live parameters, so training uses it too.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
+
+    mod = model.module
+    F = mod.features
+    scale = model.scale
+    from larvanet_tpu.models.ebrn import _UP_GEOM
+
+    k_up, s_up, p_up = _UP_GEOM[scale]
+    n_brms = mod.num_brms
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+        if x.shape[2] % 2:
+            raise ValueError("packed EBRN requires even width")
+
+        def conv(h, p, strides=(1, 1), padding="SAME"):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), strides, padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        def conv_transpose(h, p):
+            pad = k_up - 1 - p_up
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1),
+                [(pad, pad), (pad, pad)], lhs_dilation=(s_up, s_up),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        def prelu(t, p):
+            s = jnp.asarray(p["slope"], dtype)
+            return jnp.where(t >= 0, t, t * s)
+
+        ident = _grid1_to_grid0_identity(F, dtype)
+
+        def regather(t):
+            return jax.lax.conv_general_dilated(
+                t, ident, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        def packed_stack3(h0, stack, mask1):
+            """3x (conv3x3 + PReLU) grid0 -> grid0 (a, b, a + regather)."""
+            t = conv_a(h0, pack_kernel_a(jnp.asarray(stack["conv0"]["kernel"], dtype)),
+                       pack_bias(jnp.asarray(stack["conv0"]["bias"], dtype)))
+            t = packed_prelu(t, stack["prelu0"]["slope"], dtype) * mask1
+            t = conv_b(t, pack_kernel_b(jnp.asarray(stack["conv1"]["kernel"], dtype)),
+                       pack_bias(jnp.asarray(stack["conv1"]["bias"], dtype)))
+            t = packed_prelu(t, stack["prelu1"]["slope"], dtype)
+            t = conv_a(t, pack_kernel_a(jnp.asarray(stack["conv2"]["kernel"], dtype)),
+                       pack_bias(jnp.asarray(stack["conv2"]["bias"], dtype)))
+            t = packed_prelu(t, stack["prelu2"]["slope"], dtype)
+            return regather(t)
+
+        x = x.astype(dtype)
+        h = x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
+        h = prelu(conv(h, sp["fe0"]), sp["fe_prelu0"])
+        # fe1/fe2 pack as an A/B pair (K=8F, N=2F fills the MXU)
+        h0 = pack_w(h)
+        mask1_f = grid1_mask(h0.shape[2] + 1, F, dtype)
+        t = conv_a(h0, pack_kernel_a(jnp.asarray(sp["fe1"]["kernel"], dtype)),
+                   pack_bias(jnp.asarray(sp["fe1"]["bias"], dtype)))
+        t = packed_prelu(t, sp["fe_prelu1"]["slope"], dtype) * mask1_f
+        t = conv_b(t, pack_kernel_b(jnp.asarray(sp["fe2"]["kernel"], dtype)),
+                   pack_bias(jnp.asarray(sp["fe2"]["bias"], dtype)))
+        fea0 = packed_prelu(t, sp["fe_prelu2"]["slope"], dtype)  # LR grid0
+
+        w2_lr = fea0.shape[2]
+        mask1_lr = grid1_mask(w2_lr + 1, F, dtype)
+        mask1_hr = None
+
+        sr_list = []
+        hp = fea0  # LR residual stream, grid0-packed
+        for i in range(n_brms):
+            brm = sp["brm_%d" % i]
+            up = conv_transpose(unpack_w(hp), brm["up_block"])  # HR, plain
+            up0 = pack_w(up)
+            if mask1_hr is None:
+                mask1_hr = grid1_mask(up0.shape[2] + 1, F, dtype)
+            sr = packed_stack3(up0, brm["sr_flow"], mask1_hr)  # HR grid0
+            if i == n_brms - 1:
+                sr_list.append(sr)
+                break
+            sr_list.append(sr)
+            down = conv(up, brm["down_block"], strides=(s_up, s_up),
+                        padding=[(p_up, p_up), (p_up, p_up)])
+            diff = hp - pack_w(down)
+            hp = diff + packed_stack3(diff, brm["bp_flow"], mask1_lr)
+
+        out = sr_list[-1]
+        out_list = [out]
+        for i in range(n_brms - 1):
+            z = out + sr_list[-(i + 2)]
+            t = conv_a(z, pack_kernel_a(jnp.asarray(sp["fusion_%d" % i]["kernel"], dtype)),
+                       pack_bias(jnp.asarray(sp["fusion_%d" % i]["bias"], dtype)))
+            out = regather(t)  # no activation: overhang slots unread
+            out_list.append(out)
+
+        cat = jnp.concatenate([unpack_w(o) for o in out_list], axis=-1)
+        rec = conv(cat, sp["recon"])
+        return rec - jnp.asarray(DIV2K_RGB_MEAN, dtype)
+
+    return forward
+
+
 def make_packed_imdn_forward(model, dtype=jnp.float32):
     """Width-packed IMDN forward (reference models/imdn_aim2019.py): the
     four 3x3 convs per IMDBlock alternate grid0->grid1->grid0 (A/B
@@ -1358,6 +1494,130 @@ def packed_mam_gate(t, blk, F, n_pix, dtype):
         + pack_bias(jnp.asarray(blk["mam"]["depthwise"]["bias"], dtype))
     gate = jax.nn.sigmoid(jnp.tile(var + icd, (1, 1, 1, 2)) + csd)
     return t * gate
+
+
+def make_packed_collapsed_mamnet_train_forward(model, dtype=jnp.float32):
+    """Differentiable MAMNet forward: width-packed trunk (incl. the MAM
+    attention via packed_mam_gate — its variance stats, 1x1 squeeze and
+    depthwise CSD are all differentiable packings) + LIVE collapsed tail
+    (MAMNet's upsample chain is the same linear conv/PixelShuffle stack
+    as EDSR's, reference models/mamnet.py:186-193). Loss/grad-equivalent
+    to module.apply; see make_packed_collapsed_edsr_train_forward for
+    the motivation and mechanics.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
+    from larvanet_tpu.ops.collapsed_tail import (
+        apply_collapsed_tail, live_collapsed_edsr_tail)
+
+    mod = model.module
+    F = mod.features
+    scale = model.scale
+    res_weight = float(mod.res_weight)
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p["bias"], dtype)
+
+        n, hh, ww, _ = x.shape
+        n_pix = hh * ww
+        h = conv(x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype),
+                 sp["first_conv"])
+        h0, mask1, mask0, odd = packed_entry(h, dtype)
+        if odd:
+            # the packed MAM variance would see the pad column; keep the
+            # odd-width path on the plain graph (callers' training
+            # patches are even)
+            raise ValueError("packed MAMNet training requires even width")
+
+        res = h0
+        for i in range(mod.num_blocks):
+            blk = sp["mam_block_%d" % i]
+            t = conv_a(res, pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
+                       pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)))
+            t = jax.nn.relu(t) * mask1
+            t = conv_b(t, pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
+                       pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)))
+            t = packed_mam_gate(t, blk, F, n_pix, dtype)
+            if res_weight != 1.0:
+                t = t * jnp.asarray(res_weight, dtype)
+            res = res + t
+
+        arc = sp["after_res_conv"]
+        kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
+        res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
+        kernel, bias_tile, tail_fn = live_collapsed_edsr_tail(sp, scale, dtype)
+        return apply_collapsed_tail(h0 + res, kernel, bias_tile, tail_fn,
+                                    scale, packed=True)
+
+    return forward
+
+
+def make_collapsed_mamnet_train_forward(model, dtype=jnp.float32):
+    """Differentiable MAMNet forward: PLAIN trunk + LIVE collapsed tail.
+
+    The fully packed training graph (make_packed_collapsed_mamnet_
+    train_forward) measured 5.7x SLOWER than the plain graph on v5e
+    (11.1 -> 62.8 ms/step): the decomposed depthwise CSD's backward is
+    latency-bound, the dwsr negative result squared (BASELINE.md). The
+    tail collapse is orthogonal and keeps its win, so training defaults
+    to this variant: trunk exactly as module.apply, upsample chain
+    collapsed from live weights (see make_packed_collapsed_edsr_
+    train_forward).
+    """
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
+    from larvanet_tpu.ops.collapsed_tail import (
+        apply_collapsed_tail, live_collapsed_edsr_tail)
+
+    mod = model.module
+    F = mod.features
+    scale = model.scale
+    res_weight = float(mod.res_weight)
+
+    def forward(params, x):
+        sp = serialization.to_state_dict(params)
+
+        def conv(h, p, groups=1):
+            return jax.lax.conv_general_dilated(
+                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+            ) + jnp.asarray(p["bias"], dtype)
+
+        n, hh, ww, _ = x.shape
+        n_pix = hh * ww
+        h = conv(x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype),
+                 sp["first_conv"])
+        res = h
+        for i in range(mod.num_blocks):
+            blk = sp["mam_block_%d" % i]
+            t = jax.nn.relu(conv(res, blk["conv1"]))
+            t = conv(t, blk["conv2"])
+            # MAM gate (reference models/mamnet.py:151-172; ddof=1 variance)
+            mean = jnp.mean(t, axis=(1, 2), keepdims=True)
+            var = jnp.sum(jnp.square(t - mean), axis=(1, 2), keepdims=True) \
+                / max(n_pix - 1, 1)
+            icd = conv(jax.nn.relu(conv(var, blk["mam"]["du1"])), blk["mam"]["du2"])
+            csd = conv(t, blk["mam"]["depthwise"], groups=F)
+            t = t * jax.nn.sigmoid(var + icd + csd)
+            if res_weight != 1.0:
+                t = t * jnp.asarray(res_weight, dtype)
+            res = res + t
+
+        res = conv(res, sp["after_res_conv"])
+        h = h + res
+        kernel, bias_tile, tail_fn = live_collapsed_edsr_tail(sp, scale, dtype)
+        return apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale)
+
+    return forward
 
 
 def make_int8_mamnet_forward(model, calib_batch, dtype=jnp.bfloat16):

@@ -514,3 +514,101 @@ def test_int8_mamnet_forward_close_to_float():
 
     with pytest.raises(ValueError):
         fq(m.params, jnp.zeros((1, 16, 15, 3), jnp.float32))
+
+
+def test_packed_collapsed_mamnet_train_forward_and_grads():
+    """Training graph for MAMNet: packed trunk + LIVE collapsed tail must
+    be loss/grad-equivalent to the plain module graph."""
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import (
+        make_packed_collapsed_mamnet_train_forward)
+
+    rng = np.random.default_rng(0)
+    m = get_model("mamnet")
+    m.parse_args(["--mamnet_res_blocks", "2", "--mamnet_conv_features", "16",
+                  "--mamnet_res_weight", "0.5"])
+    m.prepare(is_training=True, scales=[4])
+    fwd = make_packed_collapsed_mamnet_train_forward(m)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 12, 14, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 255, (2, 48, 56, 3)).astype(np.float32))
+    ref = np.asarray(m.module.apply({"params": m.params}, x))
+    got = np.asarray(jax.jit(fwd)(m.params, x))
+    np.testing.assert_allclose(got, ref, atol=0.1)
+
+    gr = jax.grad(lambda p: jnp.mean(jnp.abs(
+        m.module.apply({"params": p}, x) - t)))(m.params)
+    gn = jax.grad(lambda p: jnp.mean(jnp.abs(fwd(p, x) - t)))(m.params)
+    fr = np.asarray(jax.flatten_util.ravel_pytree(gr)[0])
+    fn = np.asarray(jax.flatten_util.ravel_pytree(gn)[0])
+    scale = max(np.abs(fr).max(), 1.0)
+    np.testing.assert_allclose(fn, fr, atol=2e-4 * scale)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_packed_ebrn_full_matches(scale):
+    """Full EBRN: packed HR sr_flows/fusions + LR bp_flows are exact."""
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_forward
+
+    rng = np.random.default_rng(0)
+    m = get_model("ebrn")
+    m.parse_args(["--num_filters", "8", "--num_brms", "3"])
+    m.prepare(is_training=False, scales=[scale])
+    fwd = make_packed_ebrn_forward(m, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 6, 8, 3)).astype(np.float32))
+    ref = np.asarray(m.module.apply({"params": m.params}, x))
+    got = np.asarray(jax.jit(fwd)(m.params, x))
+    np.testing.assert_allclose(got, ref, atol=0.05)
+
+    with pytest.raises(ValueError):
+        fwd(m.params, jnp.zeros((1, 6, 7, 3), jnp.float32))
+
+
+def test_packed_ebrn_full_grads_match():
+    """The packed full-EBRN graph is differentiable and grad-equivalent
+    (opt-in via --packed_full_ebrn; a documented negative result on v5e,
+    kept exact and tested)."""
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_forward
+
+    rng = np.random.default_rng(1)
+    m = get_model("ebrn")
+    m.parse_args(["--num_filters", "8", "--num_brms", "2"])
+    m.prepare(is_training=True, scales=[4])
+    fwd = make_packed_ebrn_forward(m, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 6, 6, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 255, (1, 24, 24, 3)).astype(np.float32))
+    gr = jax.grad(lambda p: jnp.mean(jnp.abs(
+        m.module.apply({"params": p}, x) - t)))(m.params)
+    gn = jax.grad(lambda p: jnp.mean(jnp.abs(fwd(p, x) - t)))(m.params)
+    fr = np.asarray(jax.flatten_util.ravel_pytree(gr)[0])
+    fn = np.asarray(jax.flatten_util.ravel_pytree(gn)[0])
+    scale = max(np.abs(fr).max(), 1.0)
+    np.testing.assert_allclose(fn, fr, atol=2e-4 * scale)
+
+
+def test_collapsed_mamnet_train_forward_and_grads():
+    """Default MAMNet training graph: plain trunk + LIVE collapsed tail
+    (the fully packed variant is a documented negative result)."""
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import (
+        make_collapsed_mamnet_train_forward)
+
+    rng = np.random.default_rng(0)
+    m = get_model("mamnet")
+    m.parse_args(["--mamnet_res_blocks", "2", "--mamnet_conv_features", "16"])
+    m.prepare(is_training=True, scales=[4])
+    fwd = make_collapsed_mamnet_train_forward(m)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 12, 14, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 255, (2, 48, 56, 3)).astype(np.float32))
+    ref = np.asarray(m.module.apply({"params": m.params}, x))
+    got = np.asarray(jax.jit(fwd)(m.params, x))
+    np.testing.assert_allclose(got, ref, atol=0.1)
+
+    gr = jax.grad(lambda p: jnp.mean(jnp.abs(
+        m.module.apply({"params": p}, x) - t)))(m.params)
+    gn = jax.grad(lambda p: jnp.mean(jnp.abs(fwd(p, x) - t)))(m.params)
+    fr = np.asarray(jax.flatten_util.ravel_pytree(gr)[0])
+    fn = np.asarray(jax.flatten_util.ravel_pytree(gn)[0])
+    scale = max(np.abs(fr).max(), 1.0)
+    np.testing.assert_allclose(fn, fr, atol=2e-4 * scale)
