@@ -78,8 +78,21 @@ class EDSR(SRModel):
                                  "equivalent, removes the 256-ch PixelShuffle transposes "
                                  "from fwd+bwd; ops/packed_trunk.py). Requires "
                                  "--packed_trunk. 0 = plain live tail.")
+        parser.add_argument("--train_dtype", type=str, default="f32",
+                            choices=["f32", "bf16"],
+                            help="Compute dtype of the training graph. bf16 = mixed "
+                                 "precision: convs/activations in bfloat16, loss "
+                                 "reduction, master params, grads, and optimizer in "
+                                 "f32. NOT bit-identical to f32 training — validate "
+                                 "convergence on your recipe (BASELINE.md).")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
+
+    def _train_compute_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if getattr(self.args, "train_dtype", "f32") == "bf16" \
+            else jnp.float32
 
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
@@ -92,7 +105,8 @@ class EDSR(SRModel):
                 builder = (make_packed_collapsed_edsr_train_forward
                            if getattr(self.args, "collapsed_tail_train", 0)
                            else make_packed_edsr_train_forward)
-                self._packed_train = builder(self)
+                self._packed_train = builder(self, dtype=self._train_compute_dtype())
+            # bf16 out - f32 targets promotes: the loss reduction stays f32
             return self.loss(self._packed_train(params, inputs), targets)
         return super()._compute_loss(params, inputs, targets)
 
