@@ -79,6 +79,126 @@ def extract_collapsed_kernel(
     return kernel
 
 
+def extract_border_ops(tail_fn, in_channels, scale, r, bias_tile):
+    """Probe the exact border behavior of a linear tail as FOUR 1-D convs
+    plus dense corner operators (all baked numpy; inference only).
+
+    The collapsed conv is exact only in the interior; the current strip
+    stitching recomputes the original tail on 4 thin strips, which costs
+    ~12% of the EDSR forward in latency-bound layout ops (device trace,
+    BASELINE.md). But the exact LR-domain output on the b=r border rows
+    is itself a LINEAR, shift-invariant-along-the-edge map of the
+    (b+r)-row input strip — so it collapses into a 1-D conv with the
+    strip rows folded into channels (K=(2r+1)·(b+r)·C, MXU-shaped),
+    probed the same way as the main kernel. Shift invariance breaks
+    within r of the corners; the 2b x 2b corner cells get dense probed
+    matrices (one (2b)²C -> b²·3s² matmul per corner).
+
+    Probes run on canvases whose relevant edges ARE true borders, so the
+    responses reproduce the original chain's per-stage truncation
+    exactly (same argument as the strip halo: a kept output row < b
+    depends on input rows <= b-1+r, and the canvas's far-edge truncation
+    only reaches outputs within r of that edge).
+
+    Returns a dict of numpy arrays; biases have the interior bias tile
+    pre-subtracted (the global post-shuffle tile add restores it, as in
+    the strip path).
+    """
+    b = r
+    s = scale
+    C = in_channels
+    q = 3 * s * s
+    Hs = b + r
+    Wc = 4 * r + 2
+    cc = Wc // 2
+    tile_q = np.asarray(bias_tile).transpose(2, 0, 1).reshape(q)  # (c,I,J)
+
+    # probe on the host CPU backend: the probes are tiny (<100 GFLOP)
+    # but each canvas shape would otherwise cost a multi-minute remote
+    # TPU compile over this environment's AOT tunnel (CLAUDE.md)
+    try:
+        _cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        _cpu = None
+    _jitted = jax.jit(tail_fn)
+
+    def probe(x):
+        if _cpu is None:
+            return _jitted(x)
+        with jax.default_device(_cpu):
+            return _jitted(jax.device_put(np.asarray(x), _cpu))
+
+    def unshuffle_lr(a):
+        # (..., H*s, W*s, 3) -> (..., H, W, q) with q = c*s*s + I*s + J
+        from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
+
+        return np.asarray(pixel_unshuffle(jnp.asarray(a), s))
+
+    # ---- horizontal sides (top & bottom share one probe) ----
+    P = Hs * C
+    canvas = np.zeros((P, Hs, Wc, C), np.float32)
+    idx = np.arange(P)
+    canvas[idx, idx // C, cc, idx % C] = 1.0
+    bias0 = np.asarray(probe(jnp.zeros((1, Hs, Wc, C), jnp.float32)))
+    resp = np.asarray(probe(jnp.asarray(canvas))) - bias0
+    lr = unshuffle_lr(resp)  # (P, Hs, Wc, q)
+    win = lr[:, :, cc - r:cc + r + 1, :]          # (P, Hs, 2r+1, q)
+    win = win.reshape(Hs, C, Hs, 2 * r + 1, q)     # (u, c, y, w+r, q)
+    # runtime conv kernel (kh=Hs, kw=2r+1, C, out): out ch order y-major;
+    # t = r - w  =>  flip the w axis
+    k_top = win[:, :, :b].transpose(0, 3, 1, 2, 4)[:, ::-1]  # (u, t, c, y, q)
+    k_top = np.ascontiguousarray(k_top.reshape(Hs, 2 * r + 1, C, b * q))
+    k_bot = win[:, :, r:].transpose(0, 3, 1, 2, 4)[:, ::-1]
+    k_bot = np.ascontiguousarray(k_bot.reshape(Hs, 2 * r + 1, C, b * q))
+    bias_lr = unshuffle_lr(bias0)[0]               # (Hs, Wc, q)
+    bias_top = (bias_lr[:b, cc] - tile_q).reshape(b * q)
+    bias_bot = (bias_lr[r:, cc] - tile_q).reshape(b * q)
+
+    # ---- vertical sides (left & right) ----
+    canvas = np.zeros((P, Wc, Hs, C), np.float32)
+    canvas[idx, cc, idx // C, idx % C] = 1.0
+    bias0v = np.asarray(probe(jnp.zeros((1, Wc, Hs, C), jnp.float32)))
+    respv = np.asarray(probe(jnp.asarray(canvas))) - bias0v
+    lrv = unshuffle_lr(respv)                      # (P, Wc, Hs, q)
+    winv = lrv[:, cc - r:cc + r + 1, :, :]         # (P, 2r+1, Hs, q)
+    winv = winv.reshape(Hs, C, 2 * r + 1, Hs, q)   # (v, c, w+r, j, q)
+    k_left = winv[:, :, ::-1, :b].transpose(2, 0, 1, 3, 4)  # (t, v, c, j, q)
+    k_left = np.ascontiguousarray(k_left.reshape(2 * r + 1, Hs, C, b * q))
+    k_right = winv[:, :, ::-1, r:].transpose(2, 0, 1, 3, 4)
+    k_right = np.ascontiguousarray(k_right.reshape(2 * r + 1, Hs, C, b * q))
+    bias_lrv = unshuffle_lr(bias0v)[0]             # (Wc, Hs, q)
+    bias_left = (bias_lrv[cc, :b] - tile_q).reshape(b * q)
+    bias_right = (bias_lrv[cc, r:] - tile_q).reshape(b * q)
+
+    # ---- corners: dense operators on (2b)x(2b) patches ----
+    n2 = 2 * b
+    P3 = n2 * n2 * C
+    canvas = np.zeros((P3, n2, n2, C), np.float32)
+    idx = np.arange(P3)
+    canvas[idx, idx // (n2 * C), (idx // C) % n2, idx % C] = 1.0
+    bias0c = np.asarray(probe(jnp.zeros((1, n2, n2, C), jnp.float32)))
+    respc = np.asarray(probe(jnp.asarray(canvas))) - bias0c
+    lrc = unshuffle_lr(respc)                      # (P3, n2, n2, q)
+    bias_c = unshuffle_lr(bias0c)[0]               # (n2, n2, q)
+    rows = {"t": slice(0, b), "b": slice(b, n2)}
+    cols = {"l": slice(0, b), "r": slice(b, n2)}
+    corner_k = {}
+    corner_b = {}
+    for rk, rs in rows.items():
+        for ck, cs in cols.items():
+            cells = lrc[:, rs, cs, :].reshape(P3, b * b * q)
+            corner_k[rk + ck] = np.ascontiguousarray(cells)
+            corner_b[rk + ck] = (bias_c[rs, cs] - tile_q).reshape(b * b * q)
+
+    return {
+        "b": b, "Hs": Hs, "q": q,
+        "k_top": k_top, "k_bot": k_bot, "bias_top": bias_top, "bias_bot": bias_bot,
+        "k_left": k_left, "k_right": k_right,
+        "bias_left": bias_left, "bias_right": bias_right,
+        "corner_k": corner_k, "corner_b": corner_b,
+    }
+
+
 def make_collapsed_tail(
     tail_fn: Callable[[jnp.ndarray], jnp.ndarray],
     in_channels: int,
@@ -103,6 +223,7 @@ def make_collapsed_tail(
     ):
         kernel_np = kernel_np[1:-1, 1:-1]
     kernel = jnp.asarray(kernel_np)
+    r = kernel_np.shape[0] // 2
 
     # interior bias tile: central s x s block of the zero response on a
     # canvas large enough that the block is interior
@@ -112,14 +233,19 @@ def make_collapsed_tail(
     bias_tile = np.asarray(tail_fn(zero))[0, cc * scale:(cc + 1) * scale,
                                           cc * scale:(cc + 1) * scale, :]
 
+    # baked path: probed border operators replace the strip recompute
+    border = extract_border_ops(tail_fn, in_channels, scale, r, bias_tile)
+
     def fast_tail(h, packed=False):
         return apply_collapsed_tail(h, kernel, jnp.asarray(bias_tile),
-                                    tail_fn, scale, packed=packed)
+                                    tail_fn, scale, packed=packed,
+                                    border=border)
 
     return fast_tail
 
 
-def apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale, packed=False):
+def apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale, packed=False,
+                         border=None):
     """Collapsed conv for the interior + original tail stitched onto an
     r-wide border frame (r = kernel radius).
 
@@ -180,7 +306,76 @@ def apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale, packed=False):
             h, kernel.astype(h.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    if b > 0:
+    if b > 0 and border is not None and b == r:
+        # probed border operators (extract_border_ops): 4 MXU-shaped 1-D
+        # convs + 4 tiny corner matmuls replace the original-tail strip
+        # recompute (which cost ~12% of the EDSR forward in latency-bound
+        # layout ops — device trace, BASELINE.md)
+        q = border["q"]
+        hs_ = border["Hs"]
+        n = h.shape[0]
+        cdt = out_lr.dtype
+        n2 = 2 * b
+        if packed:
+            wb = (hs_ + 1) // 2
+            wb2 = (n2 + 1) // 2
+            w2 = h0.shape[2]
+            top_in, bot_in = unpack_w(h0[:, :hs_]), unpack_w(h0[:, hh - hs_:])
+            left_in = unpack_w(h0[:, :, :wb])[:, :, :hs_]
+            right_in = unpack_w(h0[:, :, w2 - wb:])[:, :, -hs_:]
+            tl_in = unpack_w(h0[:, :n2, :wb2])[:, :, :n2]
+            tr_in = unpack_w(h0[:, :n2, w2 - wb2:])[:, :, -n2:]
+            bl_in = unpack_w(h0[:, hh - n2:, :wb2])[:, :, :n2]
+            br_in = unpack_w(h0[:, hh - n2:, w2 - wb2:])[:, :, -n2:]
+        else:
+            top_in, bot_in = h[:, :hs_], h[:, hh - hs_:]
+            left_in, right_in = h[:, :, :hs_], h[:, :, ww - hs_:]
+            tl_in, tr_in = h[:, :n2, :n2], h[:, :n2, ww - n2:]
+            bl_in, br_in = h[:, hh - n2:, :n2], h[:, hh - n2:, ww - n2:]
+
+        def side(x_in, k, bias, pad_hw):
+            out = jax.lax.conv_general_dilated(
+                x_in, jnp.asarray(k, cdt), (1, 1), pad_hw,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return out + jnp.asarray(bias, cdt)
+
+        top = side(top_in, border["k_top"], border["bias_top"],
+                   ((0, 0), (r, r))).reshape(n, ww, b, q).transpose(0, 2, 1, 3)
+        bot = side(bot_in, border["k_bot"], border["bias_bot"],
+                   ((0, 0), (r, r))).reshape(n, ww, b, q).transpose(0, 2, 1, 3)
+        left = side(left_in, border["k_left"], border["bias_left"],
+                    ((r, r), (0, 0))).reshape(n, hh, b, q)
+        right = side(right_in, border["k_right"], border["bias_right"],
+                     ((r, r), (0, 0))).reshape(n, hh, b, q)
+
+        def corner(x_in, key):
+            out = x_in.reshape(n, -1) @ jnp.asarray(border["corner_k"][key], cdt)
+            return (out + jnp.asarray(border["corner_b"][key], cdt)
+                    ).reshape(n, b, b, q)
+
+        tl, tr = corner(tl_in, "tl"), corner(tr_in, "tr")
+        bl, br = corner(bl_in, "bl"), corner(br_in, "br")
+
+        row_idx = jnp.arange(hh)[None, :, None, None]
+        col_idx = jnp.arange(ww)[None, None, :, None]
+        in_band = ((row_idx < b) | (row_idx >= hh - b)
+                   | (col_idx < b) | (col_idx >= ww - b))
+
+        def put(block, r0, c0):
+            return jnp.pad(block.astype(cdt),
+                           ((0, 0), (r0, hh - r0 - block.shape[1]),
+                            (c0, ww - c0 - block.shape[2]), (0, 0)))
+
+        frame = (
+            put(top[:, :, b:ww - b], 0, b)
+            + put(bot[:, :, b:ww - b], hh - b, b)
+            + put(left[:, b:hh - b], b, 0)
+            + put(right[:, b:hh - b], b, ww - b)
+            + put(tl, 0, 0) + put(tr, 0, ww - b)
+            + put(bl, hh - b, 0) + put(br, hh - b, ww - b)
+        )
+        out_lr = jnp.where(in_band, frame, out_lr)
+    elif b > 0:
         # halo = r suffices: kept output rows < b need input rows
         # <= b-1+r, and the strip's inner-edge truncation only
         # affects output rows >= strip - r = b

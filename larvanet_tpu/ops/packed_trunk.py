@@ -213,6 +213,28 @@ def packed_entry(h, dtype):
     return h0, mask1, mask0, odd
 
 
+def packed_entry_head(x, kernel, bias, dtype):
+    """conv3x3 head + packed_entry, with the conv itself running packed
+    for even widths (pack_kernel_same: 3->F becomes 6->2F at half
+    width): the unpacked F-channel head output never materializes,
+    which removes the relayout copies XLA emits at the pack-entry
+    boundary (~0.4 ms/iter for EDSR at 16x192² — device trace,
+    BASELINE.md). Odd widths fall back to the plain conv + packed_entry.
+    Drop-in: returns the same (h0, mask1, mask0, odd) tuple.
+    """
+    x = x.astype(dtype)
+    if x.shape[2] % 2:
+        h = jax.lax.conv_general_dilated(
+            x, jnp.asarray(kernel, dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(bias, dtype)
+        return packed_entry(h, dtype)
+    kp, pads = pack_kernel_same(jnp.asarray(kernel, dtype))
+    h0 = conv_same(pack_w(x), kp, pads, pack_bias(jnp.asarray(bias, dtype)))
+    c = h0.shape[-1] // 2
+    return h0, grid1_mask(h0.shape[2] + 1, c, dtype), None, False
+
+
 def packed_exit(h0, odd, ww):
     """Inverse of packed_entry's packing: unpack and crop the pad column."""
     out = unpack_w(h0)
@@ -271,8 +293,8 @@ def make_packed_edsr_forward(model, dtype=jnp.float32):
 
         n, hh, ww, _ = x.shape
         h = x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
-        h0, mask1, mask0, odd = packed_entry(h, dtype)
+        h0, mask1, mask0, odd = packed_entry_head(
+            h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
 
         res = h0
         i = 0
@@ -334,8 +356,8 @@ def make_packed_edsr_train_forward(model, dtype=jnp.float32):
 
         n, hh, ww, _ = x.shape
         h = x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
-        h0, mask1, mask0, odd = packed_entry(h, dtype)
+        h0, mask1, mask0, odd = packed_entry_head(
+            h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
 
         res = h0
         i = 0
@@ -403,8 +425,8 @@ def make_packed_collapsed_edsr_train_forward(model, dtype=jnp.float32):
 
         n, hh, ww, _ = x.shape
         h = x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
-        h0, mask1, mask0, odd = packed_entry(h, dtype)
+        h0, mask1, mask0, odd = packed_entry_head(
+            h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
 
         res = h0
         i = 0
@@ -468,8 +490,9 @@ def make_packed_treenet_forward(model, dtype=jnp.float32):
             ) + jnp.asarray(p["bias"], dtype)
 
         n, hh, ww, _ = x.shape
-        h = lrelu(conv(x, sp["first_conv"]))
-        fea, mask1, mask0, odd = packed_entry(h, dtype)
+        fea, mask1, mask0, odd = packed_entry_head(
+            x, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
+        fea = lrelu(fea)
         for i in range(mod.num_common_blocks):
             fea = packed_block(fea, sp["common_block_%d" % i], mask1, mask0,
                                mod.res_weight, dtype=dtype)
@@ -515,9 +538,9 @@ def make_int8_treenet_forward(model, calib_batch, dtype=jnp.bfloat16):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + jnp.asarray(p["bias"], dtype)
 
-        x = x.astype(dtype)
-        h0 = pack_w(lrelu(conv(x, sp["first_conv"])))
-        mask1 = grid1_mask(h0.shape[2] + 1, h0.shape[-1] // 2, dtype)
+        h0, mask1, _m0, _odd = packed_entry_head(
+            x, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
+        h0 = lrelu(h0)
         for i, name in enumerate(names):
             blk = sp[name]
             h0 = pair(i, h0, blk["conv1"], blk["conv2"], mask1,
@@ -561,7 +584,9 @@ def make_int8_hrsr_forward(model, calib_batch, dtype=jnp.bfloat16):
 
         x = x.astype(dtype)
         ww = x.shape[2]
-        h0, mask1, mask0, odd = packed_entry(lrelu(conv(x, sp["first_conv"])), dtype)
+        h0, mask1, mask0, odd = packed_entry_head(
+            x, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
+        h0 = lrelu(h0)
         for i in range(mod.num_lr_blocks):
             blk = sp["lr_block_%d" % i]
             h0 = pair(i, h0, blk["conv1"], blk["conv2"], mask1,
@@ -626,7 +651,8 @@ def make_int8_ebrn_rm_forward(model, calib_batch, dtype=jnp.bfloat16):
         x = x.astype(dtype)
         ww = x.shape[2]
         inp = x if mod.bilinear_base else x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h0, mask1, mask0, odd = packed_entry(conv(inp, sp["first_conv"]), dtype)
+        h0, mask1, mask0, odd = packed_entry_head(
+            inp, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
 
         out_list = []
         h = h0
@@ -693,8 +719,9 @@ def make_packed_hrsr_forward(model, dtype=jnp.float32):
             ) + jnp.asarray(p["bias"], dtype)
 
         n, hh, ww, _ = x.shape
-        out = lrelu(conv(x, sp["first_conv"]))
-        h0, mask1, mask0, odd = packed_entry(out, dtype)
+        h0, mask1, mask0, odd = packed_entry_head(
+            x, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
+        h0 = lrelu(h0)
         for i in range(mod.num_lr_blocks):
             h0 = packed_block(h0, sp["lr_block_%d" % i], mask1, mask0,
                               mod.res_weight, dtype=dtype)
@@ -873,8 +900,9 @@ def make_int8_rego_forward(model, calib_batch, dtype=jnp.bfloat16):
             ) + jnp.asarray(p["bias"], dtype)
 
         x = x.astype(dtype)
-        h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["feature_extraction"])
-        fea, mask1, mask0, odd = packed_entry(h, dtype)
+        fea, mask1, mask0, odd = packed_entry_head(
+            x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
+            sp["feature_extraction"]["kernel"], sp["feature_extraction"]["bias"], dtype)
         ww = x.shape[2]
         w2 = fea.shape[2]
 
@@ -952,8 +980,9 @@ def make_packed_rego_forward(model, dtype=jnp.float32):
 
         x = x.astype(dtype)
         n, hh, ww, _ = x.shape
-        h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["feature_extraction"])
-        fea, mask1, mask0, odd = packed_entry(h, dtype)
+        fea, mask1, mask0, odd = packed_entry_head(
+            x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
+            sp["feature_extraction"]["kernel"], sp["feature_extraction"]["bias"], dtype)
         w2 = fea.shape[2]
 
         def resb(name, hin):
@@ -1039,7 +1068,8 @@ def make_packed_ebrn_rm_forward(model, dtype=jnp.float32):
         x = x.astype(dtype)
         ww = x.shape[2]
         inp = x if mod.bilinear_base else x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h0, mask1, mask0, odd = packed_entry(conv(inp, sp["first_conv"]), dtype)
+        h0, mask1, mask0, odd = packed_entry_head(
+            inp, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
 
         def brm(i, hin):
             res = conv_a(hin, pack_kernel_a(jnp.asarray(sp["brm_%d_conv1" % i]["kernel"], dtype)),
@@ -1329,8 +1359,9 @@ def make_packed_imdn_forward(model, dtype=jnp.float32):
         ww = x.shape[2]
         if ww % 2:
             raise ValueError("packed IMDN requires even width")
-        h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["first_conv"])
-        h0, mask1, _m0, odd = packed_entry(h, dtype)
+        h0, mask1, _m0, odd = packed_entry_head(
+            x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
+            sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
         ident = _grid1_to_grid0_identity(d, dtype)
 
         def cslice(t, c_total, lo, hi):
@@ -1445,8 +1476,9 @@ def make_packed_mamnet_forward(model, dtype=jnp.float32):
         if ww % 2:
             raise ValueError("packed MAMNet requires even width")
         n_pix = hh * ww
-        h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["first_conv"])
-        h0, mask1, mask0, odd = packed_entry(h, dtype)
+        h0, mask1, mask0, odd = packed_entry_head(
+            x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
+            sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
 
         res = h0
         for i in range(mod.num_blocks):
@@ -1527,9 +1559,9 @@ def make_packed_collapsed_mamnet_train_forward(model, dtype=jnp.float32):
 
         n, hh, ww, _ = x.shape
         n_pix = hh * ww
-        h = conv(x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype),
-                 sp["first_conv"])
-        h0, mask1, mask0, odd = packed_entry(h, dtype)
+        h0, mask1, mask0, odd = packed_entry_head(
+            x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
+            sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
         if odd:
             # the packed MAM variance would see the pad column; keep the
             # odd-width path on the plain graph (callers' training
@@ -1651,9 +1683,9 @@ def make_int8_mamnet_forward(model, calib_batch, dtype=jnp.bfloat16):
         x = x.astype(dtype)
         n, hh, ww, _ = x.shape
         n_pix = hh * ww
-        h = conv(x + jnp.asarray(DIV2K_RGB_MEAN, dtype), sp["first_conv"])
-        h0 = pack_w(h)
-        mask1 = grid1_mask(h0.shape[2] + 1, F, dtype)
+        h0, mask1, _m0, _odd = packed_entry_head(
+            x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
+            sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
         res = h0
         for i in range(mod.num_blocks):
             blk = sp["mam_block_%d" % i]
@@ -1725,20 +1757,23 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
 
         if kind == "MSRRReducedModule":
             x_in = x + jnp.asarray(DIV2K_RGB_MEAN, dtype) if mod.base == "meanshift" else x
-            h = conv(x_in, "first_conv")
-            if mod.first_activation:
-                h = get_activation(mod.first_activation, mod.slope)(h)
+            head_name = "first_conv"
+            head_act = (get_activation(mod.first_activation, mod.slope)
+                        if mod.first_activation else None)
             block_act = get_activation(mod.block_activation, mod.slope)
         elif kind == "MSRRModule":
-            h = lrelu(conv(x, "first_conv"))
+            x_in, head_name, head_act = x, "first_conv", lrelu
             block_act = jax.nn.relu
         elif kind == "MSRRTestModule":
-            h = lrelu(conv(x, "conv_first"))
+            x_in, head_name, head_act = x, "conv_first", lrelu
             block_act = jax.nn.relu
         else:
             raise ValueError(kind)
 
-        h0, mask1, mask0, odd = packed_entry(h, dtype)
+        h0, mask1, mask0, odd = packed_entry_head(
+            x_in, sp[head_name]["kernel"], sp[head_name]["bias"], dtype)
+        if head_act is not None:
+            h0 = head_act(h0)  # act(0)=0 for all heads: pad column stays 0
 
         i = 0
         while ("res_block_%d" % i) in sp:
@@ -1909,9 +1944,8 @@ def make_int8_edsr_forward(model, calib_batch, dtype=jnp.bfloat16):
             ) + jnp.asarray(b, dtype)
 
         h = x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h = conv(h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"])
-        h0 = pack_w(h)
-        mask1 = grid1_mask(h0.shape[2] + 1, h.shape[-1], dtype)
+        h0, mask1, _m0, _odd = packed_entry_head(
+            h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
         res = h0
         for i in range(n_blocks):
             blk = sp["res_block_%d" % i]
@@ -1990,9 +2024,8 @@ def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + jnp.asarray(p["bias"], dtype)
 
-        x = x.astype(dtype)
-        h0 = pack_w(conv(x, sp["head"]))
-        mask1 = grid1_mask(h0.shape[2] + 1, FEATURES, dtype)
+        h0, mask1, _m0, _odd = packed_entry_head(
+            x, sp["head"]["kernel"], sp["head"]["bias"], dtype)
         fea = h0
         idx = 0
         for i in range(n_run):
@@ -2089,8 +2122,8 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
             return t if mask0 is None else t * mask0
 
         n, hh, ww, _ = x.shape
-        h = conv(x.astype(dtype), sp["head"]["kernel"], sp["head"]["bias"])
-        fea, mask1, mask0, odd = packed_entry(h, dtype)
+        fea, mask1, mask0, odd = packed_entry_head(
+            x, sp["head"]["kernel"], sp["head"]["bias"], dtype)
 
         features = []
         res = fea

@@ -86,6 +86,11 @@ def main():
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--out", type=str, default="/tmp/lvt_trace")
     parser.add_argument("--top", type=int, default=25)
+    parser.add_argument("--infer", action="store_true",
+                        help="Trace the inference forward (the bench.py fast path: "
+                             "model._fwd_jit after CLI-style fast-path routing) instead "
+                             "of the training step.")
+    parser.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     args, remaining = parser.parse_known_args()
     if remaining and remaining[0] == "--":
         remaining = remaining[1:]
@@ -97,28 +102,54 @@ def main():
 
     model = get_model(args.model)
     model.parse_args(remaining)
-    model.prepare(is_training=True, scales=[args.scale])
+    model.prepare(is_training=not args.infer, scales=[args.scale])
 
     p = args.input_patch_size
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 255, (args.batch_size, p, p, 3)).astype(np.float32))
-    t = jnp.asarray(rng.uniform(
-        0, 255, (args.batch_size, p * args.scale, p * args.scale, 3)
-    ).astype(np.float32))
-    lr = jnp.asarray(model.get_learning_rate(), jnp.float32)
 
-    def body(_, carry):
-        params, opt_state, _loss = carry
-        return model._train_step_impl(params, opt_state, lr, x, t)
+    if args.infer:
+        # bench.py's fast path: packed/collapsed forward in the bench dtype
+        dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+        params = jax.tree_util.tree_map(lambda a: a.astype(dtype), model.params)
+        if args.model in ("edsr", "edsr_loss"):
+            from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
 
-    @jax.jit
-    def run(params, opt_state):
-        return jax.lax.fori_loop(0, args.steps, body,
-                                 (params, opt_state, jnp.float32(0)))[2]
+            fwd = make_packed_edsr_forward(model, dtype=dtype)
+        else:
+            fwd = model._forward_impl
+        xd = x.astype(dtype)
 
-    float(run(model.params, model.opt_state))  # compile + warm
-    with jax.profiler.trace(args.out):
-        float(run(model.params, model.opt_state))
+        def body(_, acc):
+            xi = jnp.maximum(xd, (acc * jnp.float32(1e-35)).astype(dtype)
+                             - jnp.asarray(3e4, dtype))
+            return acc + jnp.mean(fwd(params, xi)).astype(jnp.float32)
+
+        @jax.jit
+        def run(params_):
+            return jax.lax.fori_loop(0, args.steps, body, jnp.float32(0))
+
+        float(run(params))
+        with jax.profiler.trace(args.out):
+            float(run(params))
+    else:
+        t = jnp.asarray(rng.uniform(
+            0, 255, (args.batch_size, p * args.scale, p * args.scale, 3)
+        ).astype(np.float32))
+        lr = jnp.asarray(model.get_learning_rate(), jnp.float32)
+
+        def body(_, carry):
+            params, opt_state, _loss = carry
+            return model._train_step_impl(params, opt_state, lr, x, t)
+
+        @jax.jit
+        def run(params, opt_state):
+            return jax.lax.fori_loop(0, args.steps, body,
+                                     (params, opt_state, jnp.float32(0)))[2]
+
+        float(run(model.params, model.opt_state))  # compile + warm
+        with jax.profiler.trace(args.out):
+            float(run(model.params, model.opt_state))
 
     totals, counts = aggregate_trace_json(args.out)
     total_ms = sum(totals.values())
