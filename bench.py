@@ -42,6 +42,7 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="edsr")
+    parser.add_argument("--scale", type=int, default=4, choices=[2, 3, 4])
     parser.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--tile", type=int, default=192)
@@ -73,7 +74,7 @@ def main():
         model_flags = ["--num_blocks", "16,16"]
     model = get_model(args.model)
     model.parse_args(model_flags)
-    model.prepare(is_training=False, scales=[4])
+    model.prepare(is_training=False, scales=[args.scale])
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), model.params)
@@ -244,7 +245,7 @@ def main():
     log("t(%d)=%.4fs t(%d)=%.4fs -> %.4f s/iter, %.3f MP/iter"
         % (args.base_iters, t_small, args.iters, t_large, per_iter, mp_per_iter))
     print(json.dumps({
-        "metric": "%s_x4_inference_throughput" % args.model,
+        "metric": "%s_x%d_inference_throughput" % (args.model, args.scale),
         "value": round(mps, 3),
         "unit": "LR_megapixels/sec/chip",
         "vs_baseline": round(mps / BASELINE_GPU_MPS, 2),
