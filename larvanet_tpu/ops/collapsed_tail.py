@@ -43,6 +43,31 @@ import numpy as np
 from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
 
 
+def make_cpu_probe(tail_fn):
+    """Jitted tail probe pinned to the host CPU backend.
+
+    Build-time probes are tiny (<100 GFLOP) but each canvas shape would
+    otherwise cost a multi-minute remote TPU compile over this
+    environment's AOT tunnel, plus slow D2H readbacks (CLAUDE.md). The
+    same jitted callable serves delta and zero probes so their float
+    rounding is identical — the zero-ring trim in make_collapsed_tail
+    relies on `resp - bias_resp` cancelling exactly.
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    jitted = jax.jit(tail_fn)
+
+    def probe(x):
+        if cpu is None:
+            return np.asarray(jitted(jnp.asarray(x)))
+        with jax.default_device(cpu):
+            return np.asarray(jitted(jax.device_put(np.asarray(x), cpu)))
+
+    return probe
+
+
 def extract_collapsed_kernel(
     tail_fn: Callable[[jnp.ndarray], jnp.ndarray],
     in_channels: int,
@@ -51,26 +76,28 @@ def extract_collapsed_kernel(
 ) -> np.ndarray:
     """Probe a linear tail with delta inputs to obtain the composed kernel.
 
-    tail_fn: (1, H, W, C) LR features -> (1, H*s, W*s, 3) HR image.
+    tail_fn: (N, H, W, C) LR features -> (N, H*s, W*s, 3) HR image.
     Returns kernel (2R+1, 2R+1, C, 3*s*s) with torch-PixelShuffle output
     channel order (c*s*s + i*s + j), suitable for SAME conv + pixel_shuffle.
+    All C deltas probe in ONE batched CPU call (make_cpu_probe).
     """
     k = 2 * radius + 1
     canvas = 4 * radius + 2  # delta centered, responses fully interior
     center = canvas // 2
-    zero = jnp.zeros((1, canvas, canvas, in_channels), jnp.float32)
-    bias_resp = np.asarray(tail_fn(zero))
+    probe = make_cpu_probe(tail_fn)
+    bias_resp = probe(np.zeros((1, canvas, canvas, in_channels), np.float32))
+
+    deltas = np.zeros((in_channels, canvas, canvas, in_channels), np.float32)
+    deltas[np.arange(in_channels), center, center, np.arange(in_channels)] = 1.0
+    resps = probe(deltas) - bias_resp  # (C, canvas*s, canvas*s, 3)
 
     kernel = np.zeros((k, k, in_channels, 3 * scale * scale), np.float32)
-    probe = jax.jit(tail_fn)
     for cin in range(in_channels):
-        x = zero.at[0, center, center, cin].set(1.0)
-        resp = np.asarray(probe(x)) - bias_resp  # remove bias field
+        resp = resps[cin]
         # out[s*(center-U)+i, s*(center-V)+j, c] = K[U, V, cin, (c,i,j)]
         for u in range(-radius, radius + 1):
             for v in range(-radius, radius + 1):
-                block = resp[0,
-                             scale * (center - u): scale * (center - u + 1),
+                block = resp[scale * (center - u): scale * (center - u + 1),
                              scale * (center - v): scale * (center - v + 1), :]
                 # block[i, j, c] -> channel c*s*s + i*s + j
                 kernel[u + radius, v + radius, cin, :] = (
@@ -113,20 +140,7 @@ def extract_border_ops(tail_fn, in_channels, scale, r, bias_tile):
     cc = Wc // 2
     tile_q = np.asarray(bias_tile).transpose(2, 0, 1).reshape(q)  # (c,I,J)
 
-    # probe on the host CPU backend: the probes are tiny (<100 GFLOP)
-    # but each canvas shape would otherwise cost a multi-minute remote
-    # TPU compile over this environment's AOT tunnel (CLAUDE.md)
-    try:
-        _cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        _cpu = None
-    _jitted = jax.jit(tail_fn)
-
-    def probe(x):
-        if _cpu is None:
-            return _jitted(x)
-        with jax.default_device(_cpu):
-            return _jitted(jax.device_put(np.asarray(x), _cpu))
+    probe = make_cpu_probe(tail_fn)
 
     def unshuffle_lr(a):
         # (..., H*s, W*s, 3) -> (..., H, W, q) with q = c*s*s + I*s + J
@@ -229,9 +243,9 @@ def make_collapsed_tail(
     # canvas large enough that the block is interior
     canvas = 4 * radius + 2
     cc = canvas // 2
-    zero = jnp.zeros((1, canvas, canvas, in_channels), jnp.float32)
-    bias_tile = np.asarray(tail_fn(zero))[0, cc * scale:(cc + 1) * scale,
-                                          cc * scale:(cc + 1) * scale, :]
+    zero = np.zeros((1, canvas, canvas, in_channels), np.float32)
+    bias_tile = make_cpu_probe(tail_fn)(zero)[0, cc * scale:(cc + 1) * scale,
+                                              cc * scale:(cc + 1) * scale, :]
 
     # baked path: probed border operators replace the strip recompute
     border = extract_border_ops(tail_fn, in_channels, scale, r, bias_tile)
@@ -577,7 +591,7 @@ def make_collapsed_larvanet_forward(model, dtype=jnp.float32):
     """
     from flax import serialization
 
-    from larvanet_tpu.models.larvanet import FEATURES, SCALE
+    from larvanet_tpu.models.larvanet import SCALE
     from larvanet_tpu.ops.resize import upsample
 
     if model.module.body_style != "plain" or model.module.leg_style != "2conv" \
@@ -615,6 +629,17 @@ def make_collapsed_larvanet_forward(model, dtype=jnp.float32):
         t = conv(fea, leg["recon1"]["kernel"], leg["recon1"]["bias"])
         t = jax.nn.relu(t)
         t = conv(t, leg["recon2"]["kernel"], leg["recon2"]["bias"])
+
+        hh, ww = x.shape[1], x.shape[2]
+        b = min(r, hh, ww)
+        halo = min(r, hh - b, ww - b)
+        if 2 * b >= hh or 2 * b >= ww or halo < r:
+            # image too small for disjoint border strips (opposing
+            # corrections would overlap and the truncated halo would be
+            # wrong): use the exact resampler base directly
+            base = upsample(x.astype(jnp.float32), s, "bicubic").astype(dtype)
+            return pixel_shuffle(t, s) + base
+
         base_lr = conv(x, kb)  # bicubic base in LR space (48 channels)
         out = pixel_shuffle(t + base_lr, s)
 
@@ -623,9 +648,6 @@ def make_collapsed_larvanet_forward(model, dtype=jnp.float32):
         # that difference is nonzero only within r LR px of each border.
         # A strip with r halo rows reproduces the full-image values for
         # both terms (its outer edge IS the image border).
-        hh, ww = x.shape[1], x.shape[2]
-        b = min(r, hh, ww)
-        halo = min(r, hh - b, ww - b)
         strip = b + halo
         bs = b * s
 

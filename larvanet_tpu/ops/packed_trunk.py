@@ -514,6 +514,18 @@ def make_packed_treenet_forward(model, dtype=jnp.float32):
     return forward
 
 
+def _even_calib(calib_batch):
+    """Validate + convert an int8 calibration batch (even width required:
+    the calibration walks run the packed graph without odd-width
+    handling, and a padded column would silently inflate the recorded
+    activation maxima)."""
+    calib = jnp.asarray(calib_batch, jnp.float32)
+    if calib.shape[2] % 2:
+        raise ValueError("int8 calibration batch must have even width "
+                         "(got %d); crop a column first" % calib.shape[2])
+    return calib
+
+
 def make_int8_treenet_forward(model, calib_batch, dtype=jnp.bfloat16):
     """Opt-in W8A8 quantized TreeNet inference (branch 0, the reference's
     inference path); same scheme and caveats as make_int8_edsr_forward."""
@@ -538,6 +550,7 @@ def make_int8_treenet_forward(model, calib_batch, dtype=jnp.bfloat16):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + jnp.asarray(p["bias"], dtype)
 
+        x = x.astype(dtype)
         h0, mask1, _m0, _odd = packed_entry_head(
             x, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
         h0 = lrelu(h0)
@@ -548,7 +561,7 @@ def make_int8_treenet_forward(model, calib_batch, dtype=jnp.bfloat16):
         base = interpolated_base(x, mod.scale, mod.interpolate)
         return pixel_shuffle(unpack_w(h0), mod.scale) + base
 
-    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
     finish([(sp0[n]["conv1"], sp0[n]["conv2"]) for n in names])
 
     def forward(params, x):
@@ -610,7 +623,7 @@ def make_int8_hrsr_forward(model, calib_batch, dtype=jnp.bfloat16):
             out = conv(lrelu(out), sp["final_conv"])
         return out + interpolated_base(x, mod.scale, mod.interpolate)
 
-    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
     finish([(sp0["lr_block_%d" % i]["conv1"], sp0["lr_block_%d" % i]["conv2"])
             for i in range(mod.num_lr_blocks)])
 
@@ -682,7 +695,7 @@ def make_int8_ebrn_rm_forward(model, calib_batch, dtype=jnp.bfloat16):
             return sr + interpolated_base(x, mod.scale, "bilinear")
         return sr - jnp.asarray(DIV2K_RGB_MEAN, dtype)
 
-    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
     finish([(sp0["brm_%d_conv1" % i], sp0["brm_%d_conv2" % i])
             for i in range(mod.num_brms)])
 
@@ -767,7 +780,6 @@ def make_int8_msrr_forward(model, calib_batch, dtype=jnp.bfloat16):
         # exact packed decomposition exists (packed_dw_resblock) but is
         # 4.4x slower on v5e — keep dwsr on the plain graph
         raise ValueError("depthwise blocks do not pack profitably")
-    depthwise = False
     scale = mod.scale
     res_weight = float(mod.res_weight)
     lrelu = get_activation("leaky_relu", 0.1)
@@ -831,7 +843,7 @@ def make_int8_msrr_forward(model, calib_batch, dtype=jnp.bfloat16):
         out = conv(lrelu(conv(out, "HRconv")), "conv_last")
         return out + interpolated_base(x, 4, "bilinear")
 
-    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
     finish([(sp0["res_block_%d" % i]["conv1"], sp0["res_block_%d" % i]["conv2"])
             for i in range(n_blocks)])
 
@@ -904,13 +916,12 @@ def make_int8_rego_forward(model, calib_batch, dtype=jnp.bfloat16):
             x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
             sp["feature_extraction"]["kernel"], sp["feature_extraction"]["bias"], dtype)
         ww = x.shape[2]
-        w2 = fea.shape[2]
 
         def resb(name, hin):
             return pair(index[name], hin, sp[name]["conv1"], sp[name]["conv2"],
                         mask1, kind="both", act=lrelu, res_weight=mod.res_weight)
 
-        def fused_conv(p, srcs, out_features):
+        def fused_conv(p, srcs):
             kp, pads = pack_kernel_same(jnp.asarray(p["kernel"], dtype))
             kp = concat_packed_perm([F] * len(srcs), kp)
             return conv_same(jnp.concatenate(srcs, axis=-1), kp, pads,
@@ -934,13 +945,13 @@ def make_int8_rego_forward(model, calib_batch, dtype=jnp.bfloat16):
             mids = [e + f for e, f in zip(err_out[1:], fea_out[:-1])]
             srcs = [err_out[0], *mids, fea_out[-1]]
             if k != mod.num_regos - 1:
-                fea = fused_conv(sp["conv_%d" % k], srcs, F)
+                fea = fused_conv(sp["conv_%d" % k], srcs)
 
-        sr = fused_conv(sp["SRrecon"], srcs, 3 * mod.scale ** 2)
+        sr = fused_conv(sp["SRrecon"], srcs)
         sr = pixel_shuffle(packed_exit(sr, odd, ww), mod.scale)
         return sr + interpolated_base(x, mod.scale, mod.interpolate)
 
-    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
     finish([(sp0[n]["conv1"], sp0[n]["conv2"]) for n in order])
 
     def forward(params, x):
@@ -1473,8 +1484,6 @@ def make_packed_mamnet_forward(model, dtype=jnp.float32):
 
         x = x.astype(dtype)
         n, hh, ww, _ = x.shape
-        if ww % 2:
-            raise ValueError("packed MAMNet requires even width")
         n_pix = hh * ww
         h0, mask1, mask0, odd = packed_entry_head(
             x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
@@ -1488,11 +1497,23 @@ def make_packed_mamnet_forward(model, dtype=jnp.float32):
             t = jax.nn.relu(t) * mask1
             t = conv_b(t, pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
                        pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)))
+            if mask0 is not None:
+                # odd width: zero the pad-column slot BEFORE the gate so
+                # the channel-variance sums see only real pixels (n_pix
+                # already counts only those)
+                t = t * mask0
             t = packed_mam_gate(t, blk, F, n_pix, dtype)
             if res_weight != 1.0:
                 t = t * jnp.asarray(res_weight, dtype)
             res = res + t
 
+        if odd:
+            # the collapsed tail consumes packed tensors only for even
+            # original widths: unpack, plain after_res_conv, plain tail
+            res = packed_exit(res, odd, ww)
+            h = packed_exit(h0, odd, ww)
+            res = conv(res, sp["after_res_conv"])
+            return fast_tail(h + res)
         arc = sp["after_res_conv"]
         kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
         res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
@@ -1699,10 +1720,7 @@ def make_int8_mamnet_forward(model, calib_batch, dtype=jnp.bfloat16):
         res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
         return fast_tail(h0 + res, packed=True)
 
-    calib = jnp.asarray(calib_batch, jnp.float32)
-    if calib.shape[2] % 2:
-        raise ValueError("int8 MAMNet calibration batch must have even width")
-    _ = walk(model.params, calib, pair_bf16)
+    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
     finish([(sp0["mam_block_%d" % i]["conv1"], sp0["mam_block_%d" % i]["conv2"])
             for i in range(mod.num_blocks)])
 
@@ -1735,7 +1753,6 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
         # exact packed decomposition exists (packed_dw_resblock) but is
         # 4.4x slower on v5e — keep dwsr on the plain graph
         raise ValueError("depthwise blocks do not pack profitably")
-    depthwise = False
     scale = mod.scale
     res_weight = float(mod.res_weight)
     lrelu = get_activation("leaky_relu", 0.1)
@@ -1752,8 +1769,6 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
 
         x = x.astype(dtype)
         n, hh, ww, _ = x.shape
-        if depthwise and ww % 2 == 1:
-            raise ValueError("packed depthwise blocks require even width")
 
         if kind == "MSRRReducedModule":
             x_in = x + jnp.asarray(DIV2K_RGB_MEAN, dtype) if mod.base == "meanshift" else x
@@ -1778,16 +1793,13 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
         i = 0
         while ("res_block_%d" % i) in sp:
             blk = sp["res_block_%d" % i]
-            if depthwise:
-                h0 = packed_dw_resblock(h0, blk, jax.nn.relu, dtype)
-            else:
-                h0 = packed_resblock(
-                    h0,
-                    pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
-                    pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
-                    pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
-                    pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
-                    mask1, mask0, res_weight, act=block_act)
+            h0 = packed_resblock(
+                h0,
+                pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
+                pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
+                pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
+                pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
+                mask1, mask0, res_weight, act=block_act)
             i += 1
 
         out = packed_exit(h0, odd, ww)
@@ -1850,18 +1862,20 @@ def make_pair_runner(dtype):
     kind: 'res' (skip add) | 'none' | 'both' (REGO-style, returns
     (t, hin + t)); act applied between the convs.
     """
-    record = []
-    quant = []
+    record = {}  # idx -> (input max, mid max); keyed so the calibration
+    quant = []   # walk's call order cannot silently diverge from finish()
 
     def pair_bf16(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
                   res_weight=1.0):
+        if idx in record:
+            raise ValueError("pair index %d calibrated twice" % idx)
         ka = pack_kernel_a(jnp.asarray(p1["kernel"], dtype))
         ba = pack_bias(jnp.asarray(p1["bias"], dtype))
         kb = pack_kernel_b(jnp.asarray(p2["kernel"], dtype))
         bb = pack_bias(jnp.asarray(p2["bias"], dtype))
-        record.append(jnp.max(jnp.abs(hin)).astype(jnp.float32))
+        m_in = jnp.max(jnp.abs(hin)).astype(jnp.float32)
         t = act(conv_a(hin, ka, ba)) * mask1
-        record.append(jnp.max(jnp.abs(t)).astype(jnp.float32))
+        record[idx] = (m_in, jnp.max(jnp.abs(t)).astype(jnp.float32))
         t = conv_b(t, kb, bb)
         if res_weight != 1.0:
             t = t * jnp.asarray(res_weight, dtype)
@@ -1870,11 +1884,13 @@ def make_pair_runner(dtype):
         return hin + t if kind == "res" else t
 
     def finish_calibration(pairs):
-        maxima = [float(v) for v in record]
+        if sorted(record) != list(range(len(pairs))):
+            raise ValueError("calibration walked pair indices %r but finish() "
+                             "got %d pairs" % (sorted(record), len(pairs)))
         for i, (p1, p2) in enumerate(pairs):
             q = _quantize_pair_weights(p1, p2, dtype)
-            q["s_in"] = maxima[2 * i] * 1.05 / 127.0
-            q["s_mid"] = maxima[2 * i + 1] * 1.05 / 127.0
+            q["s_in"] = float(record[i][0]) * 1.05 / 127.0
+            q["s_mid"] = float(record[i][1]) * 1.05 / 127.0
             quant.append(q)
 
     def pair_int8(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
@@ -1957,7 +1973,7 @@ def make_int8_edsr_forward(model, calib_batch, dtype=jnp.bfloat16):
         return fast_tail(h0 + res, packed=True)
 
     # eager calibration pass records per-site maxima
-    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
     finish([(sp0["res_block_%d" % i]["conv1"], sp0["res_block_%d" % i]["conv2"])
             for i in range(n_blocks)])
 
@@ -1981,7 +1997,7 @@ def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
     """
     from flax import serialization
 
-    from larvanet_tpu.models.larvanet import FEATURES, SCALE
+    from larvanet_tpu.models.larvanet import SCALE
     from larvanet_tpu.models.layers import interpolated_base
     from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
 
@@ -2024,6 +2040,7 @@ def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + jnp.asarray(p["bias"], dtype)
 
+        x = x.astype(dtype)
         h0, mask1, _m0, _odd = packed_entry_head(
             x, sp["head"]["kernel"], sp["head"]["bias"], dtype)
         fea = h0
@@ -2044,7 +2061,7 @@ def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
         return pixel_shuffle(unpack_w(out), SCALE) + base
 
     # eager calibration pass (jit would turn recorded maxima into tracers)
-    _ = walk(model.params, jnp.asarray(calib_batch, jnp.float32), pair_bf16)
+    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
     finish([(p1, p2) for p1, p2, _k in pairs])
 
     def forward(params, x):
@@ -2078,7 +2095,7 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
     """
     from flax import serialization
 
-    from larvanet_tpu.models.larvanet import FEATURES, SCALE
+    from larvanet_tpu.models.larvanet import SCALE
     from larvanet_tpu.models.layers import interpolated_base
     from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
 

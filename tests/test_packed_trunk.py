@@ -418,9 +418,6 @@ def test_packed_mamnet_matches_module():
             np.asarray(m.module.apply({"params": m.params}, x)),
             atol=0.3, rtol=2e-3)
 
-    with pytest.raises(ValueError):
-        fwd(m.params, jnp.zeros((1, 8, 9, 3), jnp.float32))
-
 
 @pytest.mark.parametrize("name", ["REGO-Net", "REGO-serial"])
 def test_int8_rego_forward_close_to_float(name):
@@ -612,3 +609,51 @@ def test_collapsed_mamnet_train_forward_and_grads():
     fn = np.asarray(jax.flatten_util.ravel_pytree(gn)[0])
     scale = max(np.abs(fr).max(), 1.0)
     np.testing.assert_allclose(fn, fr, atol=2e-4 * scale)
+
+
+def test_packed_mamnet_odd_width():
+    """Odd-width inputs (common in SR eval sets) must run exactly through
+    the default packed MAMNet inference path (regression: it used to
+    raise ValueError from inside the CLI-wired jitted forward)."""
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import make_packed_mamnet_forward
+
+    rng = np.random.default_rng(0)
+    m = get_model("mamnet")
+    m.parse_args(["--mamnet_res_blocks", "2", "--mamnet_conv_features", "16"])
+    m.prepare(is_training=False, scales=[4])
+    fwd = make_packed_mamnet_forward(m, dtype=jnp.float32)
+    for hw in [(11, 13), (9, 15)]:
+        x = jnp.asarray(rng.uniform(0, 255, (1, *hw, 3)).astype(np.float32))
+        ref = np.asarray(m.module.apply({"params": m.params}, x))
+        got = np.asarray(jax.jit(fwd)(m.params, x))
+        np.testing.assert_allclose(got, ref, atol=0.1)
+
+
+def test_collapsed_larvanet_small_image():
+    """The base-fold must stay exact on images too small for disjoint
+    border strips (regression: overlapping corrections double-added)."""
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_larvanet_forward
+
+    rng = np.random.default_rng(0)
+    m = get_model("LarvaNet")
+    m.parse_args(["--num_blocks", "1,1"])
+    m.prepare(is_training=False, scales=[4])
+    fwd = make_collapsed_larvanet_forward(m)
+    for hw in [(3, 9), (4, 4), (3, 3)]:
+        x = jnp.asarray(rng.uniform(0, 255, (1, *hw, 3)).astype(np.float32))
+        ref = np.asarray(m.module.apply({"params": m.params}, x))
+        got = np.asarray(jax.jit(fwd)(m.params, x))
+        np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_int8_calib_rejects_odd_width():
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed_trunk import make_int8_treenet_forward
+
+    m = get_model("TreeNet")
+    m.parse_args(["--num_common_blocks", "1", "--num_branch_blocks", "1"])
+    m.prepare(is_training=False, scales=[4])
+    with pytest.raises(ValueError):
+        make_int8_treenet_forward(m, np.zeros((1, 8, 7, 3), np.float32))
