@@ -60,10 +60,15 @@ def make_cpu_probe(tail_fn):
     jitted = jax.jit(tail_fn)
 
     def probe(x):
-        if cpu is None:
-            return np.asarray(jitted(jnp.asarray(x)))
-        with jax.default_device(cpu):
-            return np.asarray(jitted(jax.device_put(np.asarray(x), cpu)))
+        # ensure_compile_time_eval: builders may run lazily inside a jit
+        # trace (e.g. LarvaNet builds its packed graph at the first
+        # _compute_loss call); the probes operate on concrete arrays and
+        # must evaluate eagerly there, not become traced ops
+        with jax.ensure_compile_time_eval():
+            if cpu is None:
+                return np.asarray(jitted(jnp.asarray(x)))
+            with jax.default_device(cpu):
+                return np.asarray(jitted(jax.device_put(np.asarray(x), cpu)))
 
     return probe
 
@@ -144,17 +149,22 @@ def extract_border_ops(tail_fn, in_channels, scale, r, bias_tile):
 
     def unshuffle_lr(a):
         # (..., H*s, W*s, 3) -> (..., H, W, q) with q = c*s*s + I*s + J
-        from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
-
-        return np.asarray(pixel_unshuffle(jnp.asarray(a), s))
+        # (pure-numpy: builders may run inside an active jit trace)
+        a = np.asarray(a)
+        lead = a.shape[:-3]
+        H, W, c3 = a.shape[-3:]
+        a = a.reshape(*lead, H // s, s, W // s, s, c3)
+        # -> (..., H/s, W/s, c, i, j); channel index = c*s*s + i*s + j
+        a = np.moveaxis(a, (-4, -2), (-2, -1))
+        return a.reshape(*lead, H // s, W // s, c3 * s * s)
 
     # ---- horizontal sides (top & bottom share one probe) ----
     P = Hs * C
     canvas = np.zeros((P, Hs, Wc, C), np.float32)
     idx = np.arange(P)
     canvas[idx, idx // C, cc, idx % C] = 1.0
-    bias0 = np.asarray(probe(jnp.zeros((1, Hs, Wc, C), jnp.float32)))
-    resp = np.asarray(probe(jnp.asarray(canvas))) - bias0
+    bias0 = probe(np.zeros((1, Hs, Wc, C), np.float32))
+    resp = probe(canvas) - bias0
     lr = unshuffle_lr(resp)  # (P, Hs, Wc, q)
     win = lr[:, :, cc - r:cc + r + 1, :]          # (P, Hs, 2r+1, q)
     win = win.reshape(Hs, C, Hs, 2 * r + 1, q)     # (u, c, y, w+r, q)
@@ -171,8 +181,8 @@ def extract_border_ops(tail_fn, in_channels, scale, r, bias_tile):
     # ---- vertical sides (left & right) ----
     canvas = np.zeros((P, Wc, Hs, C), np.float32)
     canvas[idx, cc, idx // C, idx % C] = 1.0
-    bias0v = np.asarray(probe(jnp.zeros((1, Wc, Hs, C), jnp.float32)))
-    respv = np.asarray(probe(jnp.asarray(canvas))) - bias0v
+    bias0v = probe(np.zeros((1, Wc, Hs, C), np.float32))
+    respv = probe(canvas) - bias0v
     lrv = unshuffle_lr(respv)                      # (P, Wc, Hs, q)
     winv = lrv[:, cc - r:cc + r + 1, :, :]         # (P, 2r+1, Hs, q)
     winv = winv.reshape(Hs, C, 2 * r + 1, Hs, q)   # (v, c, w+r, j, q)
@@ -190,8 +200,8 @@ def extract_border_ops(tail_fn, in_channels, scale, r, bias_tile):
     canvas = np.zeros((P3, n2, n2, C), np.float32)
     idx = np.arange(P3)
     canvas[idx, idx // (n2 * C), (idx // C) % n2, idx % C] = 1.0
-    bias0c = np.asarray(probe(jnp.zeros((1, n2, n2, C), jnp.float32)))
-    respc = np.asarray(probe(jnp.asarray(canvas))) - bias0c
+    bias0c = probe(np.zeros((1, n2, n2, C), np.float32))
+    respc = probe(canvas) - bias0c
     lrc = unshuffle_lr(respc)                      # (P3, n2, n2, q)
     bias_c = unshuffle_lr(bias0c)[0]               # (n2, n2, q)
     rows = {"t": slice(0, b), "b": slice(b, n2)}
@@ -259,7 +269,7 @@ def make_collapsed_tail(
 
 
 def apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale, packed=False,
-                         border=None):
+                         border=None, lr_domain=False):
     """Collapsed conv for the interior + original tail stitched onto an
     r-wide border frame (r = kernel radius).
 
@@ -308,7 +318,8 @@ def apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale, packed=False,
         # image too small for an interior: the original tail is exact
         if packed:
             h = unpack_w(h0)
-        return tail_fn(h)
+        out = tail_fn(h).astype(h.dtype)
+        return pixel_unshuffle(out, s) if lr_domain else out
 
     if ww % 2 == 0:
         if h0 is None:
@@ -452,6 +463,11 @@ def apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale, packed=False,
         )
         out_lr = jnp.where(in_side | in_topbot, frame, out_lr)
 
+    if lr_domain:
+        # pre-shuffle LR-domain output (3s² channels) so the caller can
+        # fuse an add and share ONE pixel shuffle (make_collapsed_base);
+        # only valid for zero bias tiles (asserted by the caller)
+        return out_lr
     out = pixel_shuffle(out_lr, s)
     n, hs, ws, c3 = out.shape
     return (out.reshape(n, hs // s, s, ws // s, s, c3)
@@ -543,6 +559,59 @@ def live_collapsed_edsr_tail(sp, scale, dtype=jnp.float32):
     bias_tile = resp[0, R * s:(R + 1) * s, R * s:(R + 1) * s, :]
 
     return kernel, bias_tile, tail_fn
+
+
+_BASE_CACHE = {}
+
+
+def make_collapsed_base(scale: int, mode: str = "bicubic"):
+    """LR-domain interpolated base: `base_lr(x) -> (N, H, W, 3*s*s)`.
+
+    The reference's `out += F.interpolate(x, scale, mode)` (e.g.
+    models/msrr.py:246-247, models/LarvaNet.py:283-285) materializes a
+    full HR tensor and adds it in the HR domain — a full HR memory pass
+    per exit. But the resampler is a FIXED linear map, so it collapses
+    into one tiny (2R+1)² conv producing torch-ordered LR channels plus
+    probed border operators that capture the resampler's edge-clamp
+    exactly (extract_border_ops: the probe canvas edges ARE clamped
+    borders). The LR output adds into any pre-shuffle 3s²-channel tensor
+    and shares the caller's single pixel shuffle.
+
+    An earlier HR-domain base fold measured SLOWER (BASELINE.md negative
+    result) because its border correction used strip recomputation +
+    scatters; the border operators remove exactly that cost.
+
+    The operators depend only on (scale, mode) — no learned parameters —
+    so they are probed once per process (cached) and are valid for
+    training graphs too (constants w.r.t. autodiff).
+    """
+    key = (scale, mode)
+    if key not in _BASE_CACHE:
+        from larvanet_tpu.ops.resize import upsample
+
+        def base_fn(ximg):
+            return upsample(ximg.astype(jnp.float32), scale, mode)
+
+        kernel = extract_collapsed_kernel(base_fn, 3, scale, radius=3)
+        while kernel.shape[0] > 1 and not (
+            np.any(kernel[0]) or np.any(kernel[-1])
+            or np.any(kernel[:, 0]) or np.any(kernel[:, -1])
+        ):
+            kernel = kernel[1:-1, 1:-1]
+        r = kernel.shape[0] // 2
+        tile = np.zeros((scale, scale, 3), np.float32)  # resampler(0) = 0
+        border = extract_border_ops(base_fn, 3, scale, r, tile)
+        # cache PURE NUMPY: the builder may run inside an active jit
+        # trace, where jnp/device arrays would be tracers that escape
+        # the trace via the cache (UnexpectedTracerError on reuse)
+        _BASE_CACHE[key] = (kernel, tile, base_fn, border)
+    kernel, tile, base_fn, border = _BASE_CACHE[key]
+
+    def base_lr(x):
+        return apply_collapsed_tail(x, kernel, tile, base_fn, scale,
+                                    border=border, lr_domain=True)
+
+    return base_lr
 
 
 def bicubic_phase_conv_kernel(scale: int, channels: int = 3) -> np.ndarray:

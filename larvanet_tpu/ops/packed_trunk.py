@@ -2106,6 +2106,12 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
         exits = int(getattr(model.args, "leg", len(num_blocks)))
 
     def forward(params, x):
+        # NOTE: an LR-domain collapsed base (ops/collapsed_tail.
+        # make_collapsed_base, sharing the legs' pixel shuffle) measured
+        # SLIGHTLY SLOWER here (22.0 -> 21.5 MP/s inference, 208.8 ->
+        # 205.5 steps/s training): the phase-sliced resampler's fused
+        # VPU passes beat the extra 48-channel LR tensor + border ops.
+        # Kept as a tested utility; documented negative result.
         base = interpolated_base(x.astype(dtype), SCALE, mod.interpolate)
         if exits == 0:
             return base

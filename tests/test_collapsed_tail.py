@@ -139,3 +139,23 @@ def test_packed_collapsed_train_grads_match(rng):
     fn = np.asarray(jax.flatten_util.ravel_pytree(gn)[0])
     scale = max(np.abs(fr).max(), 1.0)
     np.testing.assert_allclose(fn, fr, atol=2e-4 * scale)
+
+
+@pytest.mark.parametrize("mode,scale", [("bicubic", 4), ("bilinear", 4),
+                                        ("bicubic", 3), ("bicubic", 2)])
+def test_collapsed_base_exact(mode, scale, rng):
+    """LR-domain collapsed interpolated base (probed conv + border ops,
+    incl. the resampler's edge clamp) equals the resampler exactly.
+    Measured slightly SLOWER than the phase-sliced resampler when wired
+    into the packed LarvaNet forward (BASELINE.md negative result);
+    kept as a tested utility."""
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_base
+    from larvanet_tpu.ops.resize import upsample
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    base_lr = make_collapsed_base(scale, mode)
+    for hw in [(12, 16), (11, 13), (3, 3)]:
+        x = jnp.asarray(rng.uniform(0, 255, (2, *hw, 3)).astype(np.float32))
+        ref = np.asarray(upsample(x, scale, mode))
+        got = np.asarray(pixel_shuffle(jax.jit(base_lr)(x), scale))
+        np.testing.assert_allclose(got, ref, atol=2e-3)
