@@ -805,13 +805,17 @@ def make_int8_msrr_forward(model, calib_batch, dtype=jnp.bfloat16):
         x = x.astype(dtype)
         if kind == "MSRRReducedModule":
             x_in = x + jnp.asarray(DIV2K_RGB_MEAN, dtype) if mod.base == "meanshift" else x
-            h = conv(x_in, "first_conv")
-            if mod.first_activation:
-                h = get_activation(mod.first_activation, mod.slope)(h)
+            head_name = "first_conv"
+            head_act = (get_activation(mod.first_activation, mod.slope)
+                        if mod.first_activation else None)
         else:
-            h = lrelu(conv(x, "first_conv" if kind == "MSRRModule" else "conv_first"))
-        h0 = pack_w(h)
-        mask1 = grid1_mask(h0.shape[2] + 1, h.shape[-1], dtype)
+            x_in = x
+            head_name = "first_conv" if kind == "MSRRModule" else "conv_first"
+            head_act = lrelu
+        h0, mask1, _m0, _odd = packed_entry_head(
+            x_in, sp[head_name]["kernel"], sp[head_name]["bias"], dtype)
+        if head_act is not None:
+            h0 = head_act(h0)  # act(0)=0 for all heads
         for i in range(n_blocks):
             blk = sp["res_block_%d" % i]
             h0 = pair(i, h0, blk["conv1"], blk["conv2"], mask1,
