@@ -116,6 +116,10 @@ def main():
             from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
 
             fwd = make_packed_edsr_forward(model, dtype=dtype)
+        elif args.model.startswith(("LarvaNet", "LarvaLeg")):
+            from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
+
+            fwd = make_packed_larvanet_forward(model, dtype=dtype)
         else:
             fwd = model._forward_impl
         xd = x.astype(dtype)
