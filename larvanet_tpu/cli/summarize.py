@@ -1,22 +1,103 @@
-"""Model summary CLI: params + FLOPs (reference summarize.py).
+"""Model summary CLI: per-layer kernel/params/MACs table + FLOPs.
 
-The reference uses a vendored torchsummaryX for a per-layer table of
-kernel shapes / params / MACs (reference summarize.py:44,
-utils/torchsummaryX.py:57-61). Here the per-layer table comes from
-flax's tabulate, and the authoritative FLOP total comes from XLA's own
-cost analysis of the compiled forward — the numbers the TPU actually
-executes.
+Mirrors the reference's vendored torchsummaryX (reference
+summarize.py:44, utils/torchsummaryX.py:57-61,119-167): one row per
+parametered leaf module with its kernel shape ([in, out, kh, kw] — the
+reference swaps the first two dims of the torch OIHW weight), output
+shape (printed NCHW for side-by-side comparability), trainable param
+count, and Mult-Adds using torchsummaryX's exact rule — conv MACs =
+weight element count x output spatial size; non-conv weights (PReLU
+slopes) count their element count. Totals line matches the reference's
+"===== total =====" block. Parameter-FREE modules print no row (our
+MeanShift is a fold, not a frozen conv, so the reference's 24
+non-trainable meanshift params and their rows don't exist here — the
+trainable totals are identical).
+
+Shapes come from `jax.eval_shape` over the flax module with
+capture_intermediates — no real compute, any input size. The
+authoritative FLOP total still comes from XLA's cost analysis of the
+compiled forward (the numbers the TPU actually executes).
 """
 
 from __future__ import annotations
 
 import argparse
+import re
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from larvanet_tpu.cli import common
+
+
+def _natural_key(path):
+    return tuple(
+        tuple(int(t) if t.isdigit() else t for t in re.split(r"(\d+)", p))
+        for p in path
+    )
+
+
+def per_layer_table(model, height: int, width: int):
+    """Rows of (layer_name, kernel_shape, output_shape_nchw, params, macs).
+
+    MAC rule per reference utils/torchsummaryX.py:57-61.
+    """
+    dummy = jax.ShapeDtypeStruct((1, height, width, 3), jnp.float32)
+
+    def fwd(p, x):
+        return model.module.apply({"params": p}, x, capture_intermediates=True)
+
+    _, state = jax.eval_shape(fwd, model.params, dummy)
+
+    shapes = {}
+
+    def walk_inter(node, path):
+        if not isinstance(node, dict):
+            return
+        if "__call__" in node:
+            out = node["__call__"][0]  # first invocation
+            while isinstance(out, (tuple, list)):
+                out = out[0]
+            shapes[path] = out.shape
+        for k, v in node.items():
+            if k != "__call__":
+                walk_inter(v, path + (k,))
+
+    walk_inter(state["intermediates"], ())
+
+    rows = []
+
+    def walk_params(node, path):
+        leaves = {k: v for k, v in node.items() if not isinstance(v, dict)}
+        if leaves:
+            params = sum(int(np.prod(np.shape(v))) for v in leaves.values())
+            out_shape = shapes.get(path)
+            kernel = leaves.get("kernel")
+            if kernel is not None and np.ndim(kernel) == 4:
+                kh, kw, ci, co = np.shape(kernel)
+                ksize = [ci, co, kh, kw]
+                out_spatial = (
+                    int(np.prod(out_shape[1:3])) if out_shape is not None else 0)
+                macs = int(np.prod(np.shape(kernel))) * out_spatial
+            else:  # PReLU slope etc.: macs = element count (torchsummaryX rule)
+                ksize = list(np.shape(next(iter(leaves.values()))))
+                macs = sum(int(np.prod(np.shape(v))) for k, v in leaves.items()
+                           if k != "bias")
+            nchw = None
+            if out_shape is not None and len(out_shape) == 4:
+                n, h, w, c = out_shape
+                nchw = [n, c, h, w]
+            rows.append(("/".join(path), ksize, nchw, params, macs))
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk_params(v, path + (k,))
+
+    from flax import serialization
+
+    walk_params(serialization.to_state_dict(model.params), ())
+    rows.sort(key=lambda r: _natural_key(tuple(r[0].split("/"))))
+    return rows
 
 
 def summarize_model(model, height: int, width: int):
@@ -61,6 +142,25 @@ def main(argv=None):
     )
     common.warn_leftovers(remaining)
 
+    rows = []
+    try:
+        rows = per_layer_table(model, args.input_height, args.input_width)
+    except Exception as exc:  # a model the shape-walk can't traverse
+        print("per-layer table unavailable: %s" % (exc,))
+    if rows:
+        # The reference torchsummaryX's "===== summary =====" format
+        # (utils/torchsummaryX.py:133-141).
+        print("")
+        print("===== summary =====")
+        print("layer_name\tmultiadds\tparams\tkernel_shape\toutput_shape")
+        for name, ksize, out_nchw, params, macs in rows:
+            print("%s\t%d\t%d\t%s\t%s" % (name, macs, params, ksize, out_nchw))
+        print("===== ======= =====")
+        print("===== total =====")
+        print("- multiadds: %d" % (sum(r[4] for r in rows),))
+        print("- params: %d" % (sum(r[3] for r in rows),))
+        print("===== ===== =====")
+
     n_params, flops, table = summarize_model(model, args.input_height, args.input_width)
     if table:
         print(table)
@@ -69,7 +169,7 @@ def main(argv=None):
     if flops is not None:
         print("XLA forward FLOPs: %s (%.3f GFLOPs)" % ("{:,}".format(int(flops)), flops / 1e9))
         print("approx MACs: %s" % ("{:,}".format(int(flops) // 2),))
-    return n_params, flops
+    return n_params, flops, rows
 
 
 if __name__ == "__main__":

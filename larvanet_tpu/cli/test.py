@@ -48,6 +48,9 @@ def main(argv=None):
                         help="Comma-separated dataset subdirs; DIV2K_val uses RGB PSNR.")
     parser.add_argument("--chop_forward", action="store_true")
     parser.add_argument("--chop_overlap_size", type=int, default=20)
+    parser.add_argument("--report_json", type=str,
+                        help="Write per-image and mean PSNR/SSIM to this JSON file "
+                             "(used by tools/protocol_parity.py).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -64,6 +67,7 @@ def main(argv=None):
 
     datasets = [d for d in args.datasets.split(",") if d]
     results = []
+    report = {}
     for dataset in datasets:
         input_path = os.path.join(args.input_root_path, dataset)
         truth_path = os.path.join(args.truth_root_path, dataset)
@@ -119,12 +123,26 @@ def main(argv=None):
         results.append((dataset, float(np.mean(psnr_list)), float(np.mean(ssim_list)), duration))
         print("x%d, %s dataset, psnr=%.4f, ssim=%.4f, duration=%.0f"
               % (scale, dataset, results[-1][1], results[-1][2], duration))
+        report[dataset] = {
+            "mean_psnr": results[-1][1],
+            "mean_ssim": results[-1][2],
+            "per_image": {
+                os.path.splitext(n)[0]: {"psnr": float(p), "ssim": float(s)}
+                for n, p, s in zip(image_names, psnr_list, ssim_list)
+            },
+        }
 
     for dataset, psnr, ssim, duration in results:
         line = "%s, psnr=%.4f, ssim=%.4f, duration=%s" % (dataset, psnr, ssim, duration)
         print(line)
         log.write(line + "\n")
     log.close()
+    if args.report_json:
+        import json
+
+        os.makedirs(os.path.dirname(args.report_json) or ".", exist_ok=True)
+        with open(args.report_json, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
     print("finished")
     return results
 

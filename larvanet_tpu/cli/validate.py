@@ -57,6 +57,9 @@ def main(argv=None):
     parser.add_argument("--int8_trunk", type=int, default=0,
                         help="Opt-in W8A8 quantized trunk (EDSR/LarvaNet families; calibrated "
                              "on the first input; NOT float-exact, ~-0.06 dB measured).")
+    parser.add_argument("--report_json", type=str,
+                        help="Write per-image and mean PSNRs to this JSON file "
+                             "(used by tools/protocol_parity.py).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -77,6 +80,7 @@ def main(argv=None):
     num_images = dataloader.get_num_images()
     average_psnr_dict = {}
     average_duration_dict = {}
+    report = {}
     for scale in scale_list:
         if args.self_ensemble:
             from larvanet_tpu.eval.ensemble import self_ensemble_forward
@@ -90,7 +94,7 @@ def main(argv=None):
             tiler = TiledUpscaler(
                 fwd, scale=scale, tile_size=args.tile_size, overlap=args.tile_overlap,
             )
-        duration_list, psnr_list = [], []
+        duration_list, psnr_list, name_list = [], [], []
         for image_index in range(num_images):
             input_image, truth_image, image_name = dataloader.get_image_pair(
                 image_index=image_index, scale=scale
@@ -119,6 +123,7 @@ def main(argv=None):
             truth_u8 = metrics.fit_truth_to_output(output_u8, truth_u8)
             psnr = metrics.psnr_rgb(output_u8, truth_u8)
             psnr_list.append(psnr)
+            name_list.append(image_name)
             print("x%d, %d/%d, psnr=%.2f, duration=%.4f"
                   % (scale, image_index + 1, num_images, psnr, duration))
 
@@ -126,6 +131,17 @@ def main(argv=None):
         average_duration_dict[scale] = float(np.mean(duration_list))
         print("x%d, psnr=%.2f, duration=%.4f"
               % (scale, average_psnr_dict[scale], average_duration_dict[scale]))
+        if args.report_json:
+            report.setdefault("scales", {})[str(scale)] = {
+                "mean_psnr": average_psnr_dict[scale],
+                "per_image": dict(zip(name_list, map(float, psnr_list))),
+            }
+    if args.report_json:
+        import json
+
+        os.makedirs(os.path.dirname(args.report_json) or ".", exist_ok=True)
+        with open(args.report_json, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
     print("finished")
     return average_psnr_dict
 

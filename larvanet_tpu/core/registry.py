@@ -45,7 +45,11 @@ def get_model(name: str):
         raise KeyError(
             "unknown model %r; available: %s" % (name, ", ".join(sorted(_MODELS)))
         )
-    return _MODELS[name]()
+    model = _MODELS[name]()
+    # The public plugin name, e.g. for the reference-`.pth` converter's
+    # per-family rule sets (utils/torch_convert.RULES).
+    model.registry_name = name
+    return model
 
 
 def get_loader(name: str):

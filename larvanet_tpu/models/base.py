@@ -316,9 +316,43 @@ class SRModel:
             self._ckpt_writer.wait()
 
     def restore(self, ckpt_path: str, target=None, strict: bool = True) -> None:
+        if ckpt_path.endswith((".pth", ".pt")):
+            self._restore_pth(ckpt_path, strict=strict)
+            return
         with open(ckpt_path, "rb") as f:
             state = serialization.msgpack_restore(f.read())
         self._load_state_dict(state, strict=strict)
+
+    def _restore_pth(self, ckpt_path: str, strict: bool = True) -> None:
+        """Restore directly from a reference torch checkpoint.
+
+        Lets reference users point `--restore_path` at their trained
+        `model_<step>.pth` (reference models/edsr.py:61-66 format) in any
+        CLI; conversion runs through utils/torch_convert's per-family
+        rules (OIHW->HWIO etc.). Optimizer state is not present in
+        reference checkpoints (they save bare state_dicts), so resuming
+        training from a .pth restarts Adam moments — same as the
+        reference itself.
+        """
+        from larvanet_tpu.utils import torch_convert
+
+        name = getattr(self, "registry_name", None)
+        if name is None or name not in torch_convert.RULES:
+            raise ValueError(
+                "don't know how to convert a .pth for model %r; use "
+                "utils/torch_convert manually" % (name,)
+            )
+        params, skipped = torch_convert.load_pth(ckpt_path, name)
+        if skipped:
+            print("restore: skipped reference-only keys: %s" % (skipped,))
+        current = serialization.to_state_dict(self.params)
+        _validate_param_shapes(current, params, strict=strict)
+        if strict:
+            self.params = serialization.from_state_dict(self.params, params)
+        else:
+            self.params = serialization.from_state_dict(
+                self.params, _merge_partial(current, params)
+            )
 
 
 def _validate_param_shapes(current: Dict, loaded: Dict, strict: bool, prefix: str = "") -> None:

@@ -84,7 +84,39 @@ def test_train_larva_volume_flow(tree):
 def test_summarize_cli():
     from larvanet_tpu.cli import summarize
 
-    n_params, flops = summarize.main(
+    n_params, flops, rows = summarize.main(
         ["--model", "edsr", "--input_width", "16", "--input_height", "16", *TINY_EDSR]
     )
     assert n_params > 0
+    assert rows and sum(r[3] for r in rows) == n_params
+
+
+def test_summarize_edsr_b_per_layer_parity():
+    """Pin EDSR-b x4 totals to the derived reference numbers: 1,517,571
+    trainable params (SURVEY.md §6, reference models/edsr.py:177-193)
+    and torchsummaryX's conv MAC rule — weight elements x out-spatial
+    (reference utils/torchsummaryX.py:57-61) — at the 96x96 dummy input."""
+    from larvanet_tpu.cli import summarize
+
+    n_params, _, rows = summarize.main(
+        ["--model", "edsr", "--input_width", "96", "--input_height", "96"])
+    assert n_params == 1_517_571
+    assert sum(r[3] for r in rows) == 1_517_571
+
+    s = 96 * 96
+    expected_macs = (
+        3 * 64 * 9 * s                   # first_conv
+        + 16 * 2 * 64 * 64 * 9 * s       # 16 res blocks x 2 convs
+        + 64 * 64 * 9 * s                # after_res_conv
+        + 64 * 256 * 9 * s               # upsample conv0 (pre-PS2)
+        + 64 * 256 * 9 * (192 * 192)     # upsample conv1 (post-PS2)
+        + 64 * 3 * 9 * (384 * 384)       # final_conv
+    )
+    assert sum(r[4] for r in rows) == expected_macs
+    # per-layer spot checks (kernel shape in the reference's [in,out,kh,kw])
+    by_name = {r[0]: r for r in rows}
+    assert by_name["first_conv"][1] == [3, 64, 3, 3]
+    assert by_name["first_conv"][4] == 3 * 64 * 9 * s
+    assert by_name["res_block_0/conv1"][3] == 36_928
+    assert by_name["upsample/conv1"][2] == [1, 256, 192, 192]  # NCHW print
+    assert by_name["final_conv"][4] == 64 * 3 * 9 * 384 * 384

@@ -1,0 +1,77 @@
+"""End-to-end protocol parity vs the live reference (VERDICT r1 item 1).
+
+Each test runs the reference repo's OWN eval pipeline (torch CPU, its
+validate.py/test.py semantics and its basic_loader) and this framework's
+CLI on the same fixture + the same checkpoint (converted through the
+user-facing `.pth` restore path), and asserts the final printed dB
+numbers agree per image:
+
+    |ΔPSNR| ≤ 1e-3 dB and |ΔSSIM| ≤ 1e-4 per image
+
+which is 20x tighter than the project's 0.02 dB budget. Covers EDSR
+(plain + chop-forward), LarvaNet (validate + paper test protocols),
+msrr_reduced, and msrr_test ([0,1]-contract special case). Tiny model
+configs keep CPU compile time sane; the full-size numbers live in
+BASELINE.md (tools/protocol_parity.py CLI).
+"""
+
+import os
+
+import pytest
+
+from tools import protocol_parity as pp
+from larvanet_tpu.data import fixture
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference repo not mounted")
+
+PSNR_TOL = 1e-3
+SSIM_TOL = 1e-4
+
+# Two images: even LR + odd-width LR with truth-crop extras.
+SHAPES = ((32, 40, 0, 0), (30, 33, 1, 2))
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("parity_fixture")
+    fixture.generate(str(root), shapes=SHAPES, scales=(4,))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("parity_ckpts"))
+
+
+def test_edsr_validate_and_chop(fixture_root, workdir):
+    rep = pp.run_family(
+        "edsr", ["--edsr_conv_features", "16", "--edsr_res_blocks", "2"],
+        fixture_root, workdir, do_validate=True, do_chop=True, chop_overlap=8)
+    assert rep["validate"]["max_abs_delta"] <= PSNR_TOL
+    assert rep["validate_chop"]["max_abs_delta"] <= PSNR_TOL
+
+
+def test_larvanet_validate_and_paper_test(fixture_root, workdir):
+    rep = pp.run_family(
+        "LarvaNet", ["--num_modules", "2", "--num_blocks", "2,3"],
+        fixture_root, workdir, do_validate=True, do_test=True)
+    assert rep["validate"]["max_abs_delta"] <= PSNR_TOL
+    for ds in ("SynSet", "DIV2K_val"):
+        assert rep["test"][ds]["psnr"]["max_abs_delta"] <= PSNR_TOL
+        assert rep["test"][ds]["ssim"]["max_abs_delta"] <= SSIM_TOL
+
+
+def test_msrr_reduced_validate(fixture_root, workdir):
+    rep = pp.run_family("msrr_reduced", ["--num_blocks", "3"],
+                        fixture_root, workdir, do_validate=True)
+    assert rep["validate"]["max_abs_delta"] <= PSNR_TOL
+
+
+def test_msrr_test_paper_protocol(fixture_root, workdir):
+    rep = pp.run_family(
+        "msrr_test", ["--num_filters", "16", "--num_blocks", "2"],
+        fixture_root, workdir, do_validate=False, do_test=True)
+    for ds in ("SynSet", "DIV2K_val"):
+        assert rep["test"][ds]["psnr"]["max_abs_delta"] <= PSNR_TOL
+        assert rep["test"][ds]["ssim"]["max_abs_delta"] <= SSIM_TOL
