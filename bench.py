@@ -79,122 +79,22 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), model.params)
 
-    forward = lambda p, x: model.module.apply({"params": p}, x)
-    if args.int8_trunk and args.model in ("edsr", "edsr_loss"):
-        from larvanet_tpu.ops.packed_trunk import make_int8_edsr_forward
+    from larvanet_tpu.ops.fastpath import build_fast_forward
 
+    calib = None
+    if args.int8_trunk:
         calib = np.random.default_rng(1).uniform(
             0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
-        forward = make_int8_edsr_forward(model, calib, dtype=dtype)
-        log("using int8 (W8A8) packed trunk + collapsed tail")
-    elif args.int8_trunk and args.model.startswith("REGO"):
-        from larvanet_tpu.ops.packed_trunk import make_int8_rego_forward
-
-        calib = np.random.default_rng(1).uniform(
-            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
-        forward = make_int8_rego_forward(model, calib, dtype=dtype)
-        log("using int8 (W8A8) packed trunk")
-    elif args.int8_trunk and args.model == "TreeNet":
-        from larvanet_tpu.ops.packed_trunk import make_int8_treenet_forward
-
-        calib = np.random.default_rng(1).uniform(
-            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
-        forward = make_int8_treenet_forward(model, calib, dtype=dtype)
-        log("using int8 (W8A8) packed trunk")
-    elif args.int8_trunk and args.model == "mamnet":
-        from larvanet_tpu.ops.packed_trunk import make_int8_mamnet_forward
-
-        calib = np.random.default_rng(1).uniform(
-            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
-        forward = make_int8_mamnet_forward(model, calib, dtype=dtype)
-        log("using int8 (W8A8) packed trunk + collapsed tail")
-    elif args.int8_trunk and args.model.startswith("hrsr"):
-        from larvanet_tpu.ops.packed_trunk import make_int8_hrsr_forward
-
-        calib = np.random.default_rng(1).uniform(
-            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
-        forward = make_int8_hrsr_forward(model, calib, dtype=dtype)
-        log("using int8 (W8A8) packed trunk")
-    elif args.int8_trunk and args.model.startswith("ebrn_rm"):
-        from larvanet_tpu.ops.packed_trunk import make_int8_ebrn_rm_forward
-
-        calib = np.random.default_rng(1).uniform(
-            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
-        forward = make_int8_ebrn_rm_forward(model, calib, dtype=dtype)
-        log("using int8 (W8A8) packed trunk")
-    elif args.int8_trunk and args.model.startswith(("msrr", "dwsr")):
-        from larvanet_tpu.ops.packed_trunk import make_int8_msrr_forward
-
-        calib = np.random.default_rng(1).uniform(
-            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
-        forward = make_int8_msrr_forward(model, calib, dtype=dtype)
-        log("using int8 (W8A8) packed trunk")
-    elif args.int8_trunk and args.model.startswith(("LarvaNet", "LarvaLeg")):
-        from larvanet_tpu.ops.packed_trunk import make_int8_larvanet_forward
-
-        calib = np.random.default_rng(1).uniform(
-            0, 255, (4, args.tile, args.tile, 3)).astype(np.float32)
-        forward = make_int8_larvanet_forward(model, calib, dtype=dtype)
-        log("using int8 (W8A8) packed trunk")
-    elif args.packed_trunk and args.model.startswith(("LarvaNet", "LarvaLeg")):
-        from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
-
-        forward = make_packed_larvanet_forward(model, dtype=dtype)
-        log("using width-packed trunk")
-    elif args.packed_trunk and args.model == "imdn_aim2019":
-        from larvanet_tpu.ops.packed_trunk import make_packed_imdn_forward
-
-        forward = make_packed_imdn_forward(model, dtype=dtype)
-        log("using width-packed trunk")
-    elif args.packed_trunk and args.model == "mamnet":
-        from larvanet_tpu.ops.packed_trunk import make_packed_mamnet_forward
-
-        forward = make_packed_mamnet_forward(model, dtype=dtype)
-        log("using width-packed trunk + collapsed tail")
-    elif args.packed_trunk and args.model.startswith("ebrn_rm"):
-        from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_rm_forward
-
-        forward = make_packed_ebrn_rm_forward(model, dtype=dtype)
-        log("using width-packed trunk")
-    elif args.packed_full_ebrn and args.model == "ebrn":
-        # documented negative result (18% slower; BASELINE.md) — opt-in
-        from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_forward
-
-        forward = make_packed_ebrn_forward(model, dtype=dtype)
-        log("using width-packed HR flows")
-    elif args.packed_trunk and args.model.startswith("REGO"):
-        from larvanet_tpu.ops.packed_trunk import make_packed_rego_forward
-
-        forward = make_packed_rego_forward(model, dtype=dtype)
-        log("using width-packed trunk")
-    elif args.packed_trunk and args.model == "TreeNet":
-        from larvanet_tpu.ops.packed_trunk import make_packed_treenet_forward
-
-        forward = make_packed_treenet_forward(model, dtype=dtype)
-        log("using width-packed trunk")
-    elif args.packed_trunk and args.model.startswith("hrsr"):
-        from larvanet_tpu.ops.packed_trunk import make_packed_hrsr_forward
-
-        forward = make_packed_hrsr_forward(model, dtype=dtype)
-        log("using width-packed trunk")
-    elif args.packed_trunk and args.model.startswith(("msrr", "dwsr")):
-        from larvanet_tpu.ops.packed_trunk import make_packed_msrr_forward
-
-        try:
-            forward = make_packed_msrr_forward(model, dtype=dtype)
-            log("using width-packed trunk")
-        except ValueError:
-            pass  # depthwise: plain graph
-    elif args.packed_trunk and args.collapsed_tail and args.model in ("edsr", "edsr_loss"):
-        from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
-
-        forward = make_packed_edsr_forward(model, dtype=dtype)
-        log("using width-packed trunk + collapsed linear tail")
-    elif args.collapsed_tail and args.model in ("edsr", "edsr_loss"):
-        from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
-
-        forward = make_collapsed_edsr_forward(model, dtype=dtype)
-        log("using collapsed linear tail")
+    fast, desc = build_fast_forward(
+        model, dtype, packed_trunk=bool(args.packed_trunk),
+        collapsed_tail=bool(args.collapsed_tail),
+        int8_trunk=bool(args.int8_trunk), calib=calib,
+        packed_full_ebrn=bool(args.packed_full_ebrn))
+    if fast is not None:
+        forward = fast
+        log("using " + desc)
+    else:
+        forward = lambda p, x: model.module.apply({"params": p}, x)
 
     def chained(p, x, n):
         def body(i, acc):

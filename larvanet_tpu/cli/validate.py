@@ -55,8 +55,19 @@ def main(argv=None):
     parser.add_argument("--packed_trunk", type=int, default=1,
                         help="Width-packed trunk for EDSR-family inference (exact; ~1.45x on TPU; ops/packed_trunk.py).")
     parser.add_argument("--int8_trunk", type=int, default=0,
-                        help="Opt-in W8A8 quantized trunk (EDSR/LarvaNet families; calibrated "
-                             "on the first input; NOT float-exact, ~-0.06 dB measured).")
+                        help="Opt-in W8A8 quantized trunk (EDSR/LarvaNet families; "
+                             "NOT float-exact, ~-0.06 dB measured; see --int8_report).")
+    parser.add_argument("--int8_calib_images", type=int, default=4,
+                        help="Number of val images stacked (centre-cropped) into the "
+                             "int8 activation-scale calibration batch.")
+    parser.add_argument("--int8_report", action="store_true",
+                        help="With --int8_trunk: also run the EXACT packed forward per "
+                             "image and print the int8-vs-exact PSNR delta (the "
+                             "accuracy guardrail; dB deltas also land in --report_json).")
+    parser.add_argument("--int8_max_drop", type=float, default=0.1,
+                        help="With --int8_report: refuse to bless the int8 path (exit "
+                             "code 3) if the mean PSNR drop vs the exact forward "
+                             "exceeds this many dB.")
     parser.add_argument("--report_json", type=str,
                         help="Write per-image and mean PSNRs to this JSON file "
                              "(used by tools/protocol_parity.py).")
@@ -72,15 +83,19 @@ def main(argv=None):
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
-    common.maybe_int8_trunk(model, args, lambda: dataloader.get_image_pair(
-        image_index=0, scale=scale_list[0])[0].transpose(1, 2, 0)[None])
+    common.maybe_int8_trunk(model, args, lambda: common.int8_calib_batch(
+        dataloader, scale_list[0], args.int8_calib_images))
     common.maybe_spatial_shard(model, args, scale_list[0])
+    int8_report = args.int8_report and hasattr(model, "_int8_exact_jit")
+    if args.int8_report and not int8_report:
+        print("--int8_report: int8 trunk is not active; nothing to report")
 
     print("begin validation")
     num_images = dataloader.get_num_images()
     average_psnr_dict = {}
     average_duration_dict = {}
     report = {}
+    int8_verdicts = []
     for scale in scale_list:
         if args.self_ensemble:
             from larvanet_tpu.eval.ensemble import self_ensemble_forward
@@ -94,7 +109,7 @@ def main(argv=None):
             tiler = TiledUpscaler(
                 fwd, scale=scale, tile_size=args.tile_size, overlap=args.tile_overlap,
             )
-        duration_list, psnr_list, name_list = [], [], []
+        duration_list, psnr_list, name_list, int8_deltas = [], [], [], []
         for image_index in range(num_images):
             input_image, truth_image, image_name = dataloader.get_image_pair(
                 image_index=image_index, scale=scale
@@ -124,6 +139,19 @@ def main(argv=None):
             psnr = metrics.psnr_rgb(output_u8, truth_u8)
             psnr_list.append(psnr)
             name_list.append(image_name)
+            if int8_report:
+                xin = np.ascontiguousarray(
+                    np.asarray(input_image, np.float32).transpose(1, 2, 0))[None]
+                exact_chw = np.asarray(
+                    model._int8_exact_jit(model.params, xin))[0].transpose(2, 0, 1)
+                exact_psnr = metrics.psnr_rgb(
+                    metrics.image_to_uint8(exact_chw), truth_u8)
+                int8_deltas.append(psnr - exact_psnr)
+                print("x%d, %d/%d, psnr=%.2f, duration=%.4f  [int8 %.4f vs exact "
+                      "%.4f dB, delta %+.4f]"
+                      % (scale, image_index + 1, num_images, psnr, duration,
+                         psnr, exact_psnr, psnr - exact_psnr))
+                continue
             print("x%d, %d/%d, psnr=%.2f, duration=%.4f"
                   % (scale, image_index + 1, num_images, psnr, duration))
 
@@ -131,11 +159,24 @@ def main(argv=None):
         average_duration_dict[scale] = float(np.mean(duration_list))
         print("x%d, psnr=%.2f, duration=%.4f"
               % (scale, average_psnr_dict[scale], average_duration_dict[scale]))
+        if int8_report:
+            mean_delta = float(np.mean(int8_deltas))
+            worst = float(np.min(int8_deltas))
+            print("x%d, int8-vs-exact: mean delta %+.4f dB, worst %+.4f dB "
+                  "(threshold --int8_max_drop %.3f)"
+                  % (scale, mean_delta, worst, args.int8_max_drop))
+            int8_verdicts.append((scale, mean_delta, worst))
         if args.report_json:
             report.setdefault("scales", {})[str(scale)] = {
                 "mean_psnr": average_psnr_dict[scale],
                 "per_image": dict(zip(name_list, map(float, psnr_list))),
             }
+            if int8_report:
+                report["scales"][str(scale)]["int8_vs_exact"] = {
+                    "mean_delta_db": float(np.mean(int8_deltas)),
+                    "worst_delta_db": float(np.min(int8_deltas)),
+                    "per_image_delta": dict(zip(name_list, map(float, int8_deltas))),
+                }
     if args.report_json:
         import json
 
@@ -143,6 +184,14 @@ def main(argv=None):
         with open(args.report_json, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
     print("finished")
+    for scale, mean_delta, worst in int8_verdicts:
+        if -mean_delta > args.int8_max_drop:
+            print("int8 REFUSED: x%d mean PSNR drop %.4f dB exceeds "
+                  "--int8_max_drop %.3f — do not serve this quantized model"
+                  % (scale, -mean_delta, args.int8_max_drop))
+            raise SystemExit(3)
+    if int8_verdicts:
+        print("int8 OK: within --int8_max_drop on every scale")
     return average_psnr_dict
 
 

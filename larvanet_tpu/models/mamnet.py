@@ -119,6 +119,19 @@ class MAMNet(SRModel):
         super().prepare(is_training, scales, global_step=global_step, seed=seed)
 
     def _compute_loss(self, params, inputs, targets):
+        if getattr(self.args, "packed_trunk_train", 0) and inputs.shape[2] % 2:
+            # The user explicitly opted into the packed training graph but
+            # this patch width can't run it (the packed MAM variance would
+            # see the pad column) — say so ONCE instead of silently
+            # training a different graph per batch shape.
+            if not getattr(self, "_warned_odd_packed", False):
+                self._warned_odd_packed = True
+                print("WARNING: --packed_trunk_train 1 but patch width %d is "
+                      "odd — falling back to the %s graph for odd-width "
+                      "batches (use an even --input_patch_size to stay packed)"
+                      % (inputs.shape[2],
+                         "collapsed-tail" if getattr(self.args, "collapsed_tail_train", 0)
+                         else "plain module"))
         if getattr(self.args, "packed_trunk_train", 0) and inputs.shape[2] % 2 == 0:
             if getattr(self, "_packed_train", None) is None:
                 from larvanet_tpu.ops.packed_trunk import (

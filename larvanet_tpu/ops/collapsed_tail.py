@@ -600,7 +600,10 @@ def make_collapsed_base(scale: int, mode: str = "bicubic"):
             kernel = kernel[1:-1, 1:-1]
         r = kernel.shape[0] // 2
         tile = np.zeros((scale, scale, 3), np.float32)  # resampler(0) = 0
-        border = extract_border_ops(base_fn, 3, scale, r, tile)
+        # mode='nearest' collapses to a 1x1 kernel (r=0): the interior
+        # conv is exact everywhere (nearest has no edge-clamp divergence)
+        # and extract_border_ops would otherwise probe zero-size canvases
+        border = extract_border_ops(base_fn, 3, scale, r, tile) if r > 0 else None
         # cache PURE NUMPY: the builder may run inside an active jit
         # trace, where jnp/device arrays would be tracers that escape
         # the trace via the cache (UnexpectedTracerError on reuse)

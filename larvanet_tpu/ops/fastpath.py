@@ -1,0 +1,86 @@
+"""The ONE fast-path routing table: model family -> optimized forward.
+
+bench.py, tools/trace_train.py --infer, and the serving CLIs previously
+each carried their own copy of the "which packed/int8 builder applies to
+this model" chain; a trace taken through a stale copy silently measured
+a different graph than bench.py shipped (advisor finding r1). This
+module is now the single source of truth.
+
+`build_fast_forward` mirrors bench.py's routing exactly, including the
+documented negative-result gates (packed IMDN only when packed_trunk is
+explicitly on, full-EBRN HR flows only via packed_full_ebrn — both
+measured slower, BASELINE.md). Returns (forward, description) or
+(None, None) when the model runs the plain module graph.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+
+def build_fast_forward(model, dtype, packed_trunk: bool = True,
+                       collapsed_tail: bool = True, int8_trunk: bool = False,
+                       calib=None, packed_full_ebrn: bool = False,
+                       ) -> Tuple[Optional[object], Optional[str]]:
+    from larvanet_tpu.ops import packed_trunk as pt
+
+    name = getattr(model, "registry_name", "") or ""
+
+    if int8_trunk:
+        if calib is None:
+            raise ValueError("int8_trunk requires a calibration batch")
+        int8_table = [
+            (lambda n: n in ("edsr", "edsr_loss"), pt.make_int8_edsr_forward,
+             "int8 (W8A8) packed trunk + collapsed tail"),
+            (lambda n: n.startswith("REGO"), pt.make_int8_rego_forward,
+             "int8 (W8A8) packed trunk"),
+            (lambda n: n == "TreeNet", pt.make_int8_treenet_forward,
+             "int8 (W8A8) packed trunk"),
+            (lambda n: n == "mamnet", pt.make_int8_mamnet_forward,
+             "int8 (W8A8) packed trunk + collapsed tail"),
+            (lambda n: n.startswith("hrsr"), pt.make_int8_hrsr_forward,
+             "int8 (W8A8) packed trunk"),
+            (lambda n: n.startswith("ebrn_rm"), pt.make_int8_ebrn_rm_forward,
+             "int8 (W8A8) packed trunk"),
+            (lambda n: n.startswith(("msrr", "dwsr")), pt.make_int8_msrr_forward,
+             "int8 (W8A8) packed trunk"),
+            (lambda n: n.startswith(("LarvaNet", "LarvaLeg")),
+             pt.make_int8_larvanet_forward, "int8 (W8A8) packed trunk"),
+        ]
+        for match, build, desc in int8_table:
+            if match(name):
+                return build(model, calib, dtype=dtype), desc
+
+    if packed_trunk and name.startswith(("LarvaNet", "LarvaLeg")):
+        return pt.make_packed_larvanet_forward(model, dtype=dtype), "width-packed trunk"
+    if packed_trunk and name == "imdn_aim2019":
+        # negative result as a default CLI path (BASELINE.md) — routed
+        # only when the caller explicitly asks for the packed trunk
+        return pt.make_packed_imdn_forward(model, dtype=dtype), "width-packed trunk"
+    if packed_trunk and name == "mamnet":
+        return (pt.make_packed_mamnet_forward(model, dtype=dtype),
+                "width-packed trunk + collapsed tail")
+    if packed_trunk and name.startswith("ebrn_rm"):
+        return pt.make_packed_ebrn_rm_forward(model, dtype=dtype), "width-packed trunk"
+    if packed_full_ebrn and name == "ebrn":
+        # documented negative result (18% slower; BASELINE.md) — opt-in
+        return pt.make_packed_ebrn_forward(model, dtype=dtype), "width-packed HR flows"
+    if packed_trunk and name.startswith("REGO"):
+        return pt.make_packed_rego_forward(model, dtype=dtype), "width-packed trunk"
+    if packed_trunk and name == "TreeNet":
+        return pt.make_packed_treenet_forward(model, dtype=dtype), "width-packed trunk"
+    if packed_trunk and name.startswith("hrsr"):
+        return pt.make_packed_hrsr_forward(model, dtype=dtype), "width-packed trunk"
+    if packed_trunk and name.startswith(("msrr", "dwsr")):
+        try:
+            return pt.make_packed_msrr_forward(model, dtype=dtype), "width-packed trunk"
+        except ValueError:
+            return None, None  # depthwise: plain graph
+    if packed_trunk and collapsed_tail and name in ("edsr", "edsr_loss"):
+        return (pt.make_packed_edsr_forward(model, dtype=dtype),
+                "width-packed trunk + collapsed linear tail")
+    if collapsed_tail and name in ("edsr", "edsr_loss"):
+        from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
+
+        return make_collapsed_edsr_forward(model, dtype=dtype), "collapsed linear tail"
+    return None, None

@@ -261,81 +261,21 @@ def packed_resblock(h0, ka, ba, kb, bb, mask1, mask0=None, res_weight=1.0,
     return out if mask0 is None else out * mask0
 
 
-def make_packed_edsr_forward(model, dtype=jnp.float32):
-    """Inference-optimized EDSR forward: width-packed trunk + collapsed
-    linear tail. Exactly equal to model.module.apply (float tolerance);
-    measured ~2x faster per trunk conv on v5e (BASELINE.md). Any input
-    width (odd W is zero-padded to even and masked per block — the mask
-    multiplies fuse into conv epilogues).
+def _edsr_walk(model, dtype, mode, fast_tail=None):
+    """The ONE EDSR trunk topology walk (reference models/edsr.py:177-207:
+    head conv, N x ResBlock(conv-relu-conv), after_res_conv, global
+    skip, linear tail). Returns walk(params, x, pair). `mode` selects
+    the tail:
 
-    Trunk topology per reference models/edsr.py:177-207: head conv,
-    N x ResBlock(conv-relu-conv), after_res_conv, global skip, tail.
-    """
-    from flax import serialization
-
-    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
-    from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
-
-    # reuse the collapsed-tail machinery by building its fast_tail once
-    collapsed = make_collapsed_edsr_forward(model, dtype=dtype)
-    fast_tail = collapsed.__wrapped_tail__
-
-    res_weight = float(getattr(model.args, "edsr_res_weight", 1.0))
-
-    def forward(params, x):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, w, b):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(w, dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(b, dtype)
-
-        n, hh, ww, _ = x.shape
-        h = x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h0, mask1, mask0, odd = packed_entry_head(
-            h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
-
-        res = h0
-        i = 0
-        while ("res_block_%d" % i) in sp:
-            blk = sp["res_block_%d" % i]
-            res = packed_resblock(
-                res,
-                pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
-                pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
-                pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
-                pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
-                mask1, mask0, res_weight)
-            i += 1
-
-        if not odd:
-            # stay packed through after_res_conv, the global skip, and
-            # into the tail's packed conv: crossing the 64<->128-channel
-            # tiling boundary costs a full relayout copy each way
-            # (device trace, BASELINE.md tail anatomy)
-            arc = sp["after_res_conv"]
-            kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
-            res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
-            return fast_tail(h0 + res, packed=True)
-        res = unpack_w(res)[:, :, :ww]
-        h = unpack_w(h0)[:, :, :ww]
-        res = conv(res, sp["after_res_conv"]["kernel"], sp["after_res_conv"]["bias"])
-        h = h + res
-        return fast_tail(h)
-
-    forward.__wrapped_tail__ = fast_tail
-    return forward
-
-
-def make_packed_edsr_train_forward(model, dtype=jnp.float32):
-    """Differentiable EDSR forward with a width-packed trunk and the LIVE
-    original tail (params train; nothing is baked). Loss/grad-equivalent
-    to module.apply — the packing is differentiable slicing/concat — so
-    it drops into _compute_loss for ~1.5x faster training steps.
-
-    Topology per reference models/edsr.py:195-207; the 16 ResBlocks
-    (32 convs) pack, head/after_res_conv/tail (4-5 convs) run plain.
+      'baked'          — inference: the precomputed collapsed fast_tail
+                         (pass it in); stays packed through
+                         after_res_conv for even widths (no 64<->128
+                         relayouts, BASELINE.md tail anatomy).
+      'live_collapsed' — training: the collapsed tail kernel is
+                         re-derived from the CURRENT params in-graph
+                         (live_collapsed_edsr_tail) so gradients flow.
+      'live_plain'     — training: the original live upsample chain
+                         (unpacks right after the trunk, as measured).
     """
     from flax import serialization
 
@@ -345,16 +285,9 @@ def make_packed_edsr_train_forward(model, dtype=jnp.float32):
     scale = model.scale
     res_weight = float(getattr(model.args, "edsr_res_weight", 1.0))
 
-    def forward(params, x):
+    def walk(params, x, pair):
         sp = serialization.to_state_dict(params)
-
-        def conv(h, w, b):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(w, dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(b, dtype)
-
-        n, hh, ww, _ = x.shape
+        ww = x.shape[2]
         h = x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype)
         h0, mask1, mask0, odd = packed_entry_head(
             h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
@@ -363,91 +296,128 @@ def make_packed_edsr_train_forward(model, dtype=jnp.float32):
         i = 0
         while ("res_block_%d" % i) in sp:
             blk = sp["res_block_%d" % i]
-            res = packed_resblock(
-                res,
-                pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
-                pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
-                pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
-                pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
-                mask1, mask0, res_weight)
+            res = pair(i, res, blk["conv1"], blk["conv2"], mask1,
+                       res_weight=res_weight, mask0=mask0)
             i += 1
 
-        res = unpack_w(res)
-        h = unpack_w(h0)
-        if odd:
-            res, h = res[:, :, :ww], h[:, :, :ww]
-        res = conv(res, sp["after_res_conv"]["kernel"], sp["after_res_conv"]["bias"])
-        h = h + res
+        if mode == "live_plain":
+            res = unpack_w(res)
+            hh = unpack_w(h0)
+            if odd:
+                res, hh = res[:, :, :ww], hh[:, :, :ww]
+            res = conv_plain(res, sp["after_res_conv"], dtype)
+            hh = hh + res
+            up, j = sp["upsample"], 0
+            while ("conv%d" % j) in up:
+                hh = pixel_shuffle(conv_plain(hh, up["conv%d" % j], dtype),
+                                   2 if scale != 3 else 3)
+                j += 1
+            hh = conv_plain(hh, sp["final_conv"], dtype)
+            return hh - jnp.asarray(DIV2K_RGB_MEAN, dtype)
 
-        up, i = sp["upsample"], 0
-        while ("conv%d" % i) in up:
-            h = conv(h, up["conv%d" % i]["kernel"], up["conv%d" % i]["bias"])
-            h = pixel_shuffle(h, 2 if scale != 3 else 3)
-            i += 1
-        h = conv(h, sp["final_conv"]["kernel"], sp["final_conv"]["bias"])
-        return h - jnp.asarray(DIV2K_RGB_MEAN, dtype)
+        if mode == "live_collapsed":
+            from larvanet_tpu.ops.collapsed_tail import (
+                apply_collapsed_tail, live_collapsed_edsr_tail)
+
+            kernel, bias_tile, tail_fn = live_collapsed_edsr_tail(sp, scale, dtype)
+
+        if not odd:
+            # stay packed through after_res_conv, the global skip, and
+            # into the tail's packed conv: crossing the 64<->128-channel
+            # tiling boundary costs a full relayout copy each way
+            fused, packed = h0 + single_same(res, sp["after_res_conv"], dtype), True
+        else:
+            res = unpack_w(res)[:, :, :ww]
+            hh = unpack_w(h0)[:, :, :ww]
+            fused, packed = hh + conv_plain(res, sp["after_res_conv"], dtype), False
+
+        if mode == "baked":
+            return fast_tail(fused, packed=True) if packed else fast_tail(fused)
+        return apply_collapsed_tail(fused, kernel, bias_tile, tail_fn, scale,
+                                    packed=packed)
+
+    return walk
+
+
+def make_packed_edsr_forward(model, dtype=jnp.float32):
+    """Inference-optimized EDSR forward: width-packed trunk + collapsed
+    linear tail (topology in _edsr_walk). Exactly equal to
+    model.module.apply (float tolerance); measured ~2x faster per trunk
+    conv on v5e (BASELINE.md). Any input width (odd W is zero-padded to
+    even and masked per block)."""
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
+
+    fast_tail = make_collapsed_edsr_forward(model, dtype=dtype).__wrapped_tail__
+    walk = _edsr_walk(model, dtype, "baked", fast_tail=fast_tail)
+    pair = exact_pair(dtype)
+
+    def forward(params, x):
+        return walk(params, x, pair)
+
+    forward.__wrapped_tail__ = fast_tail
+    return forward
+
+
+def make_int8_edsr_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized EDSR inference (serving path, NOT default).
+
+    At the packed conv shape the v5e int8 MXU path sustains 316 TOPS vs
+    187 TF/s bf16 (BASELINE.md) — unreachable before packing because
+    N=64 underfill capped both dtypes. Scheme: the residual stream stays
+    bf16; each ResBlock's two convs run int8 with per-output-channel
+    weight scales and per-site static activation scales, quantize /
+    dequantize fused into the conv epilogues (make_pair_runner). Scales
+    come from one bf16 pass over `calib_batch` (NHWC float32).
+
+    Head / after_res_conv / tail stay bf16 (exact). Accuracy: quantized
+    SR typically costs ~0.02-0.1 dB — measure on your eval set before
+    serving (cli/validate.py --int8_report automates this); the default
+    --packed_trunk path is float-exact, this one is NOT. Topology in
+    _edsr_walk.
+    """
+    from flax import serialization
+
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
+
+    fast_tail = make_collapsed_edsr_forward(model, dtype=dtype).__wrapped_tail__
+    walk = _edsr_walk(model, dtype, "baked", fast_tail=fast_tail)
+    sp0 = serialization.to_state_dict(model.params)
+    n_blocks = len([k for k in sp0 if k.startswith("res_block_")])
+    return _make_int8(
+        model, calib_batch, dtype, walk,
+        [(sp0["res_block_%d" % i]["conv1"], sp0["res_block_%d" % i]["conv2"])
+         for i in range(n_blocks)])
+
+
+def make_packed_edsr_train_forward(model, dtype=jnp.float32):
+    """Differentiable EDSR forward with a width-packed trunk and the LIVE
+    original tail (params train; nothing is baked; topology in
+    _edsr_walk mode='live_plain'). Loss/grad-equivalent to module.apply
+    — the packing is differentiable slicing/concat — so it drops into
+    _compute_loss for ~1.5x faster training steps."""
+    walk = _edsr_walk(model, dtype, "live_plain")
+    pair = exact_pair(dtype)
+
+    def forward(params, x):
+        return walk(params, x, pair)
 
     return forward
 
 
 def make_packed_collapsed_edsr_train_forward(model, dtype=jnp.float32):
     """Differentiable EDSR forward: width-packed trunk + LIVE collapsed
-    tail. Nothing is baked — the collapsed tail kernel is re-composed
-    from the CURRENT upsample/final-conv params inside the graph
-    (ops/collapsed_tail.live_collapsed_edsr_tail, a <1%-of-step delta
-    probe), so gradients flow to the original parameters and training is
-    loss/grad-equivalent to module.apply (tests/test_collapsed_tail.py).
-
-    Motivation (BASELINE.md training table): with the trunk packed, the
-    EDSR training step is tail-bound — the 256-channel PixelShuffle
-    transposes run in fwd AND bwd. The collapsed tail removes them for
-    the patch interior in both directions (tail FLOPs 1.53 -> ~0.15
-    MF/LR-px); the border band recomputes the original live chain on
-    thin strips, exactly as at inference.
-    """
-    from flax import serialization
-
-    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
-    from larvanet_tpu.ops.collapsed_tail import (
-        apply_collapsed_tail, live_collapsed_edsr_tail)
-
-    scale = model.scale
-    res_weight = float(getattr(model.args, "edsr_res_weight", 1.0))
+    tail (topology in _edsr_walk mode='live_collapsed'). The collapsed
+    tail kernel is re-composed from the CURRENT upsample/final-conv
+    params inside the graph (ops/collapsed_tail.live_collapsed_edsr_tail,
+    a <1%-of-step differentiable delta probe), so training is
+    loss/grad-equivalent to module.apply (tests/test_collapsed_tail.py)
+    while the 256-channel PixelShuffle transposes disappear from fwd AND
+    bwd (139.2 -> 233.5 steps/s, BASELINE.md training table)."""
+    walk = _edsr_walk(model, dtype, "live_collapsed")
+    pair = exact_pair(dtype)
 
     def forward(params, x):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, w, b):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(w, dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(b, dtype)
-
-        n, hh, ww, _ = x.shape
-        h = x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h0, mask1, mask0, odd = packed_entry_head(
-            h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
-
-        res = h0
-        i = 0
-        while ("res_block_%d" % i) in sp:
-            blk = sp["res_block_%d" % i]
-            res = packed_block(res, blk, mask1, mask0, res_weight, dtype=dtype)
-            i += 1
-
-        kernel, bias_tile, tail_fn = live_collapsed_edsr_tail(sp, scale, dtype)
-        if not odd:
-            # stay packed through after_res_conv + global skip into the
-            # collapsed tail's packed conv (no 64<->128 relayouts)
-            arc = sp["after_res_conv"]
-            kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
-            res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
-            return apply_collapsed_tail(h0 + res, kernel, bias_tile, tail_fn,
-                                        scale, packed=True)
-        res = unpack_w(res)[:, :, :ww]
-        h = unpack_w(h0)[:, :, :ww]
-        res = conv(res, sp["after_res_conv"]["kernel"], sp["after_res_conv"]["bias"])
-        return apply_collapsed_tail(h + res, kernel, bias_tile, tail_fn, scale)
+        return walk(params, x, pair)
 
     return forward
 
@@ -464,13 +434,92 @@ def packed_block(h0, blk, mask1, mask0=None, res_weight=1.0, act=jax.nn.relu,
         mask1, mask0, res_weight, act=act)
 
 
-def make_packed_treenet_forward(model, dtype=jnp.float32):
-    """Width-packed TreeNet forward (reference models/TreeNet.py:226-256):
-    shared 48ch trunk + per-branch ResBlock runs, all packed.
-    Returns forward(params, x, branches=0 | int | 'all') mirroring the
-    module's signature (validate_tree sweeps branches; training uses
-    'all'). Differentiable — used for training too.
+# ---------------------------------------------------------------------------
+# Shared family machinery (round-2 dedup, VERDICT r1 weak#1/next#3):
+# each model family has ONE topology walker `walk(params, x, pair, ...)`;
+# the exact bf16/f32 forward, the int8 calibration pass, and the int8
+# serving forward differ only in which `pair` implementation runs the
+# conv pairs. No make_int8_* re-implements its packed counterpart's walk.
+# ---------------------------------------------------------------------------
+
+def exact_pair(dtype):
+    """The float-exact conv-pair runner (same call shape as
+    make_pair_runner's pair_bf16/pair_int8; `idx` is unused).
+
+    kind: 'res' (conv-act-conv + skip add), 'none' (no skip),
+    'both' (returns (t, hin + t), REGO/ebrn_rm style). mask0 is the
+    odd-width grid0 overhang mask (int8 walks never see one — they are
+    even-width only by construction).
     """
+
+    def pair(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
+             res_weight=1.0, mask0=None):
+        t = conv_a(hin, pack_kernel_a(jnp.asarray(p1["kernel"], dtype)),
+                   pack_bias(jnp.asarray(p1["bias"], dtype)))
+        t = act(t) * mask1
+        t = conv_b(t, pack_kernel_b(jnp.asarray(p2["kernel"], dtype)),
+                   pack_bias(jnp.asarray(p2["bias"], dtype)))
+        if res_weight != 1.0:
+            t = t * jnp.asarray(res_weight, dtype)
+        if kind == "both":
+            out = hin + t
+            if mask0 is not None:
+                t, out = t * mask0, out * mask0
+            return t, out
+        out = hin + t if kind == "res" else t
+        return out if mask0 is None else out * mask0
+
+    return pair
+
+
+def conv_plain(h, p, dtype, strides=(1, 1), padding="SAME", groups=1):
+    """Unpacked SAME conv from a {kernel, bias} subtree (the `def conv`
+    every walker used to re-declare)."""
+    return jax.lax.conv_general_dilated(
+        h, jnp.asarray(p["kernel"], dtype), strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    ) + jnp.asarray(p["bias"], dtype)
+
+
+def single_same(hin, p, dtype, odd=False, perm_channels=None):
+    """Single grid0->grid0 packed conv from a {kernel, bias} subtree
+    (pack_kernel_same); perm_channels permutes the kernel input for
+    concatenated packed sources (concat_packed_perm); odd=True masks the
+    grid0 overhang slot of the output."""
+    kp, pads = pack_kernel_same(jnp.asarray(p["kernel"], dtype))
+    if perm_channels is not None:
+        kp = concat_packed_perm(perm_channels, kp)
+    o = conv_same(hin, kp, pads, pack_bias(jnp.asarray(p["bias"], dtype)))
+    if odd:
+        o = o * grid0_mask(o.shape[2], o.shape[-1] // 2, dtype)
+    return o
+
+
+def _make_int8(model, calib_batch, dtype, walk, pairs):
+    """Shared int8 scaffolding: one eager bf16 calibration pass through
+    the family's walk records per-site activation maxima (jit would turn
+    them into tracers), finish() quantizes the `pairs` weights, and the
+    returned forward replays the SAME walk with the int8 pair runner.
+    """
+    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
+    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
+    finish(pairs)
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("int8 trunk requires even width")
+        return walk(params, x, pair_int8)
+
+    return forward
+
+
+def _treenet_walk(model, dtype):
+    """The ONE TreeNet topology walk (reference models/TreeNet.py:226-256):
+    packed shared 48ch trunk + per-branch ResBlock runs. Returns
+    walk(params, x, pair, branches=0|int|'all') — pair indices are
+    common blocks then the selected branch's blocks (the int8 path only
+    ever runs branch 0, the reference's inference branch)."""
     from flax import serialization
 
     from larvanet_tpu.models.layers import get_activation, interpolated_base
@@ -478,32 +527,28 @@ def make_packed_treenet_forward(model, dtype=jnp.float32):
 
     mod = model.module
     lrelu = get_activation("leaky_relu", 0.1)
+    nc = mod.num_common_blocks
 
-    def forward(params, x, branches=0):
+    def walk(params, x, pair, branches=0):
         sp = serialization.to_state_dict(params)
         x = x.astype(dtype)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
-        n, hh, ww, _ = x.shape
+        ww = x.shape[2]
         fea, mask1, mask0, odd = packed_entry_head(
             x, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
         fea = lrelu(fea)
-        for i in range(mod.num_common_blocks):
-            fea = packed_block(fea, sp["common_block_%d" % i], mask1, mask0,
-                               mod.res_weight, dtype=dtype)
+        for i in range(nc):
+            blk = sp["common_block_%d" % i]
+            fea = pair(i, fea, blk["conv1"], blk["conv2"], mask1,
+                       res_weight=mod.res_weight, mask0=mask0)
 
         base = interpolated_base(x, mod.scale, mod.interpolate)
 
         def run_branch(b):
             h = fea
             for i in range(mod.num_branch_blocks):
-                h = packed_block(h, sp["branch_%d_block_%d" % (b, i)], mask1,
-                                 mask0, mod.res_weight, dtype=dtype)
+                blk = sp["branch_%d_block_%d" % (b, i)]
+                h = pair(nc + i, h, blk["conv1"], blk["conv2"], mask1,
+                         res_weight=mod.res_weight, mask0=mask0)
             h = packed_exit(h, odd, ww)
             return pixel_shuffle(h, mod.scale) + base
 
@@ -511,7 +556,36 @@ def make_packed_treenet_forward(model, dtype=jnp.float32):
             return [run_branch(b) for b in range(mod.num_branches)]
         return run_branch(int(branches))
 
+    return walk
+
+
+def make_packed_treenet_forward(model, dtype=jnp.float32):
+    """Width-packed TreeNet forward (topology in _treenet_walk). Returns
+    forward(params, x, branches=0 | int | 'all') mirroring the module's
+    signature (validate_tree sweeps branches; training uses 'all').
+    Differentiable — used for training too."""
+    walk = _treenet_walk(model, dtype)
+    pair = exact_pair(dtype)
+
+    def forward(params, x, branches=0):
+        return walk(params, x, pair, branches=branches)
+
     return forward
+
+
+def make_int8_treenet_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized TreeNet inference (branch 0, the reference's
+    inference path); same scheme and caveats as make_int8_edsr_forward;
+    topology in _treenet_walk."""
+    from flax import serialization
+
+    mod = model.module
+    sp0 = serialization.to_state_dict(model.params)
+    names = (["common_block_%d" % i for i in range(mod.num_common_blocks)]
+             + ["branch_0_block_%d" % i for i in range(mod.num_branch_blocks)])
+    return _make_int8(
+        model, calib_batch, dtype, _treenet_walk(model, dtype),
+        [(sp0[n]["conv1"], sp0[n]["conv2"]) for n in names])
 
 
 def _even_calib(calib_batch):
@@ -526,9 +600,11 @@ def _even_calib(calib_batch):
     return calib
 
 
-def make_int8_treenet_forward(model, calib_batch, dtype=jnp.bfloat16):
-    """Opt-in W8A8 quantized TreeNet inference (branch 0, the reference's
-    inference path); same scheme and caveats as make_int8_edsr_forward."""
+def _hrsr_walk(model, dtype):
+    """The ONE HRSR topology walk (reference models/hrsr*.py): packed
+    48ch LR ResBlock trunk + plain HR-domain part (3-16ch convs at 16x
+    the pixels — too narrow to pack profitably, a tiny share of FLOPs).
+    Returns walk(params, x, pair)."""
     from flax import serialization
 
     from larvanet_tpu.models.layers import get_activation, interpolated_base
@@ -536,65 +612,9 @@ def make_int8_treenet_forward(model, calib_batch, dtype=jnp.bfloat16):
 
     mod = model.module
     lrelu = get_activation("leaky_relu", 0.1)
-    sp0 = serialization.to_state_dict(model.params)
-    names = (["common_block_%d" % i for i in range(mod.num_common_blocks)]
-             + ["branch_0_block_%d" % i for i in range(mod.num_branch_blocks)])
-    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
 
     def walk(params, x, pair):
         sp = serialization.to_state_dict(params)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
-        x = x.astype(dtype)
-        h0, mask1, _m0, _odd = packed_entry_head(
-            x, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
-        h0 = lrelu(h0)
-        for i, name in enumerate(names):
-            blk = sp[name]
-            h0 = pair(i, h0, blk["conv1"], blk["conv2"], mask1,
-                      res_weight=mod.res_weight)
-        base = interpolated_base(x, mod.scale, mod.interpolate)
-        return pixel_shuffle(unpack_w(h0), mod.scale) + base
-
-    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
-    finish([(sp0[n]["conv1"], sp0[n]["conv2"]) for n in names])
-
-    def forward(params, x):
-        if x.shape[2] % 2:
-            raise ValueError("int8 trunk requires even width")
-        return walk(params, x, pair_int8)
-
-    return forward
-
-
-def make_int8_hrsr_forward(model, calib_batch, dtype=jnp.bfloat16):
-    """Opt-in W8A8 quantized HRSR inference: the packed LR ResBlock trunk
-    runs int8; the HR-domain part stays plain bf16 (tiny channel counts).
-    Same scheme and caveats as make_int8_edsr_forward."""
-    from flax import serialization
-
-    from larvanet_tpu.models.layers import get_activation, interpolated_base
-    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
-
-    mod = model.module
-    lrelu = get_activation("leaky_relu", 0.1)
-    sp0 = serialization.to_state_dict(model.params)
-    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
-
-    def walk(params, x, pair):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
         x = x.astype(dtype)
         ww = x.shape[2]
         h0, mask1, mask0, odd = packed_entry_head(
@@ -603,260 +623,54 @@ def make_int8_hrsr_forward(model, calib_batch, dtype=jnp.bfloat16):
         for i in range(mod.num_lr_blocks):
             blk = sp["lr_block_%d" % i]
             h0 = pair(i, h0, blk["conv1"], blk["conv2"], mask1,
-                      res_weight=mod.res_weight)
+                      res_weight=mod.res_weight, mask0=mask0)
         out = pixel_shuffle(packed_exit(h0, odd, ww), mod.scale)
 
         if mod.num_hr_blocks > 0:
             if mod.c3_style:
                 for i in range(mod.num_hr_blocks):
                     blk = sp["hr_block_%d" % i]
-                    t = conv(jax.nn.relu(conv(out, blk["conv1"])), blk["conv2"])
+                    t = conv_plain(jax.nn.relu(conv_plain(out, blk["conv1"], dtype)),
+                                   blk["conv2"], dtype)
                     if mod.res_weight != 1.0:
                         t = t * jnp.asarray(mod.res_weight, dtype)
                     out = out + t
             else:
-                out = lrelu(conv(out, sp["middle_conv"]))
+                out = lrelu(conv_plain(out, sp["middle_conv"], dtype))
                 for i in range(mod.num_hr_blocks):
                     blk = sp["hr_block_%d" % i]
-                    out = out + conv(jax.nn.relu(conv(out, blk["conv1"])), blk["conv2"])
+                    t = jax.nn.relu(conv_plain(out, blk["conv1"], dtype))
+                    out = out + conv_plain(t, blk["conv2"], dtype)
         if not mod.c3_style and mod.num_hr_filters != 3:
-            out = conv(lrelu(out), sp["final_conv"])
+            out = conv_plain(lrelu(out), sp["final_conv"], dtype)
         return out + interpolated_base(x, mod.scale, mod.interpolate)
 
-    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
-    finish([(sp0["lr_block_%d" % i]["conv1"], sp0["lr_block_%d" % i]["conv2"])
-            for i in range(mod.num_lr_blocks)])
-
-    def forward(params, x):
-        if x.shape[2] % 2:
-            raise ValueError("int8 trunk requires even width")
-        return walk(params, x, pair_int8)
-
-    return forward
-
-
-def make_int8_ebrn_rm_forward(model, calib_batch, dtype=jnp.bfloat16):
-    """Opt-in W8A8 quantized ebrn_rm inference: the BRM pairs run int8
-    ('both'-kind); the fusion cascade and concat recon stay bf16 packed.
-    Same scheme and caveats as make_int8_edsr_forward."""
-    from flax import serialization
-
-    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
-    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
-
-    mod = model.module
-    if type(mod).__name__ != "EBRNRMModule":
-        raise ValueError("int8 path supports the ebrn_rm variants only")
-    F = mod.features
-    lrelu = get_activation("leaky_relu", 0.05)
-    sp0 = serialization.to_state_dict(model.params)
-    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
-
-    def walk(params, x, pair):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
-        x = x.astype(dtype)
-        ww = x.shape[2]
-        inp = x if mod.bilinear_base else x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h0, mask1, mask0, odd = packed_entry_head(
-            inp, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
-
-        out_list = []
-        h = h0
-        for i in range(mod.num_brms):
-            res, out = pair(i, h, sp["brm_%d_conv1" % i], sp["brm_%d_conv2" % i],
-                            mask1, kind="both", act=lrelu)
-            if i < mod.num_brms - 1:
-                out_list.append(out)
-                h = res
-
-        def single(p, hin):
-            kp, pads = pack_kernel_same(jnp.asarray(p["kernel"], dtype))
-            return conv_same(hin, kp, pads, pack_bias(jnp.asarray(p["bias"], dtype)))
-
-        out_prime_list = [out]
-        for i in range(mod.num_brms - 1):
-            out = single(sp["fusion_%d" % i], out + out_list[-(i + 1)])
-            out_prime_list.append(out)
-
-        cat = jnp.concatenate(out_prime_list, axis=-1)
-        kp, pads = pack_kernel_same(jnp.asarray(sp["upsample_conv"]["kernel"], dtype))
-        kp = concat_packed_perm([F] * mod.num_brms, kp)
-        up = conv_same(cat, kp, pads,
-                       pack_bias(jnp.asarray(sp["upsample_conv"]["bias"], dtype)))
-        sr = pixel_shuffle(packed_exit(up, odd, ww), mod.scale)
-        if mod.bilinear_base:
-            return sr + interpolated_base(x, mod.scale, "bilinear")
-        return sr - jnp.asarray(DIV2K_RGB_MEAN, dtype)
-
-    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
-    finish([(sp0["brm_%d_conv1" % i], sp0["brm_%d_conv2" % i])
-            for i in range(mod.num_brms)])
-
-    def forward(params, x):
-        if x.shape[2] % 2:
-            raise ValueError("int8 trunk requires even width")
-        return walk(params, x, pair_int8)
-
-    return forward
+    return walk
 
 
 def make_packed_hrsr_forward(model, dtype=jnp.float32):
-    """Width-packed HRSR forward (reference models/hrsr*.py): the 48ch LR
-    ResBlock trunk packs; the HR-domain part (3-16ch convs at 16x the
-    pixels) stays plain — its channel counts are too small to pack
-    profitably and it is a tiny share of FLOPs. Differentiable.
-    """
-    from flax import serialization
-
-    from larvanet_tpu.models.layers import get_activation, interpolated_base
-    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
-
-    mod = model.module
-    lrelu = get_activation("leaky_relu", 0.1)
+    """Width-packed HRSR forward (topology in _hrsr_walk).
+    Differentiable — used for training too."""
+    walk = _hrsr_walk(model, dtype)
+    pair = exact_pair(dtype)
 
     def forward(params, x):
-        sp = serialization.to_state_dict(params)
-        x = x.astype(dtype)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
-        n, hh, ww, _ = x.shape
-        h0, mask1, mask0, odd = packed_entry_head(
-            x, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
-        h0 = lrelu(h0)
-        for i in range(mod.num_lr_blocks):
-            h0 = packed_block(h0, sp["lr_block_%d" % i], mask1, mask0,
-                              mod.res_weight, dtype=dtype)
-        out = packed_exit(h0, odd, ww)
-        out = pixel_shuffle(out, mod.scale)
-
-        def resblock_plain(h, blk, kernel_size=3):
-            t = conv(h, blk["conv1"])
-            t = jax.nn.relu(t)
-            t = conv(t, blk["conv2"])
-            if mod.res_weight != 1.0 and mod.c3_style:
-                t = t * jnp.asarray(mod.res_weight, t.dtype)
-            return h + t
-
-        if mod.num_hr_blocks > 0:
-            if mod.c3_style:
-                for i in range(mod.num_hr_blocks):
-                    out = resblock_plain(out, sp["hr_block_%d" % i])
-            else:
-                out = lrelu(conv(out, sp["middle_conv"]))
-                for i in range(mod.num_hr_blocks):
-                    blk = sp["hr_block_%d" % i]
-                    t = jax.nn.relu(conv(out, blk["conv1"]))
-                    out = out + conv(t, blk["conv2"])
-        if not mod.c3_style and mod.num_hr_filters != 3:
-            out = conv(lrelu(out), sp["final_conv"])
-        return out + interpolated_base(x, mod.scale, mod.interpolate)
+        return walk(params, x, pair)
 
     return forward
 
 
-def make_int8_msrr_forward(model, calib_batch, dtype=jnp.bfloat16):
-    """Opt-in W8A8 quantized MSRR-family inference (same scheme and
-    caveats as make_int8_edsr_forward). Non-depthwise configs only."""
+def make_int8_hrsr_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized HRSR inference: the packed LR trunk runs
+    int8; the HR-domain part stays plain bf16. Same scheme and caveats
+    as make_int8_edsr_forward; topology in _hrsr_walk."""
     from flax import serialization
-
-    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
-    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
-
-    mod = model.module
-    kind = type(mod).__name__
-    if kind == "MSRRReducedModule" and mod.depthwise:
-        # exact packed decomposition exists (packed_dw_resblock) but is
-        # 4.4x slower on v5e — keep dwsr on the plain graph
-        raise ValueError("depthwise blocks do not pack profitably")
-    scale = mod.scale
-    res_weight = float(mod.res_weight)
-    lrelu = get_activation("leaky_relu", 0.1)
-    if kind == "MSRRReducedModule":
-        block_act = get_activation(mod.block_activation, mod.slope)
-    else:
-        block_act = jax.nn.relu
 
     sp0 = serialization.to_state_dict(model.params)
-    n_blocks = len([k for k in sp0 if k.startswith("res_block_")])
-    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
-
-    def walk(params, x, pair):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, name, p=None):
-            p = sp[name] if p is None else p
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
-        x = x.astype(dtype)
-        if kind == "MSRRReducedModule":
-            x_in = x + jnp.asarray(DIV2K_RGB_MEAN, dtype) if mod.base == "meanshift" else x
-            head_name = "first_conv"
-            head_act = (get_activation(mod.first_activation, mod.slope)
-                        if mod.first_activation else None)
-        else:
-            x_in = x
-            head_name = "first_conv" if kind == "MSRRModule" else "conv_first"
-            head_act = lrelu
-        h0, mask1, _m0, _odd = packed_entry_head(
-            x_in, sp[head_name]["kernel"], sp[head_name]["bias"], dtype)
-        if head_act is not None:
-            h0 = head_act(h0)  # act(0)=0 for all heads
-        for i in range(n_blocks):
-            blk = sp["res_block_%d" % i]
-            h0 = pair(i, h0, blk["conv1"], blk["conv2"], mask1,
-                      act=block_act, res_weight=res_weight)
-        out = unpack_w(h0)
-
-        if kind == "MSRRReducedModule":
-            out = pixel_shuffle(out, scale)
-            if mod.base == "meanshift":
-                return out - jnp.asarray(DIV2K_RGB_MEAN, dtype)
-            if mod.base is not None:
-                return out + interpolated_base(x, scale, mod.base)
-            return out
-        if kind == "MSRRModule":
-            up, j, stages = sp["upsample"], 0, []
-            while ("conv%d" % j) in up:
-                stages.append(up["conv%d" % j]); j += 1
-            for j, stage in enumerate(stages):
-                out = pixel_shuffle(conv(out, None, stage), 2 if scale != 3 else 3)
-                if j < len(stages) - 1:
-                    out = lrelu(out)
-            if scale != 3:
-                out = lrelu(out)
-            out = lrelu(conv(out, "HR_conv"))
-            out = conv(out, "final_conv")
-            return out + interpolated_base(x, scale, "bilinear")
-        out = lrelu(pixel_shuffle(conv(out, "upconv1"), 2))
-        out = lrelu(pixel_shuffle(conv(out, "upconv2"), 2))
-        out = conv(lrelu(conv(out, "HRconv")), "conv_last")
-        return out + interpolated_base(x, 4, "bilinear")
-
-    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
-    finish([(sp0["res_block_%d" % i]["conv1"], sp0["res_block_%d" % i]["conv2"])
-            for i in range(n_blocks)])
-
-    def forward(params, x):
-        if x.shape[2] % 2:
-            raise ValueError("int8 trunk requires even width")
-        return walk(params, x, pair_int8)
-
-    return forward
+    return _make_int8(
+        model, calib_batch, dtype, _hrsr_walk(model, dtype),
+        [(sp0["lr_block_%d" % i]["conv1"], sp0["lr_block_%d" % i]["conv2"])
+         for i in range(model.module.num_lr_blocks)])
 
 
 def concat_packed_perm(src_channels, kernel_packed):
@@ -880,10 +694,15 @@ def concat_packed_perm(src_channels, kernel_packed):
     return kernel_packed[:, :, jnp.asarray(perm), :]
 
 
-def make_int8_rego_forward(model, calib_batch, dtype=jnp.bfloat16):
-    """Opt-in W8A8 quantized REGO-Net inference (same scheme and caveats
-    as make_int8_edsr_forward): the triangular RESBlock wavefront runs
-    int8 ('both'-kind pairs); the fusion/recon singles stay bf16 packed."""
+def _rego_walk(model, dtype):
+    """The ONE REGO-Net / REGO-serial topology walk (reference
+    models/REGO-Net.py, REGO-serial.py): the triangular RESBlock
+    wavefront runs packed ('both'-kind pairs — blocks return
+    (res, x+res)); the diagonal fusion concat happens on packed tensors
+    with the fusion convs' kernels input-permuted (concat_packed_perm).
+    Only the 3-channel head and the final shuffle/base are unpacked.
+    Returns walk(params, x, pair); also exposes walk.pair_order, the
+    fixed wavefront visit order used for stable int8 pair indices."""
     from flax import serialization
 
     from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
@@ -892,8 +711,6 @@ def make_int8_rego_forward(model, calib_batch, dtype=jnp.bfloat16):
     mod = model.module
     F = mod.features
     lrelu = get_activation("leaky_relu", 0.1)
-    sp0 = serialization.to_state_dict(model.params)
-    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
 
     # fixed wavefront visit order -> stable pair indices
     order = []
@@ -908,30 +725,24 @@ def make_int8_rego_forward(model, calib_batch, dtype=jnp.bfloat16):
 
     def walk(params, x, pair):
         sp = serialization.to_state_dict(params)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
         x = x.astype(dtype)
+        ww = x.shape[2]
         fea, mask1, mask0, odd = packed_entry_head(
             x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
-            sp["feature_extraction"]["kernel"], sp["feature_extraction"]["bias"], dtype)
-        ww = x.shape[2]
+            sp["feature_extraction"]["kernel"], sp["feature_extraction"]["bias"],
+            dtype)
 
         def resb(name, hin):
             return pair(index[name], hin, sp[name]["conv1"], sp[name]["conv2"],
-                        mask1, kind="both", act=lrelu, res_weight=mod.res_weight)
+                        mask1, kind="both", act=lrelu,
+                        res_weight=mod.res_weight, mask0=mask0)
 
         def fused_conv(p, srcs):
-            kp, pads = pack_kernel_same(jnp.asarray(p["kernel"], dtype))
-            kp = concat_packed_perm([F] * len(srcs), kp)
-            return conv_same(jnp.concatenate(srcs, axis=-1), kp, pads,
-                             pack_bias(jnp.asarray(p["bias"], dtype)))
+            return single_same(jnp.concatenate(srcs, axis=-1), p, dtype,
+                               odd=odd, perm_channels=[F] * len(srcs))
 
         for k in range(mod.num_regos):
+            # triangular wavefront (reference REGO-Net.py), packed
             err, f = resb("RESB_%d_0_0" % k, fea)
             err_in, fea_in = [err], [f]
             err_out, fea_out = err_in, fea_in
@@ -955,111 +766,44 @@ def make_int8_rego_forward(model, calib_batch, dtype=jnp.bfloat16):
         sr = pixel_shuffle(packed_exit(sr, odd, ww), mod.scale)
         return sr + interpolated_base(x, mod.scale, mod.interpolate)
 
-    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
-    finish([(sp0[n]["conv1"], sp0[n]["conv2"]) for n in order])
-
-    def forward(params, x):
-        if x.shape[2] % 2:
-            raise ValueError("int8 trunk requires even width")
-        return walk(params, x, pair_int8)
-
-    return forward
+    walk.pair_order = order
+    return walk
 
 
 def make_packed_rego_forward(model, dtype=jnp.float32):
-    """Width-packed REGO-Net forward (reference models/REGO-Net.py /
-    REGO-serial.py): the triangular RESBlock wavefront runs fully
-    packed — block outputs (res, x+res) stay grid0; the diagonal
-    fusion concat happens on packed tensors, with the fusion convs'
-    kernels input-permuted to match (concat_packed_perm). Only the
-    3-channel head and the final shuffle/base are unpacked.
-    Differentiable (used for training too).
-    """
-    from flax import serialization
-
-    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
-    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
-
-    mod = model.module
-    F = mod.features
-    lrelu = get_activation("leaky_relu", 0.1)
+    """Width-packed REGO-Net / REGO-serial forward (topology in
+    _rego_walk). Differentiable — used for training too."""
+    walk = _rego_walk(model, dtype)
+    pair = exact_pair(dtype)
 
     def forward(params, x):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
-        x = x.astype(dtype)
-        n, hh, ww, _ = x.shape
-        fea, mask1, mask0, odd = packed_entry_head(
-            x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
-            sp["feature_extraction"]["kernel"], sp["feature_extraction"]["bias"], dtype)
-        w2 = fea.shape[2]
-
-        def resb(name, hin):
-            blk = sp[name]
-            t = conv_a(hin, pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
-                       pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)))
-            t = lrelu(t) * mask1
-            t = conv_b(t, pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
-                       pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)))
-            if mod.res_weight != 1.0:
-                t = t * jnp.asarray(mod.res_weight, dtype)
-            out = hin + t
-            if mask0 is not None:
-                t, out = t * mask0, out * mask0
-            return t, out
-
-        def fused_conv(p, srcs, out_features):
-            # packed single conv over a concat of packed sources
-            kp, pads = pack_kernel_same(jnp.asarray(p["kernel"], dtype))
-            kp = concat_packed_perm([F] * len(srcs), kp)
-            h = conv_same(jnp.concatenate(srcs, axis=-1), kp, pads,
-                          pack_bias(jnp.asarray(p["bias"], dtype)))
-            return h if mask0 is None else h * grid0_mask(w2, out_features, dtype)
-
-        for k in range(mod.num_regos):
-            # triangular wavefront (reference REGO-Net.py), packed
-            err, f = resb("RESB_%d_0_0" % k, fea)
-            err_in, fea_in = [err], [f]
-            err_out, fea_out = err_in, fea_in
-            for i in range(1, mod.len_side):
-                err_out, fea_out = [], []
-                e0, f0 = resb("RESB_%d_%d_0" % (k, i), err_in[0])
-                err_out.append(e0); fea_out.append(f0)
-                for j in range(1, i):
-                    e1, f1 = resb("RESB_%d_%d_%d" % (k, i - j, j),
-                                  fea_in[j - 1] + err_in[j])
-                    err_out.append(e1); fea_out.append(f1)
-                e2, f2 = resb("RESB_%d_0_%d" % (k, i), fea_in[i - 1])
-                err_out.append(e2); fea_out.append(f2)
-                err_in, fea_in = err_out, fea_out
-            mids = [e + f for e, f in zip(err_out[1:], fea_out[:-1])]
-            srcs = [err_out[0], *mids, fea_out[-1]]
-            if k != mod.num_regos - 1:
-                fea = fused_conv(sp["conv_%d" % k], srcs, F)
-
-        sr = fused_conv(sp["SRrecon"], srcs, 3 * mod.scale ** 2)
-        sr = packed_exit(sr, odd, ww)
-        sr = pixel_shuffle(sr, mod.scale)
-        return sr + interpolated_base(x, mod.scale, mod.interpolate)
+        return walk(params, x, pair)
 
     return forward
 
 
-def make_packed_ebrn_rm_forward(model, dtype=jnp.float32):
-    """Width-packed ebrn_rm / ebrn_rm_BLI forward (reference
-    models/ebrn_rm.py): the BRM conv pairs, the single-conv fusion
-    cascade (grid0->grid0 via pack_kernel_same) and the concat recon
-    conv (input-permuted, concat_packed_perm) all run packed; only the
-    3-channel head and the final shuffle are unpacked. Differentiable.
-    The full EBRN (strided ConvTranspose back-projection) stays on the
-    plain graph — strides do not fit the column-pair grids.
-    """
+def make_int8_rego_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized REGO inference (same scheme and caveats as
+    make_int8_edsr_forward): the triangular wavefront runs int8
+    ('both'-kind pairs); the fusion/recon singles stay bf16 packed.
+    Topology in _rego_walk."""
+    from flax import serialization
+
+    sp0 = serialization.to_state_dict(model.params)
+    walk = _rego_walk(model, dtype)
+    return _make_int8(
+        model, calib_batch, dtype, walk,
+        [(sp0[n]["conv1"], sp0[n]["conv2"]) for n in walk.pair_order])
+
+
+def _ebrn_rm_walk(model, dtype):
+    """The ONE ebrn_rm / ebrn_rm_BLI topology walk (reference
+    models/ebrn_rm.py): BRM conv pairs ('both' kind — the residual
+    stream feeds the next BRM), single-conv fusion cascade
+    (grid0->grid0), concat recon conv (input-permuted). Returns
+    walk(params, x, pair). The full EBRN (strided ConvTranspose
+    back-projection) stays on the plain graph — strides do not fit the
+    column-pair grids."""
     from flax import serialization
 
     from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
@@ -1067,66 +811,69 @@ def make_packed_ebrn_rm_forward(model, dtype=jnp.float32):
 
     mod = model.module
     if type(mod).__name__ != "EBRNRMModule":
-        raise ValueError("packed path supports the ebrn_rm variants only")
+        raise ValueError("packed/int8 path supports the ebrn_rm variants only")
     F = mod.features
     lrelu = get_activation("leaky_relu", 0.05)
 
-    def forward(params, x):
+    def walk(params, x, pair):
         sp = serialization.to_state_dict(params)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
         x = x.astype(dtype)
         ww = x.shape[2]
         inp = x if mod.bilinear_base else x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
         h0, mask1, mask0, odd = packed_entry_head(
             inp, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
 
-        def brm(i, hin):
-            res = conv_a(hin, pack_kernel_a(jnp.asarray(sp["brm_%d_conv1" % i]["kernel"], dtype)),
-                         pack_bias(jnp.asarray(sp["brm_%d_conv1" % i]["bias"], dtype)))
-            res = lrelu(res) * mask1
-            res = conv_b(res, pack_kernel_b(jnp.asarray(sp["brm_%d_conv2" % i]["kernel"], dtype)),
-                         pack_bias(jnp.asarray(sp["brm_%d_conv2" % i]["bias"], dtype)))
-            if mask0 is not None:
-                res = res * mask0
-            return res, hin + res
-
         out_list = []
         h = h0
-        for i in range(mod.num_brms - 1):
-            res, out = brm(i, h)
-            out_list.append(out)
-            h = res  # residual stream feeds the next BRM (ebrn_rm.py forward)
-        _, out = brm(mod.num_brms - 1, h)
-
-        def single(p, hin, out_features):
-            kp, pads = pack_kernel_same(jnp.asarray(p["kernel"], dtype))
-            o = conv_same(hin, kp, pads, pack_bias(jnp.asarray(p["bias"], dtype)))
-            if mask0 is not None:
-                o = o * grid0_mask(o.shape[2], out_features, dtype)
-            return o
+        for i in range(mod.num_brms):
+            res, out = pair(i, h, sp["brm_%d_conv1" % i], sp["brm_%d_conv2" % i],
+                            mask1, kind="both", act=lrelu, mask0=mask0)
+            if i < mod.num_brms - 1:
+                out_list.append(out)
+                h = res  # residual stream feeds the next BRM (ebrn_rm.py forward)
 
         out_prime_list = [out]
         for i in range(mod.num_brms - 1):
-            out = single(sp["fusion_%d" % i], out + out_list[-(i + 1)], F)
+            out = single_same(out + out_list[-(i + 1)], sp["fusion_%d" % i],
+                              dtype, odd=odd)
             out_prime_list.append(out)
 
         cat = jnp.concatenate(out_prime_list, axis=-1)
-        kp, pads = pack_kernel_same(jnp.asarray(sp["upsample_conv"]["kernel"], dtype))
-        kp = concat_packed_perm([F] * mod.num_brms, kp)
-        up = conv_same(cat, kp, pads,
-                       pack_bias(jnp.asarray(sp["upsample_conv"]["bias"], dtype)))
+        up = single_same(cat, sp["upsample_conv"], dtype,
+                         perm_channels=[F] * mod.num_brms)
         sr = pixel_shuffle(packed_exit(up, odd, ww), mod.scale)
         if mod.bilinear_base:
             return sr + interpolated_base(x, mod.scale, "bilinear")
         return sr - jnp.asarray(DIV2K_RGB_MEAN, dtype)
 
+    return walk
+
+
+def make_packed_ebrn_rm_forward(model, dtype=jnp.float32):
+    """Width-packed ebrn_rm / ebrn_rm_BLI forward (topology in
+    _ebrn_rm_walk); only the 3-channel head and the final shuffle are
+    unpacked. Differentiable — used for training too."""
+    walk = _ebrn_rm_walk(model, dtype)
+    pair = exact_pair(dtype)
+
+    def forward(params, x):
+        return walk(params, x, pair)
+
     return forward
+
+
+def make_int8_ebrn_rm_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized ebrn_rm inference: the BRM pairs run int8
+    ('both'-kind); the fusion cascade and concat recon stay bf16 packed.
+    Same scheme and caveats as make_int8_edsr_forward; topology in
+    _ebrn_rm_walk."""
+    from flax import serialization
+
+    sp0 = serialization.to_state_dict(model.params)
+    return _make_int8(
+        model, calib_batch, dtype, _ebrn_rm_walk(model, dtype),
+        [(sp0["brm_%d_conv1" % i], sp0["brm_%d_conv2" % i])
+         for i in range(model.module.num_brms)])
 
 
 def depthwise_packed(x0, kernel, dtype):
@@ -1437,94 +1184,131 @@ def make_packed_imdn_forward(model, dtype=jnp.float32):
     return forward
 
 
-def make_packed_mamnet_forward(model, dtype=jnp.float32):
-    """Width-packed MAMNet forward (reference models/mamnet.py): the
-    conv pairs pack as usual; the MAM attention runs packed too — the
-    channel variance combines the two column slots' moments, the 1x1
-    squeeze/excite acts on the tiny (N,1,1,C) statistics, and the
-    depthwise conv uses depthwise_packed. The linear upsample tail is
-    collapsed (ops/collapsed_tail.make_collapsed_tail) and consumes the
-    packed features directly. Inference only (uses baked tail params).
-    """
+def _mamnet_fast_tail(model):
+    """Collapsed linear upsample tail baked from the model's CURRENT
+    params (inference only; the chain conv->PS->...->final_conv->inverse
+    mean shift is linear, reference models/mamnet.py:186-193)."""
     from flax import serialization
 
     from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
     from larvanet_tpu.ops.collapsed_tail import make_collapsed_tail
     from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
 
-    mod = model.module
-    F = mod.features
     scale = model.scale
-    res_weight = float(mod.res_weight)
     p0 = serialization.to_state_dict(model.params)
 
     def tail_fn(h):
         cdt = h.dtype
-
-        def conv(x, p):
-            return jax.lax.conv_general_dilated(
-                x, jnp.asarray(p["kernel"], cdt), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], cdt)
-
         up, i, out = p0["upsample"], 0, h
         while ("conv%d" % i) in up:
-            out = pixel_shuffle(conv(out, up["conv%d" % i]), 2 if scale != 3 else 3)
+            out = pixel_shuffle(conv_plain(out, up["conv%d" % i], cdt),
+                                2 if scale != 3 else 3)
             i += 1
-        out = conv(out, p0["final_conv"])
+        out = conv_plain(out, p0["final_conv"], cdt)
         return out - jnp.asarray(DIV2K_RGB_MEAN, cdt)
 
     n_stages = len([k for k in p0["upsample"] if k.startswith("conv")])
-    fast_tail = make_collapsed_tail(tail_fn, F, scale, radius=1 + n_stages)
+    return make_collapsed_tail(tail_fn, model.module.features, scale,
+                               radius=1 + n_stages)
 
-    def forward(params, x):
+
+def _mamnet_walk(model, dtype, fast_tail=None, mode="baked"):
+    """The ONE MAMNet packed topology walk (reference models/mamnet.py):
+    conv pairs ('none' kind) + packed MAM attention (packed_mam_gate) +
+    collapsed tail. Returns walk(params, x, pair). mode='baked' uses the
+    precomputed fast_tail (inference); mode='live_collapsed' re-derives
+    the collapsed tail from the CURRENT params in-graph (training;
+    even widths only — the packed MAM variance would otherwise see the
+    pad column, and training patches are even)."""
+    from flax import serialization
+
+    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
+
+    mod = model.module
+    F = mod.features
+    res_weight = float(mod.res_weight)
+
+    def walk(params, x, pair):
         sp = serialization.to_state_dict(params)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
         x = x.astype(dtype)
         n, hh, ww, _ = x.shape
         n_pix = hh * ww
         h0, mask1, mask0, odd = packed_entry_head(
             x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
             sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
+        if odd and mode == "live_collapsed":
+            raise ValueError("packed MAMNet training requires even width")
 
         res = h0
         for i in range(mod.num_blocks):
             blk = sp["mam_block_%d" % i]
-            t = conv_a(res, pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
-                       pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)))
-            t = jax.nn.relu(t) * mask1
-            t = conv_b(t, pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
-                       pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)))
-            if mask0 is not None:
-                # odd width: zero the pad-column slot BEFORE the gate so
-                # the channel-variance sums see only real pixels (n_pix
-                # already counts only those)
-                t = t * mask0
+            # mask0 zeroes the pad-column slot BEFORE the gate so the
+            # channel-variance sums see only real pixels (n_pix already
+            # counts only those)
+            t = pair(i, res, blk["conv1"], blk["conv2"], mask1, kind="none",
+                     mask0=mask0)
             t = packed_mam_gate(t, blk, F, n_pix, dtype)
             if res_weight != 1.0:
                 t = t * jnp.asarray(res_weight, dtype)
             res = res + t
+
+        if mode == "live_collapsed":
+            from larvanet_tpu.ops.collapsed_tail import (
+                apply_collapsed_tail, live_collapsed_edsr_tail)
+
+            fused = h0 + single_same(res, sp["after_res_conv"], dtype)
+            kernel, bias_tile, tail_fn = live_collapsed_edsr_tail(
+                sp, model.scale, dtype)
+            return apply_collapsed_tail(fused, kernel, bias_tile, tail_fn,
+                                        model.scale, packed=True)
 
         if odd:
             # the collapsed tail consumes packed tensors only for even
             # original widths: unpack, plain after_res_conv, plain tail
             res = packed_exit(res, odd, ww)
             h = packed_exit(h0, odd, ww)
-            res = conv(res, sp["after_res_conv"])
+            res = conv_plain(res, sp["after_res_conv"], dtype)
             return fast_tail(h + res)
-        arc = sp["after_res_conv"]
-        kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
-        res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
+        res = single_same(res, sp["after_res_conv"], dtype)
         return fast_tail(h0 + res, packed=True)
+
+    return walk
+
+
+def make_packed_mamnet_forward(model, dtype=jnp.float32):
+    """Width-packed MAMNet forward (topology in _mamnet_walk): the conv
+    pairs pack as usual; the MAM attention runs packed too — the channel
+    variance combines the two column slots' moments, the 1x1
+    squeeze/excite acts on the tiny (N,1,1,C) statistics, and the
+    depthwise conv uses depthwise_packed. The linear upsample tail is
+    collapsed and consumes the packed features directly. Inference only
+    (uses baked tail params)."""
+    fast_tail = _mamnet_fast_tail(model)
+    walk = _mamnet_walk(model, dtype, fast_tail)
+    pair = exact_pair(dtype)
+
+    def forward(params, x):
+        return walk(params, x, pair)
 
     forward.__wrapped_tail__ = fast_tail
     return forward
+
+
+def make_int8_mamnet_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized MAMNet inference: each MAMBlock's conv pair
+    runs int8 ('none' kind); the MAM attention (variance CSI + 1x1 ICD +
+    depthwise CSD, reference models/mamnet.py:152-173), the residual
+    stream, head, and the collapsed tail stay bf16. Calibration /
+    accuracy caveats identical to make_int8_edsr_forward (NOT
+    float-exact). Topology in _mamnet_walk."""
+    from flax import serialization
+
+    sp0 = serialization.to_state_dict(model.params)
+    walk = _mamnet_walk(model, dtype, _mamnet_fast_tail(model))
+    return _make_int8(
+        model, calib_batch, dtype, walk,
+        [(sp0["mam_block_%d" % i]["conv1"], sp0["mam_block_%d" % i]["conv2"])
+         for i in range(model.module.num_blocks)])
 
 
 def packed_mam_gate(t, blk, F, n_pix, dtype):
@@ -1559,59 +1343,16 @@ def make_packed_collapsed_mamnet_train_forward(model, dtype=jnp.float32):
     depthwise CSD are all differentiable packings) + LIVE collapsed tail
     (MAMNet's upsample chain is the same linear conv/PixelShuffle stack
     as EDSR's, reference models/mamnet.py:186-193). Loss/grad-equivalent
-    to module.apply; see make_packed_collapsed_edsr_train_forward for
-    the motivation and mechanics.
+    to module.apply; topology in _mamnet_walk mode='live_collapsed'.
+    NOTE: measured 5.7x SLOWER than the plain graph on v5e (the
+    decomposed depthwise backward is latency-bound, BASELINE.md) — the
+    training default is make_collapsed_mamnet_train_forward.
     """
-    from flax import serialization
-
-    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
-    from larvanet_tpu.ops.collapsed_tail import (
-        apply_collapsed_tail, live_collapsed_edsr_tail)
-
-    mod = model.module
-    F = mod.features
-    scale = model.scale
-    res_weight = float(mod.res_weight)
+    walk = _mamnet_walk(model, dtype, mode="live_collapsed")
+    pair = exact_pair(dtype)
 
     def forward(params, x):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
-        n, hh, ww, _ = x.shape
-        n_pix = hh * ww
-        h0, mask1, mask0, odd = packed_entry_head(
-            x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
-            sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
-        if odd:
-            # the packed MAM variance would see the pad column; keep the
-            # odd-width path on the plain graph (callers' training
-            # patches are even)
-            raise ValueError("packed MAMNet training requires even width")
-
-        res = h0
-        for i in range(mod.num_blocks):
-            blk = sp["mam_block_%d" % i]
-            t = conv_a(res, pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
-                       pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)))
-            t = jax.nn.relu(t) * mask1
-            t = conv_b(t, pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
-                       pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)))
-            t = packed_mam_gate(t, blk, F, n_pix, dtype)
-            if res_weight != 1.0:
-                t = t * jnp.asarray(res_weight, dtype)
-            res = res + t
-
-        arc = sp["after_res_conv"]
-        kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
-        res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
-        kernel, bias_tile, tail_fn = live_collapsed_edsr_tail(sp, scale, dtype)
-        return apply_collapsed_tail(h0 + res, kernel, bias_tile, tail_fn,
-                                    scale, packed=True)
+        return walk(params, x, pair)
 
     return forward
 
@@ -1677,74 +1418,15 @@ def make_collapsed_mamnet_train_forward(model, dtype=jnp.float32):
     return forward
 
 
-def make_int8_mamnet_forward(model, calib_batch, dtype=jnp.bfloat16):
-    """Opt-in W8A8 quantized MAMNet inference: each MAMBlock's conv pair
-    runs int8 through the generic pair runner (kind='none'); the MAM
-    attention (variance CSI + 1x1 ICD + depthwise CSD, reference
-    models/mamnet.py:152-173), the residual stream, head, and the
-    collapsed tail stay bf16. Calibration / accuracy caveats identical
-    to make_int8_edsr_forward (NOT float-exact)."""
-    from flax import serialization
-
-    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
-
-    packed = make_packed_mamnet_forward(model, dtype=dtype)
-    fast_tail = packed.__wrapped_tail__
-    mod = model.module
-    F = mod.features
-    res_weight = float(mod.res_weight)
-    sp0 = serialization.to_state_dict(model.params)
-    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
-
-    def walk(params, x, pair):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
-        x = x.astype(dtype)
-        n, hh, ww, _ = x.shape
-        n_pix = hh * ww
-        h0, mask1, _m0, _odd = packed_entry_head(
-            x + jnp.asarray(DIV2K_RGB_MEAN, dtype),
-            sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
-        res = h0
-        for i in range(mod.num_blocks):
-            blk = sp["mam_block_%d" % i]
-            t = pair(i, res, blk["conv1"], blk["conv2"], mask1, kind="none")
-            t = packed_mam_gate(t, blk, F, n_pix, dtype)
-            if res_weight != 1.0:
-                t = t * jnp.asarray(res_weight, dtype)
-            res = res + t
-        arc = sp["after_res_conv"]
-        kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
-        res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
-        return fast_tail(h0 + res, packed=True)
-
-    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
-    finish([(sp0["mam_block_%d" % i]["conv1"], sp0["mam_block_%d" % i]["conv2"])
-            for i in range(mod.num_blocks)])
-
-    def forward(params, x):
-        if x.shape[2] % 2:
-            raise ValueError("int8 trunk requires even width")
-        return walk(params, x, pair_int8)
-
-    return forward
-
-
-def make_packed_msrr_forward(model, dtype=jnp.float32):
-    """Width-packed forward for the MSRR family (differentiable; used for
-    both inference and training). Covers MSRRModule (64ch trunk,
-    reference models/msrr.py:214-248), MSRRReducedModule non-depthwise
-    (48ch trunk, models/msrr_reduced*.py) and MSRRTestModule (64ch,
-    models/msrr_test.py). Depthwise (dwsr) configs raise ValueError and
-    fall back to the plain graph: the packed decomposition
-    (packed_dw_resblock) is exact but MEASURED 4.4x SLOWER on v5e —
-    the half-channel grouped convs are latency-bound (BASELINE.md).
+def _msrr_walk(model, dtype):
+    """The ONE MSRR-family topology walk (reference models/msrr.py:214-248,
+    msrr_reduced*.py, msrr_test.py): packed head + N ResBlock pairs +
+    per-kind tail. Returns walk(params, x, pair) — the exact forward,
+    the int8 calibration pass and the int8 serving forward all run this
+    same function with different pair runners. Depthwise (dwsr) configs
+    raise ValueError and fall back to the plain graph: the packed
+    decomposition (packed_dw_resblock) is exact but MEASURED 4.4x SLOWER
+    on v5e (BASELINE.md).
     """
     from flax import serialization
 
@@ -1754,58 +1436,38 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
     mod = model.module
     kind = type(mod).__name__
     if kind == "MSRRReducedModule" and mod.depthwise:
-        # exact packed decomposition exists (packed_dw_resblock) but is
-        # 4.4x slower on v5e — keep dwsr on the plain graph
         raise ValueError("depthwise blocks do not pack profitably")
     scale = mod.scale
     res_weight = float(mod.res_weight)
     lrelu = get_activation("leaky_relu", 0.1)
+    if kind == "MSRRReducedModule":
+        head_name = "first_conv"
+        head_act = (get_activation(mod.first_activation, mod.slope)
+                    if mod.first_activation else None)
+        block_act = get_activation(mod.block_activation, mod.slope)
+    elif kind == "MSRRModule":
+        head_name, head_act, block_act = "first_conv", lrelu, jax.nn.relu
+    elif kind == "MSRRTestModule":
+        head_name, head_act, block_act = "conv_first", lrelu, jax.nn.relu
+    else:
+        raise ValueError(kind)
+    n_blocks = len([k for k in serialization.to_state_dict(model.params)
+                    if k.startswith("res_block_")])
 
-    def forward(params, x):
+    def walk(params, x, pair):
         sp = serialization.to_state_dict(params)
-
-        def conv(h, name, p=None):
-            p = sp[name] if p is None else p
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
         x = x.astype(dtype)
-        n, hh, ww, _ = x.shape
-
-        if kind == "MSRRReducedModule":
-            x_in = x + jnp.asarray(DIV2K_RGB_MEAN, dtype) if mod.base == "meanshift" else x
-            head_name = "first_conv"
-            head_act = (get_activation(mod.first_activation, mod.slope)
-                        if mod.first_activation else None)
-            block_act = get_activation(mod.block_activation, mod.slope)
-        elif kind == "MSRRModule":
-            x_in, head_name, head_act = x, "first_conv", lrelu
-            block_act = jax.nn.relu
-        elif kind == "MSRRTestModule":
-            x_in, head_name, head_act = x, "conv_first", lrelu
-            block_act = jax.nn.relu
-        else:
-            raise ValueError(kind)
-
+        ww = x.shape[2]
+        x_in = (x + jnp.asarray(DIV2K_RGB_MEAN, dtype)
+                if kind == "MSRRReducedModule" and mod.base == "meanshift" else x)
         h0, mask1, mask0, odd = packed_entry_head(
             x_in, sp[head_name]["kernel"], sp[head_name]["bias"], dtype)
         if head_act is not None:
             h0 = head_act(h0)  # act(0)=0 for all heads: pad column stays 0
-
-        i = 0
-        while ("res_block_%d" % i) in sp:
+        for i in range(n_blocks):
             blk = sp["res_block_%d" % i]
-            h0 = packed_resblock(
-                h0,
-                pack_kernel_a(jnp.asarray(blk["conv1"]["kernel"], dtype)),
-                pack_bias(jnp.asarray(blk["conv1"]["bias"], dtype)),
-                pack_kernel_b(jnp.asarray(blk["conv2"]["kernel"], dtype)),
-                pack_bias(jnp.asarray(blk["conv2"]["bias"], dtype)),
-                mask1, mask0, res_weight, act=block_act)
-            i += 1
-
+            h0 = pair(i, h0, blk["conv1"], blk["conv2"], mask1,
+                      act=block_act, res_weight=res_weight, mask0=mask0)
         out = packed_exit(h0, odd, ww)
 
         if kind == "MSRRReducedModule":
@@ -1816,27 +1478,55 @@ def make_packed_msrr_forward(model, dtype=jnp.float32):
                 return out + interpolated_base(x, scale, mod.base)
             return out
         if kind == "MSRRModule":
-            up, j = sp["upsample"], 0
-            stages = []
+            up, j, stages = sp["upsample"], 0, []
             while ("conv%d" % j) in up:
                 stages.append(up["conv%d" % j])
                 j += 1
             for j, stage in enumerate(stages):
-                out = pixel_shuffle(conv(out, None, stage), 2 if scale != 3 else 3)
+                out = pixel_shuffle(conv_plain(out, stage, dtype), 2 if scale != 3 else 3)
                 if j < len(stages) - 1:
                     out = lrelu(out)
             if scale != 3:
                 out = lrelu(out)
-            out = lrelu(conv(out, "HR_conv"))
-            out = conv(out, "final_conv")
+            out = lrelu(conv_plain(out, sp["HR_conv"], dtype))
+            out = conv_plain(out, sp["final_conv"], dtype)
             return out + interpolated_base(x, scale, "bilinear")
         # MSRRTestModule
-        out = lrelu(pixel_shuffle(conv(out, "upconv1"), 2))
-        out = lrelu(pixel_shuffle(conv(out, "upconv2"), 2))
-        out = conv(lrelu(conv(out, "HRconv")), "conv_last")
+        out = lrelu(pixel_shuffle(conv_plain(out, sp["upconv1"], dtype), 2))
+        out = lrelu(pixel_shuffle(conv_plain(out, sp["upconv2"], dtype), 2))
+        out = conv_plain(lrelu(conv_plain(out, sp["HRconv"], dtype)), sp["conv_last"], dtype)
         return out + interpolated_base(x, 4, "bilinear")
 
+    return walk
+
+
+def make_packed_msrr_forward(model, dtype=jnp.float32):
+    """Width-packed forward for the MSRR family (differentiable; used for
+    both inference and training). Covers MSRRModule (64ch trunk,
+    reference models/msrr.py:214-248), MSRRReducedModule non-depthwise
+    (48ch trunk, models/msrr_reduced*.py) and MSRRTestModule (64ch,
+    models/msrr_test.py); topology in _msrr_walk.
+    """
+    walk = _msrr_walk(model, dtype)
+    pair = exact_pair(dtype)
+
+    def forward(params, x):
+        return walk(params, x, pair)
+
     return forward
+
+
+def make_int8_msrr_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized MSRR-family inference (same scheme and
+    caveats as make_int8_edsr_forward; topology in _msrr_walk)."""
+    from flax import serialization
+
+    sp0 = serialization.to_state_dict(model.params)
+    n_blocks = len([k for k in sp0 if k.startswith("res_block_")])
+    return _make_int8(
+        model, calib_batch, dtype, _msrr_walk(model, dtype),
+        [(sp0["res_block_%d" % i]["conv1"], sp0["res_block_%d" % i]["conv2"])
+         for i in range(n_blocks)])
 
 
 def _quantize_pair_weights(p1, p2, dtype):
@@ -1870,7 +1560,9 @@ def make_pair_runner(dtype):
     quant = []   # walk's call order cannot silently diverge from finish()
 
     def pair_bf16(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
-                  res_weight=1.0):
+                  res_weight=1.0, mask0=None):
+        if mask0 is not None:
+            raise ValueError("int8 calibration requires even width (no mask0)")
         if idx in record:
             raise ValueError("pair index %d calibrated twice" % idx)
         ka = pack_kernel_a(jnp.asarray(p1["kernel"], dtype))
@@ -1898,7 +1590,9 @@ def make_pair_runner(dtype):
             quant.append(q)
 
     def pair_int8(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
-                  res_weight=1.0):
+                  res_weight=1.0, mask0=None):
+        if mask0 is not None:
+            raise ValueError("int8 trunk requires even width (no mask0)")
         q = quant[idx]
         s_in, s_mid = q["s_in"], q["s_mid"]
         xq = jnp.clip(jnp.round(hin.astype(jnp.float32) / s_in),
@@ -1925,177 +1619,17 @@ def make_pair_runner(dtype):
     return pair_bf16, pair_int8, finish_calibration
 
 
-def make_int8_edsr_forward(model, calib_batch, dtype=jnp.bfloat16):
-    """Opt-in W8A8 quantized EDSR inference (serving path, NOT default).
-
-    At the packed conv shape the v5e int8 MXU path sustains 316 TOPS vs
-    187 TF/s bf16 (BASELINE.md) — unreachable before packing because
-    N=64 underfill capped both dtypes. Scheme: the residual stream stays
-    bf16; each ResBlock's two convs run int8 with per-output-channel
-    weight scales and per-site static activation scales, quantize /
-    dequantize fused into the conv epilogues. Scales are calibrated by
-    running the bf16 packed forward once on `calib_batch` (NHWC float32,
-    e.g. the first real input batch) and recording per-site maxima.
-
-    Head / after_res_conv / tail stay bf16 (exact). Accuracy: quantized
-    SR typically costs ~0.02-0.1 dB — measure on your eval set before
-    serving (the default --packed_trunk path is float-exact; this one
-    is NOT).
-    """
-    from flax import serialization
-
-    from larvanet_tpu.models.layers import DIV2K_RGB_MEAN
-    from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
-
-    collapsed = make_collapsed_edsr_forward(model, dtype=dtype)
-    fast_tail = collapsed.__wrapped_tail__
-    res_weight = float(getattr(model.args, "edsr_res_weight", 1.0))
-    sp0 = serialization.to_state_dict(model.params)
-    n_blocks = len([k for k in sp0 if k.startswith("res_block_")])
-    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
-
-    def walk(params, x, pair):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, w, b):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(w, dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(b, dtype)
-
-        h = x.astype(dtype) + jnp.asarray(DIV2K_RGB_MEAN, dtype)
-        h0, mask1, _m0, _odd = packed_entry_head(
-            h, sp["first_conv"]["kernel"], sp["first_conv"]["bias"], dtype)
-        res = h0
-        for i in range(n_blocks):
-            blk = sp["res_block_%d" % i]
-            res = pair(i, res, blk["conv1"], blk["conv2"], mask1,
-                       res_weight=res_weight)
-        arc = sp["after_res_conv"]
-        kp, pads = pack_kernel_same(jnp.asarray(arc["kernel"], dtype))
-        res = conv_same(res, kp, pads, pack_bias(jnp.asarray(arc["bias"], dtype)))
-        return fast_tail(h0 + res, packed=True)
-
-    # eager calibration pass records per-site maxima
-    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
-    finish([(sp0["res_block_%d" % i]["conv1"], sp0["res_block_%d" % i]["conv2"])
-            for i in range(n_blocks)])
-
-    def forward(params, x):
-        if x.shape[2] % 2:
-            raise ValueError("int8 trunk requires even width")
-        return walk(params, x, pair_int8)
-
-    return forward
-
-
-def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
-    """Opt-in W8A8 quantized LarvaNet inference (same scheme as
-    make_int8_edsr_forward: per-output-channel weight scales, static
-    per-site activation scales from one bf16 pass over `calib_batch`,
-    quant/dequant fused into conv epilogues; the residual stream, head,
-    pixel shuffle, and bicubic base stay bf16). At the packed 96-channel
-    shape int8 sustains 220 TOPS vs 116 TF/s bf16 on v5e (1.9x,
-    BASELINE.md). Supports plain-body configs without tail; raises
-    ValueError otherwise (callers fall back).
-    """
-    from flax import serialization
-
-    from larvanet_tpu.models.larvanet import SCALE
-    from larvanet_tpu.models.layers import interpolated_base
-    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
-
-    mod = model.module
-    if mod.body_style != "plain" or mod.use_tail:
-        raise ValueError("int8 path supports plain-body no-tail configs")
-    exits = None
-    if getattr(model, "has_early_exit", False):
-        exits = int(getattr(model.args, "leg", len(mod.num_blocks)))
-        if exits == 0:
-            # pure base: nothing to quantize
-            return lambda params, x: interpolated_base(
-                x.astype(dtype), SCALE, mod.interpolate)
-    n_run = exits if exits is not None else len(mod.num_blocks)
-    num_blocks = mod.num_blocks
-
-    sp0 = serialization.to_state_dict(model.params)
-    pair_bf16, pair_int8, finish = make_pair_runner(dtype)
-
-    pairs = []  # (conv1_subtree, conv2_subtree, kind) in forward order
-    for i in range(n_run):
-        body = sp0["body_%d" % i]
-        for bidx in range(num_blocks[i]):
-            pairs.append((body["block_%d" % bidx]["conv1"],
-                          body["block_%d" % bidx]["conv2"], "res"))
-    if mod.leg_style in ("2conv", "skip"):
-        leg = sp0["leg_%d" % (n_run - 1)]
-        pairs.append((leg["recon1"], leg["recon2"],
-                      "res" if mod.leg_style == "skip" else "none"))
-    elif mod.leg_style == "resblock":
-        leg = sp0["leg_%d" % (n_run - 1)]
-        pairs.append((leg["recon"]["conv1"], leg["recon"]["conv2"], "res"))
-
-    def walk(params, x, pair):
-        sp = serialization.to_state_dict(params)
-
-        def conv(h, p):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(p["kernel"], dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(p["bias"], dtype)
-
-        x = x.astype(dtype)
-        h0, mask1, _m0, _odd = packed_entry_head(
-            x, sp["head"]["kernel"], sp["head"]["bias"], dtype)
-        fea = h0
-        idx = 0
-        for i in range(n_run):
-            hcur = fea
-            for bidx in range(num_blocks[i]):
-                hcur = pair(idx, hcur, pairs[idx][0], pairs[idx][1], mask1,
-                            kind=pairs[idx][2])
-                idx += 1
-            fea = fea + hcur
-        if mod.leg_style == "none":
-            out = fea
-        else:
-            out = pair(idx, fea, pairs[idx][0], pairs[idx][1], mask1,
-                       kind=pairs[idx][2])
-        base = interpolated_base(x, SCALE, mod.interpolate)
-        return pixel_shuffle(unpack_w(out), SCALE) + base
-
-    # eager calibration pass (jit would turn recorded maxima into tracers)
-    _ = walk(model.params, _even_calib(calib_batch), pair_bf16)
-    finish([(p1, p2) for p1, p2, _k in pairs])
-
-    def forward(params, x):
-        if x.shape[2] % 2:
-            raise ValueError("int8 trunk requires even width")
-        return walk(params, x, pair_int8)
-
-    return forward
-
-
-def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
-    """Inference-optimized LarvaNet forward with a width-packed trunk.
-
-    all_exits=True returns the training list [leg_0..leg_{M-1} (+ tail)]
-    like module.apply(exits='all') — used by the packed TRAINING path:
-    the rewrite is differentiable w.r.t. the original parameters (kernel
-    packing is pure slicing/concat), so fwd AND bwd convs run at the
-    packed 96-channel shapes.
-
-    Exactly equal to the model's _forward_impl (float tolerance). The
-    48-channel trunk packs to 96 channels at half width — measured 2.55x
-    per conv on v5e (36.9 -> 94.1 useful TF/s; BASELINE.md). Every
-    non-V2 topology packs completely: bodies are ResBlocks (two convs)
-    and legs are conv pairs ('2conv'/'skip'/'resblock') or empty
-    ('none'), so all skip adds stay in grid0. The V2 tail's merge conv
-    makes its conv count odd, so the tail runs unpacked (3 convs of the
-    whole network; bodies still pack).
-
-    Honors the model's early-exit config (LarvaLeg --leg k, k=0 = pure
-    interpolated base, reference LarvaLeg.py:289-299).
+def _larvanet_walk(model, dtype, all_exits=False):
+    """The ONE LarvaNet-family topology walk (reference
+    models/LarvaNet.py:205-293 + variants): packed head, per-body
+    ResBlock pairs with module-level skip (plain or dual-stream 'res'
+    body style), per-leg conv pairs ('2conv'/'skip'/'resblock'/'none'),
+    optional unpacked V2 tail, early exit (--leg, LarvaLeg.py:289-299).
+    Returns walk(params, x, pair). Pair indices: body blocks in
+    execution order, then index n_body_pairs for the SERVING leg (the
+    final executed one) — the layout make_int8_larvanet_forward
+    calibrates; other legs (exact all_exits mode only) get index -1,
+    which exact_pair ignores.
     """
     from flax import serialization
 
@@ -2108,70 +1642,54 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
     exits = None
     if not all_exits and getattr(model, "has_early_exit", False):
         exits = int(getattr(model.args, "leg", len(num_blocks)))
+    n_run_static = exits if exits is not None else len(num_blocks)
+    n_body_pairs = sum(num_blocks[:n_run_static])
 
-    def forward(params, x):
+    def walk(params, x, pair):
         # NOTE: an LR-domain collapsed base (ops/collapsed_tail.
         # make_collapsed_base, sharing the legs' pixel shuffle) measured
         # SLIGHTLY SLOWER here (22.0 -> 21.5 MP/s inference, 208.8 ->
         # 205.5 steps/s training): the phase-sliced resampler's fused
         # VPU passes beat the extra 48-channel LR tensor + border ops.
         # Kept as a tested utility; documented negative result.
-        base = interpolated_base(x.astype(dtype), SCALE, mod.interpolate)
+        x = x.astype(dtype)
+        base = interpolated_base(x, SCALE, mod.interpolate)
         if exits == 0:
             return base
-        n_run = exits if exits is not None else len(num_blocks)
+        n_run = n_run_static
 
         sp = serialization.to_state_dict(params)
-
-        def conv(h, w, b):
-            return jax.lax.conv_general_dilated(
-                h, jnp.asarray(w, dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.asarray(b, dtype)
-
-        def packed(kind, h, p):  # one packed conv pair from a param subtree
-            return packed_resblock(
-                h,
-                pack_kernel_a(jnp.asarray(p[kind[0]]["kernel"], dtype)),
-                pack_bias(jnp.asarray(p[kind[0]]["bias"], dtype)),
-                pack_kernel_b(jnp.asarray(p[kind[1]]["kernel"], dtype)),
-                pack_bias(jnp.asarray(p[kind[1]]["bias"], dtype)),
-                mask1, mask0)
-
-        def conv_pair(h, p1, p2, skip=None):  # conv-relu-conv (+ optional skip)
-            t = conv_a(h, pack_kernel_a(jnp.asarray(p1["kernel"], dtype)),
-                       pack_bias(jnp.asarray(p1["bias"], dtype)))
-            t = jax.nn.relu(t) * mask1
-            t = conv_b(t, pack_kernel_b(jnp.asarray(p2["kernel"], dtype)),
-                       pack_bias(jnp.asarray(p2["bias"], dtype)))
-            if skip is not None:
-                t = t + skip
-            return t if mask0 is None else t * mask0
-
-        n, hh, ww, _ = x.shape
+        ww = x.shape[2]
         fea, mask1, mask0, odd = packed_entry_head(
             x, sp["head"]["kernel"], sp["head"]["bias"], dtype)
 
         features = []
         res = fea
+        idx = 0
         for i in range(n_run):
             body = sp["body_%d" % i]
             hcur = fea if mod.body_style == "plain" else res
             for bidx in range(num_blocks[i]):
-                hcur = packed(("conv1", "conv2"), hcur, body["block_%d" % bidx])
+                blk = body["block_%d" % bidx]
+                hcur = pair(idx, hcur, blk["conv1"], blk["conv2"], mask1,
+                            mask0=mask0)
+                idx += 1
             if mod.body_style == "plain":
                 fea = fea + hcur
             else:
                 fea, res = fea + hcur, hcur
             features.append(fea)
 
-        def leg_out(fea, leg):
+        def leg_out(fea, leg, leg_idx):
             if mod.leg_style == "2conv":
-                return conv_pair(fea, leg["recon1"], leg["recon2"])
+                return pair(leg_idx, fea, leg["recon1"], leg["recon2"], mask1,
+                            kind="none", mask0=mask0)
             if mod.leg_style == "skip":
-                return conv_pair(fea, leg["recon1"], leg["recon2"], skip=fea)
+                return pair(leg_idx, fea, leg["recon1"], leg["recon2"], mask1,
+                            kind="res", mask0=mask0)
             if mod.leg_style == "resblock":
-                return packed(("conv1", "conv2"), fea, leg["recon"])
+                return pair(leg_idx, fea, leg["recon"]["conv1"],
+                            leg["recon"]["conv2"], mask1, kind="res", mask0=mask0)
             if mod.leg_style == "none":
                 return fea
             raise ValueError(mod.leg_style)
@@ -2180,20 +1698,21 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
             return pixel_shuffle(packed_exit(packed_fea, odd, ww), SCALE) + base
 
         def tail_out():
-            # the 3-conv tail runs unpacked (odd conv count)
+            # the V2 tail's 3 convs run unpacked (odd conv count)
             cats = [packed_exit(f, odd, ww) for f in features]
-            t = conv(jnp.concatenate(cats, axis=-1),
-                     sp["tail_merge"]["kernel"], sp["tail_merge"]["bias"])
-            r = conv(t, sp["tail_recon1"]["kernel"], sp["tail_recon1"]["bias"])
-            r = jax.nn.relu(r)
-            r = conv(r, sp["tail_recon2"]["kernel"], sp["tail_recon2"]["bias"])
+            t = conv_plain(jnp.concatenate(cats, axis=-1), sp["tail_merge"], dtype)
+            r = jax.nn.relu(conv_plain(t, sp["tail_recon1"], dtype))
+            r = conv_plain(r, sp["tail_recon2"], dtype)
             return pixel_shuffle(r, SCALE) + base
+
+        def leg_params(i):
+            return sp.get("leg_%d" % i) if mod.leg_style != "none" else None
 
         if all_exits:
             # training list: one output per leg (+ tail), module.apply(exits='all')
             outs = [
-                finish(leg_out(features[i],
-                               sp.get("leg_%d" % i) if mod.leg_style != "none" else None))
+                finish(leg_out(features[i], leg_params(i),
+                               n_body_pairs if i == n_run - 1 else -1))
                 for i in range(n_run)
             ]
             if mod.use_tail:
@@ -2204,7 +1723,73 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
             # V2 inference exits through the tail (LarvaNetV2.py forward)
             return tail_out()
 
-        leg = sp.get("leg_%d" % (n_run - 1)) if mod.leg_style != "none" else None
-        return finish(leg_out(features[-1], leg))
+        return finish(leg_out(features[-1], leg_params(n_run - 1), n_body_pairs))
+
+    return walk
+
+
+def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
+    """Inference-optimized LarvaNet forward with a width-packed trunk
+    (topology in _larvanet_walk).
+
+    all_exits=True returns the training list [leg_0..leg_{M-1} (+ tail)]
+    like module.apply(exits='all') — used by the packed TRAINING path:
+    the rewrite is differentiable w.r.t. the original parameters (kernel
+    packing is pure slicing/concat), so fwd AND bwd convs run at the
+    packed 96-channel shapes.
+
+    Exactly equal to the model's _forward_impl (float tolerance). The
+    48-channel trunk packs to 96 channels at half width — measured 2.55x
+    per conv on v5e (36.9 -> 94.1 useful TF/s; BASELINE.md). Every
+    non-V2 topology packs completely; the V2 tail runs unpacked (3 convs
+    of the whole network). Honors the model's early-exit config
+    (LarvaLeg --leg k, k=0 = pure interpolated base)."""
+    walk = _larvanet_walk(model, dtype, all_exits=all_exits)
+    pair = exact_pair(dtype)
+
+    def forward(params, x):
+        return walk(params, x, pair)
 
     return forward
+
+
+def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
+    """Opt-in W8A8 quantized LarvaNet inference (same scheme as
+    make_int8_edsr_forward; the residual stream, head, pixel shuffle,
+    and bicubic base stay bf16). At the packed 96-channel shape int8
+    sustains 220 TOPS vs 116 TF/s bf16 on v5e (1.9x, BASELINE.md).
+    Supports plain-body configs without tail; raises ValueError
+    otherwise (callers fall back). Topology in _larvanet_walk."""
+    from flax import serialization
+
+    from larvanet_tpu.models.larvanet import SCALE
+    from larvanet_tpu.models.layers import interpolated_base
+
+    mod = model.module
+    if mod.body_style != "plain" or mod.use_tail:
+        raise ValueError("int8 path supports plain-body no-tail configs")
+    exits = None
+    if getattr(model, "has_early_exit", False):
+        exits = int(getattr(model.args, "leg", len(mod.num_blocks)))
+        if exits == 0:
+            # pure base: nothing to quantize
+            return lambda params, x: interpolated_base(
+                x.astype(dtype), SCALE, mod.interpolate)
+    n_run = exits if exits is not None else len(mod.num_blocks)
+
+    sp0 = serialization.to_state_dict(model.params)
+    pairs = []
+    for i in range(n_run):
+        body = sp0["body_%d" % i]
+        for bidx in range(mod.num_blocks[i]):
+            pairs.append((body["block_%d" % bidx]["conv1"],
+                          body["block_%d" % bidx]["conv2"]))
+    if mod.leg_style in ("2conv", "skip"):
+        leg = sp0["leg_%d" % (n_run - 1)]
+        pairs.append((leg["recon1"], leg["recon2"]))
+    elif mod.leg_style == "resblock":
+        leg = sp0["leg_%d" % (n_run - 1)]
+        pairs.append((leg["recon"]["conv1"], leg["recon"]["conv2"]))
+
+    return _make_int8(model, calib_batch, dtype,
+                      _larvanet_walk(model, dtype), pairs)

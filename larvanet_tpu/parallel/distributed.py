@@ -47,11 +47,18 @@ def init_distributed(
                 print("init_distributed: auto-init unavailable (%s); continuing single-process" % (exc,))
         return False
 
+    # NOTE: `x or env[...]` would be wrong here — process_id=0 (the
+    # primary!) is falsy and would fall through to the environment
+    # (bug caught by tests/test_distributed.py).
     kwargs = {"coordinator_address": coordinator_address}
-    if num_processes is not None or os.environ.get("NUM_PROCESSES"):
-        kwargs["num_processes"] = int(num_processes or os.environ["NUM_PROCESSES"])
-    if process_id is not None or os.environ.get("PROCESS_ID"):
-        kwargs["process_id"] = int(process_id or os.environ["PROCESS_ID"])
+    if num_processes is None and os.environ.get("NUM_PROCESSES"):
+        num_processes = os.environ["NUM_PROCESSES"]
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is None and os.environ.get("PROCESS_ID"):
+        process_id = os.environ["PROCESS_ID"]
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
     jax.distributed.initialize(**kwargs)
     return True
 

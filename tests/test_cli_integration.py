@@ -120,3 +120,54 @@ def test_summarize_edsr_b_per_layer_parity():
     assert by_name["res_block_0/conv1"][3] == 36_928
     assert by_name["upsample/conv1"][2] == [1, 256, 192, 192]  # NCHW print
     assert by_name["final_conv"][4] == 64 * 3 * 9 * 384 * 384
+
+
+def test_validate_int8_report_guardrail(tmp_path, rng):
+    """--int8_report runs exact + int8 side by side, reports per-image
+    deltas, and refuses to serve past --int8_max_drop (VERDICT r1 #4)."""
+    import json
+
+    from larvanet_tpu.cli import validate
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.data import fixture
+
+    root = str(tmp_path / "fx")
+    fixture.generate(root, shapes=((16, 18, 0, 0), (14, 16, 0, 0)), scales=(4,))
+    m = get_model("edsr")
+    m.parse_args(TINY_EDSR)
+    m.prepare(is_training=False, scales=[4])
+    ck = m.save(str(tmp_path / "run"))
+
+    rep = str(tmp_path / "rep.json")
+    argv = [
+        "--model", "edsr", "--restore_path", ck, "--dataloader", "basic_loader",
+        "--data_input_path", os.path.join(root, "x4", "input"),
+        "--data_truth_path", os.path.join(root, "x4", "truth"),
+        "--int8_trunk", "1", "--int8_report", "--report_json", rep, *TINY_EDSR,
+    ]
+    validate.main(argv + ["--int8_max_drop", "5.0"])  # generous: must pass
+    with open(rep) as f:
+        data = json.load(f)["scales"]["4"]["int8_vs_exact"]
+    assert set(data["per_image_delta"]) == {"img000", "img001"}
+    assert abs(data["mean_delta_db"]) < 5.0
+
+    with pytest.raises(SystemExit) as exc:  # impossible threshold: must refuse
+        validate.main(argv + ["--int8_max_drop", "-1.0"])
+    assert exc.value.code == 3
+
+
+def test_int8_calib_batch_shapes():
+    """The calibration batch stacks N centre-cropped even-width inputs."""
+    from larvanet_tpu.cli import common
+
+    class Loader:
+        def get_num_images(self):
+            return 3
+
+        def get_image_pair(self, image_index, scale):
+            h, w = [(20, 31), (24, 22), (22, 26)][image_index]
+            return np.zeros((3, h, w), np.float32), None, "i%d" % image_index
+
+    batch = common.int8_calib_batch(Loader(), 4, num_images=4)
+    assert batch.shape == (3, 20, 22, 3)
+    assert batch.dtype == np.float32

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy parity tier (--runslow); fast smoke: test_fastpath_smoke.py
+
 from larvanet_tpu.core.registry import get_model
 from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
 
@@ -142,7 +144,8 @@ def test_packed_collapsed_train_grads_match(rng):
 
 
 @pytest.mark.parametrize("mode,scale", [("bicubic", 4), ("bilinear", 4),
-                                        ("bicubic", 3), ("bicubic", 2)])
+                                        ("bicubic", 3), ("bicubic", 2),
+                                        ("nearest", 4), ("nearest", 2)])
 def test_collapsed_base_exact(mode, scale, rng):
     """LR-domain collapsed interpolated base (probed conv + border ops,
     incl. the resampler's edge clamp) equals the resampler exactly.

@@ -1,0 +1,98 @@
+"""Multi-host init smoke test (VERDICT r1 missing#5).
+
+Launches TWO fresh CPU processes that both call
+parallel/distributed.init_distributed() against a local coordinator,
+build the global device view, run one psum collective across hosts, and
+check is_primary() gates exactly one writer — the full
+`jax.distributed.initialize` round-trip the reference never had
+(SURVEY.md §2.5 requires the TPU-native equivalent).
+
+Runs in subprocesses because jax.distributed can only initialize once
+per process (the test runner already has a backend up).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+os.environ.pop("XLA_FLAGS", None)  # one device per fake host
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from larvanet_tpu.parallel.distributed import init_distributed, is_primary
+
+ok = init_distributed(
+    coordinator_address=sys.argv[1],
+    num_processes=2,
+    process_id=int(sys.argv[2]),
+)
+assert ok, "init_distributed returned False with a coordinator configured"
+assert jax.process_count() == 2, jax.process_count()
+assert is_primary() == (int(sys.argv[2]) == 0)
+
+# one cross-host collective over the global mesh
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.multihost_utils import process_allgather
+
+got = process_allgather(jnp.asarray([float(jax.process_index())]))
+assert got.ravel().tolist() == [0.0, 1.0], got
+
+devs = jax.devices()
+assert len(devs) == 2, devs  # global view: one CPU device per process
+mesh = Mesh(devs, ("data",))
+x = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), jnp.ones((1,)) * (jax.process_index() + 1), (2,))
+total = jax.jit(lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P()))(x)
+assert float(total) == 3.0, float(total)
+print("WORKER_OK", jax.process_index())
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_init(tmp_path):
+    coord = "127.0.0.1:%d" % _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = "/root/repo"
+    procs = [
+        subprocess.Popen([sys.executable, "-c", WORKER, coord, str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, "worker %d failed:\n%s" % (i, out)
+        assert "WORKER_OK %d" % i in out
+
+
+def test_init_distributed_noop_without_coordinator(monkeypatch):
+    """No coordinator configured -> single-process False, no side effects."""
+    from larvanet_tpu.parallel import distributed
+
+    monkeypatch.delenv("COORDINATOR", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    assert distributed.init_distributed() is False
+    assert distributed.is_primary() is True

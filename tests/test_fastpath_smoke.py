@@ -1,0 +1,85 @@
+"""Fast-tier smoke of the packed/int8 fast paths + the shared router.
+
+The exhaustive exactness suites (tests/test_packed_trunk.py,
+tests/test_collapsed_tail.py) are compile-heavy and live in the slow
+tier (--runslow); this file keeps the default loop covering the load-
+bearing claims cheaply: the router picks the right builder per family,
+one packed forward matches the module graph, and one int8 forward is
+close to the exact one. Tiny configs, one input size each.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from larvanet_tpu.core.registry import get_model
+from larvanet_tpu.ops.fastpath import build_fast_forward
+
+
+def _model(name, flags):
+    m = get_model(name)
+    m.parse_args(flags)
+    m.prepare(is_training=False, scales=[4])
+    return m
+
+
+def test_router_covers_every_family():
+    cases = {
+        "edsr": ([], "collapsed"),
+        "LarvaNet": (["--num_blocks", "2,2"], "packed"),
+        "mamnet": ([], "collapsed"),
+        "TreeNet": ([], "packed"),
+        "msrr_reduced": (["--num_blocks", "2"], "packed"),
+        "hrsr_c3": ([], "packed"),
+        "ebrn_rm": ([], "packed"),
+        "REGO-Net": ([], "packed"),
+    }
+    for name, (flags, want) in cases.items():
+        m = get_model(name)
+        m.parse_args(flags)
+        # no prepare needed: routing is name-based and must not build
+        fwd_desc = None
+        try:
+            m.prepare(is_training=False, scales=[4])
+            _, fwd_desc = build_fast_forward(m, jnp.float32)
+        except Exception as exc:  # pragma: no cover
+            pytest.fail("router failed for %s: %s" % (name, exc))
+        assert fwd_desc and want in fwd_desc, (name, fwd_desc)
+
+
+def test_router_dwsr_falls_back_to_plain():
+    m = _model("dwsr_reduced", ["--num_blocks", "2"])
+    fwd, desc = build_fast_forward(m, jnp.float32)
+    assert fwd is None and desc is None  # documented negative result
+
+
+def test_packed_edsr_smoke_matches_module(rng):
+    m = _model("edsr", ["--edsr_conv_features", "8", "--edsr_res_blocks", "1"])
+    fwd, _ = build_fast_forward(m, jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 12, 14, 3)).astype(np.float32))
+    ref = m.module.apply({"params": m.params}, x)
+    np.testing.assert_allclose(np.asarray(fwd(m.params, x)), np.asarray(ref),
+                               atol=0.2, rtol=2e-3)
+
+
+def test_packed_larvanet_smoke_matches_module(rng):
+    m = _model("LarvaNet", ["--num_blocks", "1,1"])
+    fwd, _ = build_fast_forward(m, jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 10, 12, 3)).astype(np.float32))
+    ref = m._forward_impl(m.params, x)
+    np.testing.assert_allclose(np.asarray(fwd(m.params, x)), np.asarray(ref),
+                               atol=0.1, rtol=1e-4)
+
+
+def test_int8_edsr_smoke_close_to_exact(rng):
+    m = _model("edsr", ["--edsr_conv_features", "8", "--edsr_res_blocks", "1"])
+    calib = rng.uniform(0, 255, (2, 12, 12, 3)).astype(np.float32)
+    q, desc = build_fast_forward(m, jnp.float32, int8_trunk=True, calib=calib)
+    assert "int8" in desc
+    exact, _ = build_fast_forward(m, jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 12, 12, 3)).astype(np.float32))
+    a = np.asarray(q(m.params, x)).astype(np.float64)
+    b = np.asarray(exact(m.params, x)).astype(np.float64)
+    psnr = 10 * np.log10(255.0 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
+    assert psnr > 45.0, psnr  # quantized-vs-exact within the usual envelope

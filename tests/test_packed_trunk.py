@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy parity tier (--runslow); fast smoke: test_fastpath_smoke.py
+
 from larvanet_tpu.ops import packed_trunk as pt
 
 

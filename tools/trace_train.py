@@ -109,19 +109,19 @@ def main():
     x = jnp.asarray(rng.uniform(0, 255, (args.batch_size, p, p, 3)).astype(np.float32))
 
     if args.infer:
-        # bench.py's fast path: packed/collapsed forward in the bench dtype
+        # bench.py's fast path, via the SHARED routing table
+        # (ops/fastpath.py) so the traced graph IS the benched graph
         dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
         params = jax.tree_util.tree_map(lambda a: a.astype(dtype), model.params)
-        if args.model in ("edsr", "edsr_loss"):
-            from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
+        from larvanet_tpu.ops.fastpath import build_fast_forward
 
-            fwd = make_packed_edsr_forward(model, dtype=dtype)
-        elif args.model.startswith(("LarvaNet", "LarvaLeg")):
-            from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
-
-            fwd = make_packed_larvanet_forward(model, dtype=dtype)
-        else:
+        fwd, desc = build_fast_forward(model, dtype)
+        if fwd is None:
             fwd = model._forward_impl
+            print("TRACING the PLAIN module graph (no fast path routes for "
+                  "%r — this is also what bench.py measures)" % (args.model,))
+        else:
+            print("TRACING the %s forward (bench.py's fast path)" % (desc,))
         xd = x.astype(dtype)
 
         def body(_, acc):
