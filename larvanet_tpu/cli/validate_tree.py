@@ -33,6 +33,7 @@ def main(argv=None):
 
     num_branches = model.args.num_branches
     branch_psnrs = {b: [] for b in range(num_branches)}
+    per_image = {b: {} for b in range(num_branches)}
     n = dataloader.get_num_images()
     for idx in range(n):
         inp, tru, name = dataloader.get_image_pair(image_index=idx, scale=scale)
@@ -43,12 +44,15 @@ def main(argv=None):
             t8 = metrics.fit_truth_to_output(o8, t8_full)
             psnr = metrics.psnr_rgb(o8, t8)
             branch_psnrs[b].append(psnr)
+            per_image[b][name] = float(psnr)
         print("%d/%d %s: %s" % (idx + 1, n, name,
                                 " ".join("b%d=%.2f" % (b, branch_psnrs[b][-1])
                                          for b in range(num_branches))))
     for b in range(num_branches):
         print("branch %d: mean psnr=%.4f" % (b, np.mean(branch_psnrs[b])))
     print("finished")
+    return {b: {"mean_psnr": float(np.mean(branch_psnrs[b])),
+                "per_image": per_image[b]} for b in range(num_branches)}
 
 
 if __name__ == "__main__":

@@ -75,3 +75,38 @@ def test_msrr_test_paper_protocol(fixture_root, workdir):
     for ds in ("SynSet", "DIV2K_val"):
         assert rep["test"][ds]["psnr"]["max_abs_delta"] <= PSNR_TOL
         assert rep["test"][ds]["ssim"]["max_abs_delta"] <= SSIM_TOL
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+def test_interpolation_null_model_protocol(fixture_root, mode):
+    """The reference's validate_interpol.py null-model baseline (pure
+    F.interpolate, align_corners=False — reference
+    validate_interpol.py:79) vs our cli/validate_interpol.py on the
+    fixture: isolates the resize semantics the 0.02 dB budget leans on."""
+    pp.setup_reference()
+    inp = os.path.join(fixture_root, "x4", "input")
+    tru = os.path.join(fixture_root, "x4", "truth")
+    ref = pp.reference_validate_interpol(mode, inp, tru, 4)
+    ours = pp.ours_validate_interpol(mode, inp, tru, 4)
+    stats = pp.delta_stats(ref["per_image"], ours["per_image"])
+    assert stats["max_abs_delta"] <= PSNR_TOL, stats
+
+
+def test_treenet_per_branch_protocol(fixture_root, workdir):
+    """The reference's validate_tree.py per-branch flow (trunk once,
+    each branch + base scored separately, validate_tree.py:94-121) vs
+    our cli/validate_tree.py on the same converted checkpoint."""
+    flags = ["--num_common_blocks", "2", "--num_branches", "2",
+             "--num_branch_blocks", "2"]
+    pp.setup_reference()
+    wrapper = pp.make_reference_model("TreeNet", flags, 4)
+    pth = pp.save_reference_checkpoint(
+        wrapper, os.path.join(workdir, "treenet.pth"))
+    inp = os.path.join(fixture_root, "x4", "input")
+    tru = os.path.join(fixture_root, "x4", "truth")
+    ref = pp.reference_validate_tree(wrapper, inp, tru)
+    ours = pp.ours_validate_tree(flags, pth, inp, tru)
+    assert set(ours) == set(ref)
+    for b in ref:
+        stats = pp.delta_stats(ref[b]["per_image"], ours[b]["per_image"])
+        assert stats["max_abs_delta"] <= PSNR_TOL, (b, stats)

@@ -1,0 +1,167 @@
+"""Per-family int8-vs-exact accuracy deltas on TRAINED models.
+
+Round 1 shipped int8 serving for every packed family but measured its
+accuracy on exactly one model (-0.056 dB, LarvaNet 2x8). This tool
+closes VERDICT r1 item 4: for each int8-capable family it
+
+  1. trains the model on the frozen fixture (larvanet_tpu/data/fixture)
+     with the on-device pipeline (dataset resident in HBM — the only
+     non-transfer-bound way to train through this TPU tunnel, CLAUDE.md),
+  2. builds the exact packed forward and the int8 forward from the SAME
+     trained params (cli/common.int8_and_exact_forwards — the identical
+     routing the serving CLIs use, calibrated on a fixture batch),
+  3. evaluates both on a fixed crop of the fixture's even-width eval
+     images (ONE shape -> one remote compile per path) with the
+     challenge protocol (uint8 RGB PSNR vs truth),
+
+and reports per-family mean/worst dB deltas plus the exact-path PSNR vs
+the bicubic base (the learning-validation soak VERDICT r1 item 2 asked
+to re-run against the frozen fixture). Results land in
+INT8_REPORT.json and are tabulated in docs/SERVING.md / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+FAMILIES = [
+    # (model name, flags, train steps) — default (paper) configs
+    ("edsr", [], 2000),
+    ("LarvaNet", ["--num_blocks", "8,8"], 2000),
+    ("TreeNet", [], 2000),
+    ("REGO-Net", [], 2000),
+    ("hrsr_c3", [], 2000),
+    ("ebrn_rm", [], 2000),
+    ("msrr_reduced", [], 2000),
+    ("mamnet", [], 2000),
+]
+
+EVAL_CROP = (32, 28)  # one LR shape for every eval image -> one compile/path
+
+
+def _fixture_images(root, scale=4):
+    from larvanet_tpu.data import fixture, io
+
+    fixture.ensure(root)
+    lrs, hrs = [], []
+    names = sorted(os.listdir(os.path.join(root, "x%d" % scale, "input")))
+    for f in names:
+        lr = io.load_image_u8(os.path.join(root, "x%d" % scale, "input", f))
+        hr = io.load_image_u8(os.path.join(root, "x%d" % scale, "truth", f))
+        lrs.append(lr)
+        hrs.append(hr)
+    return lrs, hrs
+
+
+def train_family(name, flags, steps, lrs, hrs, scale=4, batch=16, patch=24,
+                 chunk_steps=250):
+    import jax
+
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.data.device_pipeline import (
+        BucketedDevicePipeline, make_device_train_fn)
+
+    chunk_steps = min(chunk_steps, steps)
+    model = get_model(name)
+    model.parse_args(list(flags))
+    model.prepare(is_training=True, scales=[scale])
+    pipe = BucketedDevicePipeline.from_arrays(
+        [a.astype(np.uint8) for a in lrs],
+        [h[: l.shape[0] * scale, : l.shape[1] * scale] for l, h in zip(lrs, hrs)],
+        scale)
+    fn = make_device_train_fn(model, pipe, batch_size=batch, patch=patch,
+                              steps_per_call=chunk_steps)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    loss = None
+    while model.global_step < steps:
+        key, sub = jax.random.split(key)
+        model.params, model.opt_state, loss = fn(
+            model.params, model.opt_state, model.get_learning_rate(), sub)
+        model.global_step += chunk_steps
+    print("  trained %d steps in %.1fs, final chunk loss %.3f"
+          % (steps, time.time() - t0, float(loss)))
+    return model
+
+
+def eval_family(model, name, lrs, hrs, scale=4):
+    import jax
+
+    from larvanet_tpu.cli.common import int8_and_exact_forwards
+    from larvanet_tpu.eval import metrics
+    from larvanet_tpu.models.layers import interpolated_base
+
+    ch, cw = EVAL_CROP
+    xs, ts = [], []
+    for lr, hr in zip(lrs, hrs):
+        if lr.shape[0] < ch or lr.shape[1] < cw:
+            continue
+        xs.append(lr[:ch, :cw].astype(np.float32))
+        ts.append(hr[: ch * scale, : cw * scale])
+    x = np.stack(xs)  # (N, ch, cw, 3)
+
+    calib = x[:4]
+    int8_fwd, exact_fwd = int8_and_exact_forwards(model, name, calib)
+    exact = np.asarray(jax.jit(exact_fwd)(model.params, x))
+    quant = np.asarray(jax.jit(int8_fwd)(model.params, x))
+    base = np.asarray(interpolated_base(x, scale, "bicubic"))
+
+    rows = []
+    for i, t in enumerate(ts):
+        tu8 = metrics.image_to_uint8(t)
+        pe = metrics.psnr_rgb(metrics.image_to_uint8(exact[i]), tu8)
+        pq = metrics.psnr_rgb(metrics.image_to_uint8(quant[i]), tu8)
+        pb = metrics.psnr_rgb(metrics.image_to_uint8(base[i]), tu8)
+        rows.append({"exact_psnr": pe, "int8_psnr": pq, "bicubic_psnr": pb,
+                     "delta": pq - pe})
+    deltas = [r["delta"] for r in rows]
+    return {
+        "images": rows,
+        "mean_exact_psnr": float(np.mean([r["exact_psnr"] for r in rows])),
+        "mean_bicubic_psnr": float(np.mean([r["bicubic_psnr"] for r in rows])),
+        "mean_delta_db": float(np.mean(deltas)),
+        "worst_delta_db": float(np.min(deltas)),
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--fixture", default="data/fixture")
+    parser.add_argument("--families", default=",".join(n for n, _, _ in FAMILIES))
+    parser.add_argument("--steps", type=int, default=0,
+                        help="Override training steps for every family (0 = per-family default).")
+    parser.add_argument("--out", default="INT8_REPORT.json")
+    args = parser.parse_args(argv)
+
+    lrs, hrs = _fixture_images(args.fixture)
+    want = set(args.families.split(","))
+    report = {}
+    for name, flags, steps in FAMILIES:
+        if name not in want:
+            continue
+        print("=== %s ===" % name)
+        try:
+            model = train_family(name, flags, args.steps or steps, lrs, hrs)
+            rep = eval_family(model, name, lrs, hrs)
+        except Exception as exc:
+            print("  FAILED: %s" % (exc,))
+            report[name] = {"error": str(exc)}
+            continue
+        report[name] = rep
+        print("  exact %.3f dB (bicubic %.3f) | int8 delta mean %+.4f dB, "
+              "worst %+.4f dB"
+              % (rep["mean_exact_psnr"], rep["mean_bicubic_psnr"],
+                 rep["mean_delta_db"], rep["worst_delta_db"]))
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+    print("wrote %s" % args.out)
+    return report
+
+
+if __name__ == "__main__":
+    main()

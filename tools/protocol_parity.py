@@ -208,6 +208,88 @@ def reference_test(wrapper, model_name: str, lr_root: str, hr_root: str,
     return report
 
 
+def reference_validate_interpol(mode: str, input_dir: str, truth_dir: str,
+                                scale: int) -> Dict:
+    """The reference validate_interpol.py:70-100 loop (the null-model
+    baseline: pure F.interpolate upscaling), using its own helpers."""
+    import torch
+    import torch.nn.functional as F
+
+    vi = importlib.import_module("validate_interpol")
+    loader = importlib.import_module("dataloaders.basic_loader").create_loader()
+    loader.parse_args(["--data_input_path", input_dir, "--data_truth_path", truth_dir])
+    loader.prepare(scales=[scale])
+
+    per_image = {}
+    for i in range(loader.get_num_images()):
+        input_image, truth_image, name = loader.get_image_pair(image_index=i, scale=scale)
+        t = torch.tensor(np.asarray([input_image]), dtype=torch.float32)
+        out = F.interpolate(t, scale_factor=scale, mode=mode,
+                            align_corners=False)[0].numpy()
+        truth_u8 = vi._image_to_uint8(truth_image)
+        out_u8 = vi._image_to_uint8(out)
+        truth_u8 = vi._fit_truth_image_size(output_image=out_u8, truth_image=truth_u8)
+        per_image[name] = float(vi._image_psnr(output_image=out_u8, truth_image=truth_u8))
+    return {"mean_psnr": float(np.mean(list(per_image.values()))), "per_image": per_image}
+
+
+def ours_validate_interpol(mode: str, input_dir: str, truth_dir: str,
+                           scale: int) -> Dict:
+    from larvanet_tpu.cli import validate_interpol as cli_vi
+
+    res = cli_vi.main([
+        "--dataloader", "basic_loader", "--scales", str(scale),
+        "--data_input_path", input_dir, "--data_truth_path", truth_dir,
+        "--interpolate", mode,
+    ])
+    return res[scale]
+
+
+def reference_validate_tree(wrapper, input_dir: str, truth_dir: str,
+                            scale: int = 4) -> Dict:
+    """The reference validate_tree.py:85-121 per-branch flow: shared
+    trunk once, each branch + interpolated base scored separately."""
+    import torch
+    import torch.nn.functional as F
+
+    vt = importlib.import_module("validate_tree")
+    loader = importlib.import_module("dataloaders.basic_loader").create_loader()
+    loader.parse_args(["--data_input_path", input_dir, "--data_truth_path", truth_dir])
+    loader.prepare(scales=[scale])
+
+    nb = wrapper.args.num_branches
+    per_image = {b: {} for b in range(nb)}
+    with torch.no_grad():
+        for i in range(loader.get_num_images()):
+            input_image, truth_image, name = loader.get_image_pair(image_index=i, scale=scale)
+            t = torch.tensor(np.asarray([input_image]), dtype=torch.float32,
+                             device=wrapper.device)
+            fea = wrapper.model.common_parts(t)
+            for b in range(nb):
+                out = getattr(wrapper.model, "branch_%d" % b)(fea)
+                out = out + F.interpolate(t, scale_factor=4,
+                                          mode=wrapper.args.interpolate,
+                                          align_corners=False)
+                out_u8 = vt._image_to_uint8(out.detach().cpu().numpy()[0])
+                tr_u8 = vt._image_to_uint8(truth_image)
+                tr_u8 = vt._fit_truth_image_size(output_image=out_u8, truth_image=tr_u8)
+                per_image[b][name] = float(
+                    vt._image_psnr(output_image=out_u8, truth_image=tr_u8))
+    return {b: {"mean_psnr": float(np.mean(list(per_image[b].values()))),
+                "per_image": per_image[b]} for b in range(nb)}
+
+
+def ours_validate_tree(model_flags: Sequence[str], pth_path: str,
+                       input_dir: str, truth_dir: str, scale: int = 4) -> Dict:
+    from larvanet_tpu.cli import validate_tree as cli_vt
+
+    return cli_vt.main([
+        "--dataloader", "basic_loader", "--model", "TreeNet",
+        "--restore_path", pth_path, "--scales", str(scale),
+        "--data_input_path", input_dir, "--data_truth_path", truth_dir,
+    ] + list(model_flags))
+
+
 def ours_validate(model_name: str, model_flags: Sequence[str], pth_path: str,
                   input_dir: str, truth_dir: str, scale: int, chop: bool = False,
                   extra_flags: Sequence[str] = ()) -> Dict:
