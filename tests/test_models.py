@@ -159,3 +159,43 @@ def test_psnr_on_device_matches_host_protocol(rng):
     t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
     want = metrics.psnr_rgb(o8, t8)
     assert abs(got - want) < 1e-3
+
+
+def test_restore_accepts_reference_pth(tmp_path, rng):
+    """--restore_path model.pth loads a reference torch checkpoint
+    directly through the converter rules (round-2 migration path)."""
+    import os
+
+    import pytest
+    import sys
+
+    REF = "/root/reference"
+    if not os.path.isdir(REF):
+        pytest.skip("reference repo not mounted")
+    from tools import protocol_parity as pp
+
+    pp.setup_reference()
+    wrapper = pp.make_reference_model(
+        "edsr", ["--edsr_conv_features", "8", "--edsr_res_blocks", "1"], 4)
+    pth = pp.save_reference_checkpoint(wrapper, str(tmp_path / "m.pth"))
+
+    from larvanet_tpu.core.registry import get_model
+
+    m = get_model("edsr")
+    m.parse_args(["--edsr_conv_features", "8", "--edsr_res_blocks", "1"])
+    m.prepare(is_training=False, scales=[4])
+    m.restore(ckpt_path=pth)
+    x = rng.uniform(0, 255, (1, 3, 8, 10)).astype(np.float32)
+    ours = m.upscale([x[0]], scale=4)[0]
+    import torch
+
+    with torch.no_grad():
+        ref = wrapper.upscale(input_list=[x[0]], scale=4)[0]
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-4)
+
+    # wrong-architecture .pth must fail loudly (shape validation)
+    m2 = get_model("edsr")
+    m2.parse_args(["--edsr_conv_features", "16", "--edsr_res_blocks", "1"])
+    m2.prepare(is_training=False, scales=[4])
+    with pytest.raises(ValueError, match="shape mismatch"):
+        m2.restore(ckpt_path=pth)

@@ -110,3 +110,32 @@ def test_treenet_per_branch_protocol(fixture_root, workdir):
     for b in ref:
         stats = pp.delta_stats(ref[b]["per_image"], ours[b]["per_image"])
         assert stats["max_abs_delta"] <= PSNR_TOL, (b, stats)
+
+
+def test_psnr_offline_tree_protocol(fixture_root, tmp_path):
+    """The reference's PSNR.py offline protocol (saved SR tree: shave 4,
+    Y-PSNR + SSIM — PSNR.py:96-137) vs cli/psnr.evaluate_tree on the
+    same tree (bicubic-upscaled fixture inputs as the stand-in SR)."""
+    import numpy as np
+
+    from larvanet_tpu.cli.psnr import evaluate_tree
+    from larvanet_tpu.data import io
+    from larvanet_tpu.ops.resize import upsample
+
+    pp.setup_reference()
+    hr_dir = os.path.join(fixture_root, "x4", "truth")
+    sr_dir = str(tmp_path / "sr")
+    for f in sorted(os.listdir(os.path.join(fixture_root, "x4", "input"))):
+        lr = io.load_image_u8(os.path.join(fixture_root, "x4", "input", f))
+        sr = np.asarray(upsample(lr.astype(np.float32)[None], 4, "bicubic"))[0]
+        io.save_image_hwc(np.clip(np.round(sr), 0, 255).astype(np.uint8),
+                          os.path.join(sr_dir, f))
+
+    ref = pp.reference_psnr_offline(sr_dir, hr_dir)
+    ours = {name: {"psnr": p, "ssim": s}
+            for name, p, s in evaluate_tree(sr_dir, hr_dir, shave_border=4)}
+    ours = {os.path.splitext(k)[0]: v for k, v in ours.items()}
+    assert set(ref) == set(ours)
+    for k in ref:
+        assert abs(ref[k]["psnr"] - ours[k]["psnr"]) <= PSNR_TOL, k
+        assert abs(ref[k]["ssim"] - ours[k]["ssim"]) <= SSIM_TOL, k

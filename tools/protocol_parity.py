@@ -290,6 +290,38 @@ def ours_validate_tree(model_flags: Sequence[str], pth_path: str,
     ] + list(model_flags))
 
 
+def reference_psnr_offline(sr_dir: str, hr_dir: str) -> Dict:
+    """The reference PSNR.py:96-137 per-image flow on a saved SR tree:
+    shave 4, Y-of-YCbCr uint8 PSNR + SSIM, using PSNR.py's own helpers."""
+    ref_psnr = importlib.import_module("PSNR")
+    cv = importlib.import_module("cv2")
+    skimage_color = importlib.import_module("skimage.color")
+
+    per_image = {}
+    for image_name in sorted(os.listdir(hr_dir)):
+        if not image_name.lower().endswith(".png"):
+            continue
+        truth_image = cv.cvtColor(cv.imread(os.path.join(hr_dir, image_name)),
+                                  cv.COLOR_BGR2RGB)
+        output_image = cv.cvtColor(cv.imread(os.path.join(sr_dir, image_name)),
+                                   cv.COLOR_BGR2RGB)
+        output_image = ref_psnr._image_to_uint8(output_image)
+        cropped_output = ref_psnr.shave(output_image, 4)
+        truth_image = ref_psnr._fit_truth_image_size(
+            output_image=output_image, truth_image=truth_image)
+        truth_image = ref_psnr._image_to_uint8(truth_image)
+        cropped_truth = ref_psnr.shave(truth_image, 4)
+        t_out = ref_psnr._image_to_uint8(
+            skimage_color.rgb2ycbcr(cropped_output)[:, :, 0])
+        t_tru = ref_psnr._image_to_uint8(
+            skimage_color.rgb2ycbcr(cropped_truth)[:, :, 0])
+        per_image[os.path.splitext(image_name)[0]] = {
+            "psnr": float(ref_psnr._image_psnr(t_out, t_tru)),
+            "ssim": float(ref_psnr._image_ssim(t_out, t_tru)),
+        }
+    return per_image
+
+
 def ours_validate(model_name: str, model_flags: Sequence[str], pth_path: str,
                   input_dir: str, truth_dir: str, scale: int, chop: bool = False,
                   extra_flags: Sequence[str] = ()) -> Dict:
