@@ -53,6 +53,11 @@ def main(argv=None):
     parser.add_argument("--summary_freq", type=int, default=1000)
     parser.add_argument("--val_freq_epochs", type=int, default=10,
                         help="Validate every N epochs (reference uses 10).")
+    parser.add_argument("--device_pipeline", type=int, default=0,
+                        help="Steps per fused device call: dataset resident in HBM, "
+                             "sampling+augmentation+optimizer in one jit (0 = host "
+                             "pipeline). Chunks land exactly on each validation "
+                             "epoch boundary, so the plateau-LR cadence is preserved.")
     parser.add_argument("--restore_path", type=str)
     parser.add_argument("--restore_target", type=str)
     parser.add_argument("--global_step", type=int, default=0)
@@ -97,6 +102,12 @@ def main(argv=None):
     val_every = int(args.val_freq_epochs * step_per_epoch)
 
     print("begin training")
+    if args.device_pipeline > 0:
+        _train_schedule_device(args, dataloader, val_loader, model, scale,
+                               step_per_epoch, val_every, summary)
+        model.wait_for_checkpoints()
+        summary.close()
+        return
     try:
         while model.global_step < args.max_steps:
             t0 = time.time()
@@ -138,6 +149,79 @@ def main(argv=None):
     model.wait_for_checkpoints()
     print("finished")
     summary.close()
+
+
+def _validate_and_step_scheduler(args, val_loader, model, scale, step_per_epoch):
+    """Full val-set PSNR -> model.lr_scheduler.step(psnr) -> save
+    (reference train_schedule.py:139-164 semantics)."""
+    print("begin validation")
+    psnr_list = []
+    for idx in range(val_loader.get_num_images()):
+        inp, tru, _ = val_loader.get_image_pair(image_index=idx, scale=scale)
+        out = model.upscale([inp], scale)[0]
+        o8 = metrics.image_to_uint8(out)
+        t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
+        psnr_list.append(metrics.psnr_rgb(o8, t8))
+    average_psnr = float(np.mean(psnr_list))
+    print("step %d, epoch %.0f, psnr=%.8f, lr = %.10f"
+          % (model.global_step, model.global_step / step_per_epoch,
+             average_psnr, model.get_learning_rate()))
+    if getattr(model, "lr_scheduler", None) is not None:
+        model.lr_scheduler.step(average_psnr)
+    model.save(base_path=args.train_path)
+    print("saved a model checkpoint at step %d" % (model.global_step,))
+
+
+def _train_schedule_device(args, dataloader, val_loader, model, scale,
+                           step_per_epoch, val_every, summary):
+    """Validation-scheduled training with the device-resident pipeline:
+    fused step chunks sized to land exactly on each --val_freq_epochs
+    boundary so the plateau scheduler sees the same cadence as the host
+    loop (mirrors cli/train_larva._train_larva_device)."""
+    import jax
+
+    from larvanet_tpu.data.device_pipeline import (
+        BucketedDevicePipeline, DevicePipeline, make_device_train_fn)
+
+    if getattr(dataloader, "is_threaded", False):
+        dataloader.stop_queue_runners()
+    ds = dataloader.dataset
+    lr_imgs = [ds.input_u8(scale, i) for i in range(len(ds))]
+    hr_imgs = [ds.truth_u8(i) for i in range(len(ds))]
+    if len({a.shape[:2] for a in lr_imgs}) > 1:
+        pipe = BucketedDevicePipeline.from_arrays(lr_imgs, hr_imgs, scale)
+    else:
+        pipe = DevicePipeline.from_arrays(lr_imgs, hr_imgs, scale)
+    print("device pipeline: %d images, %.1f MB resident in HBM"
+          % (len(lr_imgs), pipe.nbytes() / 1e6))
+
+    chunk_fns = {}
+
+    def run_chunk(n_steps, key, lr):
+        if n_steps not in chunk_fns:
+            chunk_fns[n_steps] = make_device_train_fn(
+                model, pipe, batch_size=args.batch_size,
+                patch=args.input_patch_size, steps_per_call=n_steps)
+        return chunk_fns[n_steps](model.params, model.opt_state, lr, key)
+
+    key = jax.random.PRNGKey(model.global_step)
+    while model.global_step < args.max_steps:
+        to_val = val_every - (model.global_step % val_every) or val_every
+        n = max(1, min(args.device_pipeline, to_val,
+                       args.max_steps - model.global_step))
+        t0 = time.time()
+        key, sub = jax.random.split(key)
+        model.params, model.opt_state, loss = run_chunk(
+            n, sub, model.get_learning_rate())
+        model.global_step += n
+        dt = time.time() - t0
+        print("step %d, lr %.8f, mean loss %.6f (%.1f steps/s)"
+              % (model.global_step, model.get_learning_rate(), float(loss), n / dt))
+        if model.global_step % val_every == 0 or model.global_step >= args.max_steps:
+            _validate_and_step_scheduler(args, val_loader, model, scale, step_per_epoch)
+            summary.scalar("loss", float(loss), model.global_step)
+            summary.scalar("lr", model.get_learning_rate(), model.global_step)
+    print("finished")
 
 
 if __name__ == "__main__":

@@ -171,3 +171,32 @@ def test_int8_calib_batch_shapes():
     batch = common.int8_calib_batch(Loader(), 4, num_images=4)
     assert batch.shape == (3, 20, 22, 3)
     assert batch.dtype == np.float32
+
+
+def test_train_schedule_validation_cadence(tree):
+    """train_schedule: val-driven plateau LR + checkpoint every N epochs
+    (reference train_schedule.py:139-164), host loop and the fused
+    device-pipeline path producing the same cadence."""
+    lr, hr, root = tree
+    from larvanet_tpu.cli import train_schedule
+
+    flat_lr = os.path.join(root, "LRflat")
+    os.makedirs(flat_lr, exist_ok=True)
+    for f in os.listdir(os.path.join(lr, "X4")):
+        img = io.load_image_u8(os.path.join(lr, "X4", f))
+        io.save_image_hwc(img, os.path.join(flat_lr, f.replace("x4", "")))
+
+    for tag, extra in (("host", []), ("dev", ["--device_pipeline", "2"])):
+        run_dir = os.path.join(root, "sched_" + tag)
+        train_schedule.main([
+            "--dataloader", "div2k_train_loader", "--model", "hrsr",
+            "--data_input_path", lr, "--data_truth_path", hr, "--data_cached",
+            "--val_data_input_path", flat_lr, "--val_data_truth_path", hr,
+            "--dataloader_val", "basic_loader",
+            "--train_path", run_dir, "--max_steps", "6", "--batch_size", "1",
+            "--input_patch_size", "8", "--step_per_epoch", "0.3",
+            "--num_lr_blocks", "1", "--num_hr_blocks", "0",
+            "--num_hr_filters", "3", "--log_freq", "2", *extra,
+        ])
+        ckpts = [f for f in os.listdir(run_dir) if f.endswith(".ckpt")]
+        assert ckpts, "no validation-driven checkpoints written (%s)" % tag

@@ -91,6 +91,9 @@ def main():
                              "model._fwd_jit after CLI-style fast-path routing) instead "
                              "of the training step.")
     parser.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    parser.add_argument("--int8", action="store_true",
+                        help="With --infer: trace the int8 (W8A8) serving forward "
+                             "(random-calibrated) instead of the exact packed one.")
     args, remaining = parser.parse_known_args()
     if remaining and remaining[0] == "--":
         remaining = remaining[1:]
@@ -115,7 +118,11 @@ def main():
         params = jax.tree_util.tree_map(lambda a: a.astype(dtype), model.params)
         from larvanet_tpu.ops.fastpath import build_fast_forward
 
-        fwd, desc = build_fast_forward(model, dtype)
+        calib = None
+        if args.int8:
+            calib = rng.uniform(0, 255, (4, p, p, 3)).astype(np.float32)
+        fwd, desc = build_fast_forward(model, dtype, int8_trunk=args.int8,
+                                      calib=calib)
         if fwd is None:
             fwd = model._forward_impl
             print("TRACING the PLAIN module graph (no fast path routes for "
