@@ -46,6 +46,9 @@ def main(argv=None):
                         help="LR tile overlap for --tile_forward; half of it should exceed the model's receptive radius for bit-exact results.")
     parser.add_argument("--self_ensemble", action="store_true",
                         help="x8 dihedral test-time augmentation, all orientations batched in one jit (new capability).")
+    parser.add_argument("--dp_devices", type=int, default=0,
+                        help="Shard eval tile batches across N devices (data-parallel "
+                             "serving; use with --tile_forward; 0 = off).")
     parser.add_argument("--spatial_shard", type=int, default=0,
                         help="Shard full-frame inference height across N devices with halo exchange (0 = off).")
     parser.add_argument("--spatial_halo", type=int, default=32,
@@ -86,6 +89,18 @@ def main(argv=None):
     common.maybe_int8_trunk(model, args, lambda: common.int8_calib_batch(
         dataloader, scale_list[0], args.int8_calib_images))
     common.maybe_spatial_shard(model, args, scale_list[0])
+    if args.dp_devices > 1:
+        import jax
+
+        from larvanet_tpu.parallel.mesh import make_mesh, use_data_parallel_eval
+
+        mesh = make_mesh((args.dp_devices,), ("data",),
+                         devices=jax.devices()[: args.dp_devices])
+        use_data_parallel_eval(model, mesh)
+        print("eval: tile batches sharded over %d devices" % (args.dp_devices,))
+        if not args.tile_forward:
+            print("WARNING: --dp_devices without --tile_forward: full-frame "
+                  "batches of 1 cannot shard; pass --tile_forward")
     int8_report = args.int8_report and hasattr(model, "_int8_exact_jit")
     if args.int8_report and not int8_report:
         print("--int8_report: int8 trunk is not active; nothing to report")
@@ -108,6 +123,7 @@ def main(argv=None):
         if args.tile_forward:
             tiler = TiledUpscaler(
                 fwd, scale=scale, tile_size=args.tile_size, overlap=args.tile_overlap,
+                min_batch=max(1, args.dp_devices),
             )
         duration_list, psnr_list, name_list, int8_deltas = [], [], [], []
         for image_index in range(num_images):

@@ -100,6 +100,7 @@ class TiledUpscaler:
         tile_size: int = 128,
         overlap: int = 24,
         max_batch: int = 64,
+        min_batch: int = 1,
     ):
         if overlap >= tile_size:
             raise ValueError("overlap must be smaller than tile_size")
@@ -108,14 +109,23 @@ class TiledUpscaler:
         self.tile = tile_size
         self.stride = tile_size - overlap
         self.max_batch = max_batch
+        # min_batch: round every bucketed tile batch up to a multiple of
+        # this (zero-padded) — lets a data-parallel eval mesh divide the
+        # batch evenly (parallel/mesh.use_data_parallel_eval)
+        self.min_batch = min_batch
 
     def upscale_hwc(self, image_hwc: np.ndarray) -> np.ndarray:
         """SR one HWC image of arbitrary size; returns HWC float32."""
         h, w, c = image_hwc.shape
         t, s = self.tile, self.scale
         if h < t or w < t:
-            # Small image: single full-frame call (shape-specific compile).
-            out = self.forward(np.asarray(image_hwc, np.float32)[None])
+            # Small image: single full-frame call (shape-specific compile),
+            # padded to min_batch so a dp-eval mesh still divides it.
+            x = np.asarray(image_hwc, np.float32)[None]
+            if self.min_batch > 1:
+                x = np.concatenate(
+                    [x, np.zeros((self.min_batch - 1,) + x.shape[1:], np.float32)])
+            out = self.forward(x)
             return np.asarray(out[0])
 
         ys = _tile_starts(h, t, self.stride)
@@ -133,6 +143,8 @@ class TiledUpscaler:
             # Pad to a power-of-two bucket so the number of distinct
             # compiled batch shapes is O(log max_batch), not O(#images).
             bucket = min(self.max_batch, 1 << max(0, (len(chunk) - 1).bit_length()))
+            if bucket % self.min_batch:
+                bucket = -(-bucket // self.min_batch) * self.min_batch
             if len(chunk) < bucket:
                 pad = np.zeros((bucket - len(chunk), t, t, c), np.float32)
                 out = np.asarray(self.forward(np.concatenate([chunk, pad])))[: len(chunk)]

@@ -90,3 +90,34 @@ def use_data_parallel(model, mesh: Mesh) -> None:
     if model.is_training:
         model._train_jit = make_dp_train_step(model, mesh)
     model._mesh = mesh
+
+
+def use_data_parallel_eval(model, mesh: Mesh, axis: str = "data") -> None:
+    """Shard INFERENCE batches over the mesh (multi-chip serving).
+
+    Swaps the model's jitted forward for one whose batch dim shards over
+    `axis` with params replicated — each chip SRs its share of the tile
+    batch with zero collectives (tiles are independent; the SPMD analog
+    of a serving fleet splitting a request's tiles). Compose with
+    eval/tiling.TiledUpscaler by setting min_batch to the axis size so
+    every bucketed tile batch divides the mesh. Call AFTER
+    maybe_collapse_tail/maybe_int8_trunk: it wraps whatever forward is
+    routed at that point (packed / int8 / plain).
+    """
+    n = dict(mesh.shape)[axis]
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis, None, None, None))
+    inner = model._fwd_jit
+    sharded = jax.jit(lambda p, x: inner(p, x),
+                      in_shardings=(repl, data), out_shardings=data)
+    model.params = replicate(model.params, mesh)
+
+    def fwd(params, x):
+        if x.shape[0] % n:
+            raise ValueError(
+                "dp eval: batch %d does not divide the %d-way '%s' axis; "
+                "use TiledUpscaler(min_batch=%d)" % (x.shape[0], n, axis, n))
+        return sharded(params, x)
+
+    model._fwd_jit = fwd
+    model._mesh = mesh

@@ -128,3 +128,27 @@ def test_shard_batch_places_on_mesh(rng):
     x = rng.uniform(0, 1, (16, 4, 4, 3)).astype(np.float32)
     xs = shard_batch(x, mesh)
     assert xs.sharding.spec == P("data", None, None, None)
+
+
+def test_dp_tiled_eval_matches_single_device(rng):
+    """Data-parallel tiled serving (VERDICT-era SURVEY §2.5 DP-inference
+    analog): tile batches sharded over the mesh produce exactly the
+    single-device tiled result."""
+    from larvanet_tpu.eval.tiling import TiledUpscaler
+    from larvanet_tpu.parallel.mesh import use_data_parallel_eval
+
+    m = _edsr(training=False)
+    x = rng.uniform(0, 255, (3, 40, 52)).astype(np.float32)  # CHW
+
+    tiler_ref = TiledUpscaler(
+        lambda b: m.fwd_runtime(np.asarray(b, np.float32)),
+        scale=4, tile_size=16, overlap=8)
+    ref = tiler_ref.upscale_chw(x)
+
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    use_data_parallel_eval(m, mesh)
+    tiler_dp = TiledUpscaler(
+        lambda b: m.fwd_runtime(np.asarray(b, np.float32)),
+        scale=4, tile_size=16, overlap=8, min_batch=4)
+    got = tiler_dp.upscale_chw(x)
+    np.testing.assert_allclose(got, ref, atol=2e-3)
