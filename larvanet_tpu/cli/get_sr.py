@@ -52,6 +52,9 @@ def main(argv=None):
     parser.add_argument("--int8_trunk", type=int, default=0,
                         help="Opt-in W8A8 quantized trunk (EDSR/LarvaNet families; calibrated "
                              "on the first input; NOT float-exact, ~-0.06 dB measured).")
+    parser.add_argument("--dp_devices", type=int, default=0,
+                        help="Shard tile batches across N devices (data-parallel serving; "
+                             "use with --tile_forward; 0 = off).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -69,6 +72,15 @@ def main(argv=None):
     common.maybe_int8_trunk(model, args, lambda: io.load_image_chw(
         os.path.join(args.input_path, image_names[0] + ".png")).transpose(1, 2, 0)[None])
     common.maybe_spatial_shard(model, args, scale_list[0])
+    if args.dp_devices > 1:
+        import jax
+
+        from larvanet_tpu.parallel.mesh import make_mesh, use_data_parallel_eval
+
+        mesh = make_mesh((args.dp_devices,), ("data",),
+                         devices=jax.devices()[: args.dp_devices])
+        use_data_parallel_eval(model, mesh)
+        print("serving: tile batches sharded over %d devices" % (args.dp_devices,))
 
     print("%d images are prepared" % (len(image_names),))
     os.makedirs(args.output_path, exist_ok=True)
@@ -78,6 +90,7 @@ def main(argv=None):
         tiler = TiledUpscaler(
             lambda batch: model.fwd_runtime(np.asarray(batch, np.float32)),
             scale=scale, tile_size=args.tile_size, overlap=args.tile_overlap,
+            min_batch=max(1, args.dp_devices),
         )
 
     duration_list = []

@@ -14,8 +14,6 @@ it onto ICI). Composes with halo.py's spatial axis: a 2-D
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 

@@ -3,8 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import PartitionSpec as P
-
 from larvanet_tpu.parallel.mesh import make_mesh
 from larvanet_tpu.parallel.tp import make_tp_forward, tp_conv3x3
 
@@ -45,7 +43,7 @@ def test_tp_spatial_2d_composition_matches_single_device(rng):
     receptive radius of the outer H borders (quantified in dB by
     tests/test_parallel.py for the halo path)."""
     from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
-    from larvanet_tpu.parallel.tp import make_tp_spatial_forward, tp_stack_apply
+    from larvanet_tpu.parallel.tp import make_tp_spatial_forward
 
     mesh = make_mesh((4, 2), ("spatial", "model"))
     C, scale, n_layers = 16, 4, 4
