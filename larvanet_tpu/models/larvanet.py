@@ -52,20 +52,26 @@ SCALE = 4  # legs are PixelShuffle(4): 48 -> 3 channels
 
 
 class _Leg(nn.Module):
-    """Per-module early-exit head."""
+    """Per-module early-exit head.
+
+    The '2conv' recon2 always outputs 3*SCALE² = 48 shuffle channels —
+    identical to the reference when features == 48 (where FEATURES
+    coincides with 3*SCALE²), and what makes the wider w64 trunk's legs
+    work (64 -> 48 -> PixelShuffle(4))."""
 
     style: str = "2conv"  # '2conv' | 'none' | 'resblock' | 'skip'
+    features: int = FEATURES
 
     @nn.compact
     def __call__(self, fea, base):
         kinit = kaiming_normal_scaled(0.1)
         if self.style == "2conv" or self.style == "skip":
-            r = conv3x3(FEATURES, name="recon1", kernel_init=kinit)(fea)
+            r = conv3x3(self.features, name="recon1", kernel_init=kinit)(fea)
             r = jax.nn.relu(r)
-            r = conv3x3(FEATURES, name="recon2", kernel_init=kinit)(r)
+            r = conv3x3(3 * SCALE * SCALE, name="recon2", kernel_init=kinit)(r)
             fea = r + fea if self.style == "skip" else r
         elif self.style == "resblock":
-            fea = ResBlock(FEATURES, init_scale=0.1, name="recon")(fea)
+            fea = ResBlock(self.features, init_scale=0.1, name="recon")(fea)
         elif self.style == "none":
             pass
         else:
@@ -77,12 +83,13 @@ class _Leg(nn.Module):
 class _Body(nn.Module):
     num_blocks: int
     style: str = "plain"  # 'plain' | 'res'
+    features: int = FEATURES
 
     @nn.compact
     def __call__(self, fea, res=None):
         h = fea if self.style == "plain" else res
         for i in range(self.num_blocks):
-            h = ResBlock(FEATURES, init_scale=0.1, name="block_%d" % i)(h)
+            h = ResBlock(self.features, init_scale=0.1, name="block_%d" % i)(h)
         if self.style == "plain":
             return fea + h
         return fea + h, h  # LarvaNet_res: (fea + res', res')
@@ -94,6 +101,7 @@ class LarvaNetModule(nn.Module):
     leg_style: str = "2conv"
     body_style: str = "plain"
     use_tail: bool = False
+    features: int = FEATURES
 
     @nn.compact
     def __call__(self, x, exits: Union[str, int] = "last"):
@@ -101,27 +109,37 @@ class LarvaNetModule(nn.Module):
         list of per-leg outputs, + tail output last if use_tail), or an int
         k for early exit through leg k-1 (k=0 returns the pure base,
         reference LarvaLeg.py:289-299)."""
+        if self.features != 3 * SCALE * SCALE and self.leg_style != "2conv":
+            # non-2conv legs shuffle the trunk tensor directly, which
+            # only works at the 48-channel reference width
+            raise ValueError(
+                "leg_style %r requires the 48-channel trunk (features=%d)"
+                % (self.leg_style, self.features))
         m = len(self.num_blocks)
         base = interpolated_base(x, SCALE, self.interpolate)
         if isinstance(exits, int) and exits == 0:
             return base
 
-        head = conv3x3(FEATURES, name="head", kernel_init=kaiming_normal_scaled(0.1))
+        head = conv3x3(self.features, name="head",
+                       kernel_init=kaiming_normal_scaled(0.1))
         fea = head(x)
 
         n_run = exits if isinstance(exits, int) else m
         bodies = [
-            _Body(self.num_blocks[i], style=self.body_style, name="body_%d" % i)
+            _Body(self.num_blocks[i], style=self.body_style,
+                  features=self.features, name="body_%d" % i)
             for i in range(m)
         ]
-        legs = [_Leg(style=self.leg_style, name="leg_%d" % i) for i in range(m)]
+        legs = [_Leg(style=self.leg_style, features=self.features,
+                     name="leg_%d" % i) for i in range(m)]
         tail_mods = None
         if self.use_tail:
             kinit = kaiming_normal_scaled(0.1)
             tail_mods = dict(
-                merge=conv3x3(FEATURES, name="tail_merge", kernel_init=kinit),
-                recon1=conv3x3(FEATURES, name="tail_recon1", kernel_init=kinit),
-                recon2=conv3x3(FEATURES, name="tail_recon2", kernel_init=kinit),
+                merge=conv3x3(self.features, name="tail_merge", kernel_init=kinit),
+                recon1=conv3x3(self.features, name="tail_recon1", kernel_init=kinit),
+                recon2=conv3x3(3 * SCALE * SCALE, name="tail_recon2",
+                               kernel_init=kinit),
             )
 
         outputs = []
@@ -166,6 +184,8 @@ class LarvaNetBase(SRModel):
     body_style = "plain"
     use_tail = False
     has_early_exit = False
+    trunk_features = FEATURES
+    width_flag = False  # w64: expose --num_features
     default_lr = 4e-4
     default_val_volume = 30e9
     default_min_lr = 1e-8
@@ -185,6 +205,11 @@ class LarvaNetBase(SRModel):
         if self.has_early_exit:
             parser.add_argument("--leg", type=int, default=4,
                                 help="The early exit leg number, starts at 1.")
+        if self.width_flag:
+            parser.add_argument("--num_features", type=int,
+                                default=self.trunk_features,
+                                help="Trunk width (the w64 variant packs to "
+                                     "2C=128 channels — a full MXU lane tile).")
         parser.add_argument("--interpolate", type=str, default="bicubic",
                             help="Interpolation method.")
         parser.add_argument("--val_volume", type=float, default=self.default_val_volume,
@@ -226,6 +251,7 @@ class LarvaNetBase(SRModel):
             leg_style=self.leg_style,
             body_style=self.body_style,
             use_tail=self.use_tail,
+            features=getattr(self.args, "num_features", self.trunk_features),
         )
 
     def prepare(self, is_training, scales, global_step=0, seed=0):
@@ -369,6 +395,15 @@ def _preset(name, **attrs):
 
 
 LarvaNet = _preset("LarvaNet")
+# TPU-native extension (no reference counterpart): the flagship's
+# 48-channel trunk packs to 96 channels — 75% of the MXU's 128-wide
+# output tile (BASELINE.md "LarvaNet inference: at its structural
+# ceiling"). LarvaNet_w64 widens the trunk to 64 so the packed trunk
+# runs at 2C=128, the EXACT shape where the packed conv measured 97% of
+# v5e bf16 peak; legs narrow 64->48 before their PixelShuffle(4).
+# Same multi-exit training recipe; weights are NOT loadable from
+# 48-channel checkpoints (train from scratch).
+LarvaNetW64 = _preset("LarvaNet_w64", trunk_features=64, width_flag=True)
 LarvaNet0c = _preset("LarvaNet_0c", leg_style="none", default_patience=1, default_cooldown=None)
 LarvaNet1c = _preset("LarvaNet_1c", leg_style="resblock", default_patience=1, default_cooldown=None)
 LarvaNet4c = _preset("LarvaNet_4c", default_patience=1, default_cooldown=None)

@@ -1681,15 +1681,20 @@ def _larvanet_walk(model, dtype, all_exits=False):
             features.append(fea)
 
         def leg_out(fea, leg, leg_idx):
+            # mask0 (odd-width grid0 overhang) is never needed on a leg
+            # output: it goes straight to finish(), whose packed_exit
+            # crops the pad column. Passing it would also shape-mismatch
+            # the w64 narrowing leg (recon2 outputs 2*48=96 channels vs
+            # the trunk's 2C mask).
             if mod.leg_style == "2conv":
                 return pair(leg_idx, fea, leg["recon1"], leg["recon2"], mask1,
-                            kind="none", mask0=mask0)
+                            kind="none", mask0=None)
             if mod.leg_style == "skip":
                 return pair(leg_idx, fea, leg["recon1"], leg["recon2"], mask1,
-                            kind="res", mask0=mask0)
+                            kind="res", mask0=None)
             if mod.leg_style == "resblock":
                 return pair(leg_idx, fea, leg["recon"]["conv1"],
-                            leg["recon"]["conv2"], mask1, kind="res", mask0=mask0)
+                            leg["recon"]["conv2"], mask1, kind="res", mask0=None)
             if mod.leg_style == "none":
                 return fea
             raise ValueError(mod.leg_style)

@@ -28,6 +28,7 @@ def test_router_covers_every_family():
     cases = {
         "edsr": ([], "collapsed"),
         "LarvaNet": (["--num_blocks", "2,2"], "packed"),
+        "LarvaNet_w64": (["--num_blocks", "2,2"], "packed"),
         "mamnet": ([], "collapsed"),
         "TreeNet": ([], "packed"),
         "msrr_reduced": (["--num_blocks", "2"], "packed"),
@@ -67,7 +68,20 @@ def test_packed_larvanet_smoke_matches_module(rng):
     m = _model("LarvaNet", ["--num_blocks", "1,1"])
     fwd, _ = build_fast_forward(m, jnp.float32)
     x = jnp.asarray(rng.uniform(0, 255, (1, 10, 12, 3)).astype(np.float32))
-    ref = m._forward_impl(m.params, x)
+    # reference side must be the PLAIN module graph (the default
+    # _forward_impl IS the packed path — comparing to it is vacuous)
+    ref = m.module.apply({"params": m.params}, x)
+    np.testing.assert_allclose(np.asarray(fwd(m.params, x)), np.asarray(ref),
+                               atol=0.1, rtol=1e-4)
+
+
+def test_packed_larvanet_w64_smoke_matches_module(rng):
+    """The MXU-native width extension: 64-wide trunk, narrowing 64->48
+    legs (models/larvanet.py LarvaNet_w64)."""
+    m = _model("LarvaNet_w64", ["--num_blocks", "1,1"])
+    fwd, _ = build_fast_forward(m, jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 10, 13, 3)).astype(np.float32))
+    ref = m.module.apply({"params": m.params}, x)
     np.testing.assert_allclose(np.asarray(fwd(m.params, x)), np.asarray(ref),
                                atol=0.1, rtol=1e-4)
 

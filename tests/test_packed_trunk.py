@@ -109,10 +109,13 @@ def test_packed_edsr_odd_widths_match_module(hw):
     ("LarvaNetV2", ["--num_modules", "2", "--num_blocks", "1,2"]),
     ("LarvaLeg", ["--num_modules", "3", "--num_blocks", "1,1,1", "--leg", "2"]),
     ("LarvaLeg", ["--num_modules", "2", "--num_blocks", "1,1", "--leg", "0"]),
+    ("LarvaNet_w64", ["--num_modules", "2", "--num_blocks", "1,2"]),
+    ("LarvaNet_w64", ["--num_modules", "1", "--num_blocks", "2",
+                      "--num_features", "32"]),
 ])
 def test_packed_larvanet_matches_module(name, flags):
     """Every LarvaNet topology (bodies, leg styles, V2 tail, early exit,
-    res dual-stream), even and odd widths."""
+    res dual-stream, the w64 narrowing legs), even and odd widths."""
     from larvanet_tpu.core.registry import get_model
     from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
 
@@ -120,6 +123,7 @@ def test_packed_larvanet_matches_module(name, flags):
     m.parse_args(flags)
     m.prepare(is_training=False, scales=[4])
     fwd = make_packed_larvanet_forward(m, dtype=jnp.float32)
+    m.args.packed_trunk = 0  # reference side = the PLAIN module graph
     rng = np.random.default_rng(0)
     for hw in [(8, 10), (7, 9)]:
         x = jnp.asarray(rng.uniform(0, 255, (1,) + hw + (3,)).astype(np.float32))

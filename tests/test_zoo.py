@@ -33,6 +33,8 @@ ZOO = [
     ("REGO-serial", ["--len_side", "2", "--num_filters", "8", "--num_regos", "2"]),
     ("TreeNet", ["--num_common_blocks", "1", "--num_branches", "2", "--num_branch_blocks", "1"]),
     ("LarvaNet", ["--num_blocks", "2,2"]),
+    # TPU-native extension: MXU-native 64-wide trunk (packs to 128 ch)
+    ("LarvaNet_w64", ["--num_blocks", "2,2"]),
 ]
 
 

@@ -33,6 +33,9 @@ FAMILIES = [
     # (model name, flags, train steps) — default (paper) configs
     ("edsr", [], 2000),
     ("LarvaNet", ["--num_blocks", "8,8"], 2000),
+    # MXU-native width extension, iso-capacity with the row above:
+    # 9 blocks x 64ch = 16 blocks x 48ch trunk params/FLOPs exactly
+    ("LarvaNet_w64", ["--num_blocks", "4,5"], 2000),
     ("TreeNet", [], 2000),
     ("REGO-Net", [], 2000),
     ("hrsr_c3", [], 2000),
