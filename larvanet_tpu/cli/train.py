@@ -34,6 +34,10 @@ def main(argv=None):
     parser.add_argument("--async_checkpoint", type=int, default=0,
                         help="Write checkpoints on a background thread (device snapshot is "
                              "immediate; serialization+IO never stall the train loop).")
+    parser.add_argument("--orbax_checkpoint", type=int, default=0,
+                        help="Orbax-backed checkpoint directories (tensorstore per-leaf "
+                             "storage; multi-host coordinated under jax.distributed; "
+                             "combines with --async_checkpoint; restore auto-detects).")
     parser.add_argument("--max_steps", type=int, default=300000,
                         help="The maximum number of training steps.")
     parser.add_argument("--log_freq", type=int, default=10,
@@ -64,6 +68,7 @@ def main(argv=None):
         args.model, remaining, scale_list, is_training=True, global_step=args.global_step
     )
     model.async_checkpoints = bool(args.async_checkpoint)
+    model.orbax_checkpoints = bool(args.orbax_checkpoint)
     common.warn_leftovers(remaining)
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path

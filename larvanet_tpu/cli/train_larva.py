@@ -54,6 +54,10 @@ def main(argv=None):
     parser.add_argument("--async_checkpoint", type=int, default=0,
                         help="Write checkpoints on a background thread (device snapshot is "
                              "immediate; serialization+IO never stall the train loop).")
+    parser.add_argument("--orbax_checkpoint", type=int, default=0,
+                        help="Orbax-backed checkpoint directories (tensorstore per-leaf "
+                             "storage; multi-host coordinated under jax.distributed; "
+                             "combines with --async_checkpoint; restore auto-detects).")
     parser.add_argument("--max_steps", type=int, default=0,
                         help="Stop after this many steps (0 = run until interrupted, like the reference).")
     parser.add_argument("--log_freq", type=int, default=10,
@@ -88,6 +92,7 @@ def main(argv=None):
         args.model, remaining, scale_list, is_training=True, global_step=args.global_step
     )
     model.async_checkpoints = bool(args.async_checkpoint)
+    model.orbax_checkpoints = bool(args.orbax_checkpoint)
     common.warn_leftovers(remaining)
     model.volume_per_step = args.input_patch_size ** 2 * args.batch_size * 3
 

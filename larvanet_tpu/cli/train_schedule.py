@@ -48,6 +48,8 @@ def main(argv=None):
     parser.add_argument("--train_path", type=str, required=True)
     parser.add_argument("--async_checkpoint", type=int, default=0,
                         help="Write checkpoints on a background thread.")
+    parser.add_argument("--orbax_checkpoint", type=int, default=0,
+                        help="Orbax-backed checkpoint directories (restore auto-detects).")
     parser.add_argument("--max_steps", type=int, default=300000)
     parser.add_argument("--log_freq", type=int, default=10)
     parser.add_argument("--summary_freq", type=int, default=1000)
@@ -78,6 +80,7 @@ def main(argv=None):
         args.model, remaining, scale_list, is_training=True, global_step=args.global_step
     )
     model.async_checkpoints = bool(args.async_checkpoint)
+    model.orbax_checkpoints = bool(args.orbax_checkpoint)
     common.warn_leftovers(remaining)
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path

@@ -286,6 +286,9 @@ class SRModel:
         path = os.path.join(base_path, self.checkpoint_name())
         state = serialization.to_state_dict(self._state_dict())
 
+        if getattr(self, "orbax_checkpoints", False):
+            return self._save_orbax(path, state)
+
         if getattr(self, "async_checkpoints", False):
             if getattr(self, "_ckpt_writer", None) is None:
                 from larvanet_tpu.utils.checkpoints import AsyncCheckpointWriter
@@ -309,18 +312,52 @@ class SRModel:
             f.write(payload)
         return path
 
+    def _save_orbax(self, path: str, state) -> str:
+        """Orbax-backed checkpoint (`--orbax_checkpoint`): a DIRECTORY at
+        the same reference-contract path (model_<step>.ckpt/), per-leaf
+        tensorstore storage with atomic finalization. The production
+        option for very large or multi-host runs: under an initialized
+        jax.distributed (parallel/distributed.py) orbax coordinates the
+        save across processes, where the msgpack writer assumes
+        single-host replicated state. With --async_checkpoint the disk
+        IO runs on orbax's own async machinery (the device->host copy
+        itself is synchronous by orbax design — donation-safe without
+        a snapshot). restore() auto-detects the directory format."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        if os.path.exists(path):  # orbax refuses to overwrite
+            import shutil
+
+            shutil.rmtree(path)
+        if getattr(self, "async_checkpoints", False):
+            if getattr(self, "_orbax_async", None) is None:
+                self._orbax_async = ocp.AsyncCheckpointer(
+                    ocp.PyTreeCheckpointHandler())
+            self._orbax_async.save(path, state)
+        else:
+            ocp.PyTreeCheckpointer().save(path, state)
+        return path
+
     def wait_for_checkpoints(self) -> None:
         """Block until every async save has reached disk (no-op for
         synchronous saves); re-raises writer errors."""
         if getattr(self, "_ckpt_writer", None) is not None:
             self._ckpt_writer.wait()
+        if getattr(self, "_orbax_async", None) is not None:
+            self._orbax_async.wait_until_finished()
 
     def restore(self, ckpt_path: str, target=None, strict: bool = True) -> None:
         if ckpt_path.endswith((".pth", ".pt")):
             self._restore_pth(ckpt_path, strict=strict)
             return
-        with open(ckpt_path, "rb") as f:
-            state = serialization.msgpack_restore(f.read())
+        if os.path.isdir(ckpt_path):  # orbax directory format
+            import orbax.checkpoint as ocp
+
+            state = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt_path))
+        else:
+            with open(ckpt_path, "rb") as f:
+                state = serialization.msgpack_restore(f.read())
         self._load_state_dict(state, strict=strict)
 
     def _restore_pth(self, ckpt_path: str, strict: bool = True) -> None:
