@@ -333,3 +333,357 @@ def load_pth(path: str, model_name: str) -> Tuple[Dict, list]:
     state = torch.load(path, map_location="cpu")
     state = {k: v.numpy() for k, v in state.items()}
     return convert_state_dict(state, model_name)
+
+
+# ---------------------------------------------------------------------------
+# Export: flax params -> reference torch state_dict (the inverse direction,
+# so models trained here deploy through the reference's own restore flow —
+# `load_state_dict(torch.load(path))`, reference models/base.py:66 — which
+# is strict, so the export must be key-complete including MeanShift).
+# ---------------------------------------------------------------------------
+
+
+def _inv_conv(leaves) -> Dict[str, np.ndarray]:
+    out = {"weight": np.ascontiguousarray(
+        np.transpose(np.asarray(leaves["kernel"]), (3, 2, 0, 1)))}
+    if "bias" in leaves:
+        out["bias"] = np.asarray(leaves["bias"])
+    return out
+
+
+def _inv_conv_transpose(leaves) -> Dict[str, np.ndarray]:
+    """Inverse of _conv_transpose: unflip the spatial axes, then the
+    (2,3,0,1) transpose is an involution back to (Cin, Cout, kH, kW)."""
+    k = np.asarray(leaves["kernel"])[::-1, ::-1]
+    out = {"weight": np.ascontiguousarray(np.transpose(k, (2, 3, 0, 1)))}
+    if "bias" in leaves:
+        out["bias"] = np.asarray(leaves["bias"])
+    return out
+
+
+def _inv_prelu(leaves) -> Dict[str, np.ndarray]:
+    return {"weight": np.asarray(leaves["slope"])}
+
+
+def _exp_edsr(path: str):
+    m = re.match(r"res_block_(\d+)/conv([12])$", path)
+    if m:
+        return "res_blocks.%s.body.%d" % (m.group(1), 0 if m.group(2) == "1" else 2)
+    if path in ("first_conv", "after_res_conv", "final_conv"):
+        return path
+    m = re.match(r"upsample/conv(\d+)$", path)
+    if m:
+        return "upsample.body.%d" % (2 * int(m.group(1)))
+    raise KeyError(path)
+
+
+def _exp_larvanet(path: str):
+    if path == "head":
+        return "head.feature_extraction"
+    m = re.match(r"body_(\d+)/block_(\d+)/conv([12])$", path)
+    if m:
+        return "body_%s.res_blocks.%s.body.%d" % (
+            m.group(1), m.group(2), 0 if m.group(3) == "1" else 2)
+    m = re.match(r"leg_(\d+)/recon/conv([12])$", path)  # _1c residual leg
+    if m:
+        return "body_%s.leg.recon_block.body.%d" % (
+            m.group(1), 0 if m.group(2) == "1" else 2)
+    m = re.match(r"leg_(\d+)/recon([12])$", path)
+    if m:
+        return "body_%s.leg.recon_block.%d" % (
+            m.group(1), 0 if m.group(2) == "1" else 2)
+    if path == "tail_merge":
+        return "tail.merge_conv"
+    m = re.match(r"tail_recon([12])$", path)
+    if m:
+        return "tail.recon_block.%d" % (0 if m.group(1) == "1" else 2)
+    raise KeyError(path)
+
+
+def _exp_msrr_reduced(path: str):
+    m = re.match(r"res_block_(\d+)/conv([12])$", path)
+    if m:
+        return "res_blocks.%s.body.%d" % (m.group(1), 0 if m.group(2) == "1" else 2)
+    if path == "first_conv":
+        return path
+    raise KeyError(path)
+
+
+def _exp_imdn(path: str):
+    m = re.match(r"imd_block_(\d+)/conv([1-4])$", path)
+    if m:
+        return "res_blocks.%s.conv%s.0" % (m.group(1), m.group(2))
+    m = re.match(r"imd_block_(\d+)/conv5$", path)
+    if m:
+        return "res_blocks.%s.conv5" % (m.group(1),)
+    if path in ("first_conv", "after_res_conv"):
+        return path
+    if path == "upsample_conv":
+        return "upsample.body.0"
+    raise KeyError(path)
+
+
+def _exp_treenet(path: str):
+    if path == "first_conv":
+        return "common_parts.0"
+    m = re.match(r"common_block_(\d+)/conv([12])$", path)
+    if m:
+        return "common_parts.2.%s.body.%d" % (m.group(1), 0 if m.group(2) == "1" else 2)
+    m = re.match(r"branch_(\d+)_block_(\d+)/conv([12])$", path)
+    if m:
+        return "branch_%s.%s.body.%d" % (
+            m.group(1), m.group(2), 0 if m.group(3) == "1" else 2)
+    raise KeyError(path)
+
+
+def _exp_mamnet(path: str):
+    m = re.match(r"mam_block_(\d+)/mam/du([12])$", path)
+    if m:
+        return "res_blocks.%s.body.3.conv_du.%d" % (
+            m.group(1), 0 if m.group(2) == "1" else 2)
+    m = re.match(r"mam_block_(\d+)/mam/depthwise$", path)
+    if m:
+        return "res_blocks.%s.body.3.depthwise_conv2d" % (m.group(1),)
+    m = re.match(r"mam_block_(\d+)/conv([12])$", path)
+    if m:
+        return "res_blocks.%s.body.%d" % (m.group(1), 0 if m.group(2) == "1" else 2)
+    return _exp_edsr(path)
+
+
+def _exp_msrr(path: str):
+    m = re.match(r"res_block_(\d+)/conv([12])$", path)
+    if m:
+        return "res_blocks.%s.body.%d" % (m.group(1), 0 if m.group(2) == "1" else 2)
+    m = re.match(r"upsample/conv(\d+)$", path)
+    if m:
+        return "upsample.body.%d" % (3 * int(m.group(1)))
+    if path in ("first_conv", "HR_conv", "final_conv"):
+        return path
+    raise KeyError(path)
+
+
+def _exp_ebrn_rm(path: str):
+    m = re.match(r"brm_(\d+)_conv([12])$", path)
+    if m:
+        return "brms.%s.body.%d" % (m.group(1), 0 if m.group(2) == "1" else 2)
+    m = re.match(r"fusion_(\d+)$", path)
+    if m:
+        return "fusion_layers.%s" % (m.group(1),)
+    if path == "upsample_conv":
+        return "upsample.body.0"
+    if path == "first_conv":
+        return path
+    raise KeyError(path)
+
+
+def _exp_hrsr(path: str):
+    m = re.match(r"(lr|hr)_block_(\d+)/conv([12])$", path)
+    if m:
+        return "%s_res_blocks.%s.body.%d" % (
+            m.group(1), m.group(2), 0 if m.group(3) == "1" else 2)
+    if path in ("first_conv", "middle_conv", "final_conv"):
+        return path
+    raise KeyError(path)
+
+
+def _make_exp_rego(serial: bool):
+    def rule(path: str):
+        m = re.match(r"RESB_(\d+)_(\d+)_(\d+)/conv([12])$", path)
+        if m:
+            body = 0 if m.group(4) == "1" else 2
+            if serial:
+                return "RESB_%s_%s_%s.body.%d" % (
+                    m.group(1), m.group(2), m.group(3), body)
+            # REGO-Net keys carry no repeat index (always our k=0)
+            return "RESB_%s_%s.body.%d" % (m.group(2), m.group(3), body)
+        m = re.match(r"conv_(\d+)$", path)
+        if m:
+            return path.replace("/", ".")
+        if path == "feature_extraction":
+            return path
+        if path == "SRrecon":
+            return "SRrecon.body.0"
+        raise KeyError(path)
+    return rule
+
+
+def _exp_ebrn(path: str):
+    m = re.match(r"fe(\d+)$", path)
+    if m:
+        return "feature_extract.%d" % (2 * int(m.group(1)))
+    m = re.match(r"fe_prelu(\d+)$", path)
+    if m:
+        return ("feature_extract.%d" % (2 * int(m.group(1)) + 1), "prelu")
+    m = re.match(r"brm_(\d+)/up_block$", path)
+    if m:
+        return ("brms.%s.up_block" % (m.group(1),), "convT")
+    m = re.match(r"brm_(\d+)/down_block$", path)
+    if m:
+        return "brms.%s.down_block" % (m.group(1),)
+    m = re.match(r"brm_(\d+)/(sr|bp)_flow/conv(\d+)$", path)
+    if m:
+        return "brms.%s.%s_flow.%d" % (m.group(1), m.group(2), 2 * int(m.group(3)))
+    m = re.match(r"brm_(\d+)/(sr|bp)_flow/prelu(\d+)$", path)
+    if m:
+        return ("brms.%s.%s_flow.%d" % (m.group(1), m.group(2), 2 * int(m.group(3)) + 1),
+                "prelu")
+    m = re.match(r"fusion_(\d+)$", path)
+    if m:
+        return "fusion_layers.%s" % (m.group(1),)
+    if path == "recon":
+        return "recon_layer"
+    raise KeyError(path)
+
+
+def _exp_msrr_test(path: str):
+    m = re.match(r"res_block_(\d+)/conv([12])$", path)
+    if m:
+        return "recon_trunk.%s.conv%s" % (m.group(1), m.group(2))
+    if path in ("conv_first", "upconv1", "upconv2", "HRconv", "conv_last"):
+        return path
+    raise KeyError(path)
+
+
+def _exp_dwsr(path: str):
+    m = re.match(r"res_block_(\d+)/(dw1|pw1|dw2|pw2)$", path)
+    if m:
+        body = {"dw1": 0, "pw1": 1, "dw2": 3, "pw2": 4}[m.group(2)]
+        return "res_blocks.%s.body.%d" % (m.group(1), body)
+    if path == "first_conv":
+        return path
+    raise KeyError(path)
+
+
+EXPORT_RULES = {
+    "edsr": _exp_edsr,
+    "edsr_loss": _exp_edsr,
+    "ebrn": _exp_ebrn,
+    "msrr_test": _exp_msrr_test,
+    "dwsr_reduced": _exp_dwsr,
+    "mamnet": _exp_mamnet,
+    "msrr": _exp_msrr,
+    "ebrn_rm": _exp_ebrn_rm,
+    "hrsr": _exp_hrsr,
+    "hrsr_": _exp_hrsr,
+    "hrsr_c3": _exp_hrsr,
+    "REGO-Net": _make_exp_rego(serial=False),
+    "REGO-serial": _make_exp_rego(serial=True),
+    "LarvaNet": _exp_larvanet,
+    "LarvaNetV2": _exp_larvanet,
+    "LarvaLeg": _exp_larvanet,
+    "LarvaLegV2": _exp_larvanet,
+    "LarvaNet_0c": _exp_larvanet,
+    "LarvaNet_1c": _exp_larvanet,
+    "LarvaNet_4c": _exp_larvanet,
+    "LarvaNet_skip": _exp_larvanet,
+    "LarvaNet_res": _exp_larvanet,
+    "msrr_reduced": _exp_msrr_reduced,
+    "msrr_reduced_def_init": _exp_msrr_reduced,
+    "msrr_reduced_NI": _exp_msrr_reduced,
+    "msrr_reduced_linear": _exp_msrr_reduced,
+    "msrr_reduced_relu6": _exp_msrr_reduced,
+    "msrr_reduced_leaky": _exp_msrr_reduced,
+    "msrr_reduced_meanshift": _exp_msrr_reduced,
+    "imdn_aim2019": _exp_imdn,
+    "TreeNet": _exp_treenet,
+}
+
+# Reference modules whose state dicts carry MeanShift parameters (grep of
+# /root/reference/models: self.mean_shift at edsr.py:181, mamnet.py:200,
+# imdn_aim2019.py:195, msrr.py:218, msrr_reduced_meanshift.py:179,
+# ebrn.py:189, ebrn_rm.py:178, REGO-Net.py:175 / REGO-serial.py:195 —
+# the REGOs have no inverse shift). The reference constructor bug
+# (edsr.py:132-133 assigns `weight_data`, never `weight.data`) leaves
+# those convs RANDOM at construction; since the reference restore sets
+# them from the checkpoint, we export the INTENDED identity+bias so the
+# deployed torch model computes the same function this framework trained.
+_RGB_MEAN = (114.4, 111.5, 103.0)
+_MEANSHIFT_BOTH = {"edsr", "edsr_loss", "mamnet", "imdn_aim2019", "msrr",
+                   "msrr_reduced_meanshift", "ebrn", "ebrn_rm"}
+_MEANSHIFT_FWD_ONLY = {"REGO-Net", "REGO-serial"}
+
+
+def _meanshift_entries(model_name: str) -> Dict[str, np.ndarray]:
+    names = []
+    if model_name in _MEANSHIFT_BOTH:
+        names = [("mean_shift", 1.0), ("mean_inverse_shift", -1.0)]
+    elif model_name in _MEANSHIFT_FWD_ONLY:
+        names = [("mean_shift", 1.0)]
+    out = {}
+    for name, sign in names:
+        out[name + ".weight"] = np.eye(3, dtype=np.float32).reshape(3, 3, 1, 1)
+        out[name + ".bias"] = sign * np.asarray(_RGB_MEAN, dtype=np.float32)
+    return out
+
+
+def _flatten_param_groups(params: Dict, prefix: str = ""):
+    """Yield (path, leaves) for each dict holding kernel/bias/slope arrays."""
+    if any(k in params for k in ("kernel", "slope")):
+        yield prefix, params
+        return
+    for key, val in params.items():
+        sub = prefix + "/" + str(key) if prefix else str(key)
+        if isinstance(val, dict) or hasattr(val, "items"):
+            yield from _flatten_param_groups(dict(val), sub)
+        else:
+            raise KeyError("unexpected bare leaf at %s" % sub)
+
+
+def export_state_dict(params: Dict, model_name: str) -> Dict[str, np.ndarray]:
+    """flax param dict -> reference torch state_dict (numpy values).
+
+    Key-complete for the reference's strict `load_state_dict`, including
+    synthesized MeanShift entries. Raises KeyError on any param path the
+    family's export rules cannot place (loud, like convert_state_dict).
+    """
+    rules = EXPORT_RULES[model_name]
+    state: Dict[str, np.ndarray] = {}
+    for path, leaves in _flatten_param_groups(dict(params)):
+        spec = rules(path)
+        stem, kind = spec if isinstance(spec, tuple) else (spec, "conv")
+        if kind == "convT":
+            tensors = _inv_conv_transpose(leaves)
+        elif kind == "prelu":
+            tensors = _inv_prelu(leaves)
+        else:
+            tensors = _inv_conv(leaves)
+        for suffix, value in tensors.items():
+            state[stem + "." + suffix] = value
+    state.update(_meanshift_entries(model_name))
+    if model_name == "ebrn":
+        _synthesize_dead_brm(state)
+    return state
+
+
+def _synthesize_dead_brm(state: Dict[str, np.ndarray]) -> None:
+    """Full EBRN: the reference's LAST BRM is built with back_project=False
+    yet its constructor still creates down_block + bp_flow (reference
+    models/ebrn.py:156-166); forward (:171-176) never touches them, but
+    strict load_state_dict demands the keys. Our model rightly owns no
+    such params — synthesize zero-valued dead entries."""
+    n = 1 + max(int(re.match(r"brms\.(\d+)\.", k).group(1))
+                for k in state if k.startswith("brms."))
+    last = "brms.%d." % (n - 1)
+    if last + "down_block.weight" in state:
+        return  # params already carried them (e.g. converted-from-reference)
+    up = state[last + "up_block.weight"]  # ConvTranspose (C, C, kH, kW)
+    c, k = up.shape[0], up.shape[2]
+    state[last + "down_block.weight"] = np.zeros((c, c, k, k), np.float32)
+    state[last + "down_block.bias"] = np.zeros((c,), np.float32)
+    for i in (0, 2, 4):
+        state[last + "bp_flow.%d.weight" % i] = np.zeros((c, c, 3, 3), np.float32)
+        state[last + "bp_flow.%d.bias" % i] = np.zeros((c,), np.float32)
+    for i in (1, 3, 5):
+        state[last + "bp_flow.%d.weight" % i] = np.full((c,), 0.25, np.float32)
+
+
+def save_pth(params: Dict, model_name: str, path: str) -> str:
+    """Write a reference-loadable .pth checkpoint from flax params."""
+    import torch
+
+    # np.array(copy=True): from_numpy refuses non-writable views (jax
+    # arrays expose read-only buffers)
+    state = {k: torch.from_numpy(np.array(v))
+             for k, v in export_state_dict(params, model_name).items()}
+    torch.save(state, path)
+    return path
