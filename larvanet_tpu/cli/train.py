@@ -38,6 +38,10 @@ def main(argv=None):
                         help="Orbax-backed checkpoint directories (tensorstore per-leaf "
                              "storage; multi-host coordinated under jax.distributed; "
                              "combines with --async_checkpoint; restore auto-detects).")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="Accumulate gradients over N equal microbatches inside one "
+                             "jit (lax.scan): full-batch mean gradient at batch/N peak "
+                             "activation memory. batch_size must be divisible by N.")
     parser.add_argument("--max_steps", type=int, default=300000,
                         help="The maximum number of training steps.")
     parser.add_argument("--log_freq", type=int, default=10,
@@ -69,6 +73,7 @@ def main(argv=None):
     )
     model.async_checkpoints = bool(args.async_checkpoint)
     model.orbax_checkpoints = bool(args.orbax_checkpoint)
+    model.grad_accum = args.grad_accum
     common.warn_leftovers(remaining)
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path

@@ -58,6 +58,9 @@ def main(argv=None):
                         help="Orbax-backed checkpoint directories (tensorstore per-leaf "
                              "storage; multi-host coordinated under jax.distributed; "
                              "combines with --async_checkpoint; restore auto-detects).")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="Accumulate gradients over N equal microbatches inside one "
+                             "jit (lax.scan); batch_size must be divisible by N.")
     parser.add_argument("--max_steps", type=int, default=0,
                         help="Stop after this many steps (0 = run until interrupted, like the reference).")
     parser.add_argument("--log_freq", type=int, default=10,
@@ -93,6 +96,7 @@ def main(argv=None):
     )
     model.async_checkpoints = bool(args.async_checkpoint)
     model.orbax_checkpoints = bool(args.orbax_checkpoint)
+    model.grad_accum = args.grad_accum
     common.warn_leftovers(remaining)
     model.volume_per_step = args.input_patch_size ** 2 * args.batch_size * 3
 

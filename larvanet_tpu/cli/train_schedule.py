@@ -50,6 +50,8 @@ def main(argv=None):
                         help="Write checkpoints on a background thread.")
     parser.add_argument("--orbax_checkpoint", type=int, default=0,
                         help="Orbax-backed checkpoint directories (restore auto-detects).")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="Accumulate gradients over N equal microbatches inside one jit.")
     parser.add_argument("--max_steps", type=int, default=300000)
     parser.add_argument("--log_freq", type=int, default=10)
     parser.add_argument("--summary_freq", type=int, default=1000)
@@ -81,6 +83,7 @@ def main(argv=None):
     )
     model.async_checkpoints = bool(args.async_checkpoint)
     model.orbax_checkpoints = bool(args.orbax_checkpoint)
+    model.grad_accum = args.grad_accum
     common.warn_leftovers(remaining)
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path

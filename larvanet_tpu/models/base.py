@@ -153,11 +153,42 @@ class SRModel:
         return self.loss(out, targets)
 
     def _train_step_impl(self, params, opt_state, lr, inputs, targets):
-        loss, grads = jax.value_and_grad(self._compute_loss)(params, inputs, targets)
+        accum = int(getattr(self, "grad_accum", 1) or 1)
+        if accum > 1:
+            loss, grads = self._accumulated_grads(params, inputs, targets, accum)
+        else:
+            loss, grads = jax.value_and_grad(self._compute_loss)(params, inputs, targets)
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def _accumulated_grads(self, params, inputs, targets, accum: int):
+        """Gradient accumulation (`--grad_accum`): a lax.scan over equal
+        microbatches inside the SAME jit — peak activation memory scales
+        with batch/accum while the optimizer sees the full-batch mean
+        gradient. Exact for mean-reduction losses (every family's):
+        mean-of-equal-microbatch-means == full-batch mean. The reference
+        has no equivalent (it would need torch-side loss.backward()
+        accumulation); on TPU this is the lever for reference-scale or
+        larger effective batches on a single chip's HBM."""
+        if inputs.shape[0] % accum:
+            raise ValueError(
+                "batch size %d is not divisible by --grad_accum %d"
+                % (inputs.shape[0], accum))
+        mb = inputs.shape[0] // accum
+        xs = (inputs.reshape(accum, mb, *inputs.shape[1:]),
+              targets.reshape(accum, mb, *targets.shape[1:]))
+
+        def body(carry, xt):
+            loss, grads = jax.value_and_grad(self._compute_loss)(params, xt[0], xt[1])
+            return (carry[0] + loss,
+                    jax.tree_util.tree_map(jnp.add, carry[1], grads)), None
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (loss_sum, grad_sum), _ = jax.lax.scan(body, (jnp.zeros(()), zero), xs)
+        inv = 1.0 / accum
+        return loss_sum * inv, jax.tree_util.tree_map(lambda g: g * inv, grad_sum)
 
     def get_learning_rate(self) -> float:
         raise NotImplementedError
