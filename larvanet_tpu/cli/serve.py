@@ -1,0 +1,249 @@
+"""Production serving: a persistent HTTP SR server over the TPU fast path.
+
+The reference's deployment story ends at batch scripts (get_sr.py reads
+a directory and exits, paying model build + first-compile per run); for
+production serving the expensive parts — checkpoint restore, packed/
+collapsed/int8 graph builds, XLA compiles — must be paid ONCE, then
+amortized over requests. This server does that with only stdlib HTTP:
+
+    python -m larvanet_tpu.cli.serve --model edsr --restore_path ckpt \
+        --port 8080 [--tile_forward --int8_trunk 1 --dp_devices N]
+
+Endpoints:
+    GET  /healthz   -> 200 "ok" once warmup compile has finished
+    GET  /info      -> JSON: model, scale, enabled fast paths, request
+                       count + mean device latency
+    POST /upscale   -> PNG body in, SR PNG out (the same forward routing
+                       as cli/get_sr.py:100-105: chop / tiled / direct)
+
+Concurrency: ThreadingHTTPServer; PNG decode/encode run concurrently,
+the device forward is serialized by a lock (one accelerator). Large or
+variable frame sizes should use --tile_forward so every request reuses
+the single compiled tile shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io as _stdio
+import json
+import threading
+import time
+
+import numpy as np
+
+from larvanet_tpu.cli import common
+from larvanet_tpu.data import io
+from larvanet_tpu.eval.tiling import TiledUpscaler, upscale_with_chop_forward
+
+
+class SRService:
+    """Checkpoint-loaded model + routed forward, shared by HTTP threads."""
+
+    def __init__(self, model, scale: int, mode: str, tiler=None,
+                 chop_overlap: int = 20):
+        self.model = model
+        self.scale = scale
+        self.mode = mode  # "direct" | "tile" | "chop"
+        self.tiler = tiler
+        self.chop_overlap = chop_overlap
+        self._lock = threading.Lock()
+        self.num_requests = 0
+        self.total_device_s = 0.0
+        self.ready = False
+
+    def upscale_chw(self, img_chw: np.ndarray) -> np.ndarray:
+        with self._lock:
+            t0 = time.perf_counter()
+            if self.mode == "chop":
+                out = upscale_with_chop_forward(
+                    self.model, img_chw, self.scale, self.chop_overlap)
+            elif self.mode == "tile":
+                out = self.tiler.upscale_chw(img_chw)
+            else:
+                out = self.model.upscale(input_list=[img_chw], scale=self.scale)[0]
+            self.total_device_s += time.perf_counter() - t0
+            self.num_requests += 1
+            return out
+
+    def warmup(self, height: int, width: int) -> None:
+        """Pay the XLA compile before accepting traffic."""
+        dummy = np.zeros((3, height, width), np.float32)
+        self.upscale_chw(dummy)
+        self.num_requests = 0
+        self.total_device_s = 0.0
+        self.ready = True
+
+    def info(self) -> dict:
+        mean_s = self.total_device_s / self.num_requests if self.num_requests else 0.0
+        return {
+            "model": self.model.registry_name,
+            "scale": self.scale,
+            "mode": self.mode,
+            "ready": self.ready,
+            "num_requests": self.num_requests,
+            "mean_device_seconds": round(mean_s, 6),
+        }
+
+
+def png_to_chw(data: bytes) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(_stdio.BytesIO(data)) as im:
+        arr = np.asarray(im.convert("RGB"), np.float32)
+    return arr.transpose(2, 0, 1)
+
+
+def chw_to_png(img_chw: np.ndarray) -> bytes:
+    from PIL import Image
+
+    arr = np.clip(np.round(img_chw.transpose(1, 2, 0)), 0, 255).astype(np.uint8)
+    buf = _stdio.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_server(service: SRService, host: str, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                if service.ready:
+                    self._send(200, b"ok", "text/plain")
+                else:
+                    self._send(503, b"warming up", "text/plain")
+            elif self.path == "/info":
+                self._send(200, json.dumps(service.info()).encode(),
+                           "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path.rstrip("/") != "/upscale":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                img = png_to_chw(self.rfile.read(length))
+                out = service.upscale_chw(img)
+                self._send(200, chw_to_png(out), "image/png")
+            except Exception as exc:  # malformed input must not kill the server
+                self._send(400, ("bad request: %s" % exc).encode(), "text/plain")
+
+        def log_message(self, fmt, *a):  # quiet per-request stderr spam
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def build_service(args, remaining) -> SRService:
+    """Model + fast-path routing identical to cli/get_sr.py:60-94."""
+    scale_list = common.scales_of(args)
+    scale = scale_list[0]
+    model, _, remaining = common.setup_model(
+        args.model, remaining, scale_list, is_training=False)
+    common.warn_leftovers(remaining)
+    model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+    print("restored the model")
+    common.maybe_collapse_tail(model, args)
+
+    if getattr(args, "int8_trunk", 0):
+        if args.int8_calib_path:
+            names = io.list_pngs(args.int8_calib_path)[:4]
+            calib = [io.load_image_chw(
+                "%s/%s.png" % (args.int8_calib_path, n)).transpose(1, 2, 0)
+                for n in names]
+            h = min(a.shape[0] for a in calib)
+            w = min(a.shape[1] for a in calib)
+            batch = np.stack([a[:h, :w] for a in calib])
+            common.maybe_int8_trunk(model, args, lambda: batch)
+        else:
+            print("WARNING: --int8_trunk without --int8_calib_path calibrates "
+                  "on noise; pass a directory of representative PNGs")
+            rng = np.random.default_rng(0)
+            common.maybe_int8_trunk(
+                model, args,
+                lambda: rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32))
+    common.maybe_spatial_shard(model, args, scale)
+
+    if args.dp_devices > 1:
+        import jax
+
+        from larvanet_tpu.parallel.mesh import make_mesh, use_data_parallel_eval
+
+        mesh = make_mesh((args.dp_devices,), ("data",),
+                         devices=jax.devices()[: args.dp_devices])
+        use_data_parallel_eval(model, mesh)
+        print("serving: tile batches sharded over %d devices" % (args.dp_devices,))
+
+    tiler = None
+    mode = "direct"
+    if args.chop_forward:
+        mode = "chop"
+    elif args.tile_forward:
+        mode = "tile"
+        tiler = TiledUpscaler(
+            lambda batch: model.fwd_runtime(np.asarray(batch, np.float32)),
+            scale=scale, tile_size=args.tile_size, overlap=args.tile_overlap,
+            min_batch=max(1, args.dp_devices),
+        )
+    return SRService(model, scale, mode, tiler=tiler,
+                     chop_overlap=args.chop_overlap_size)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, default="edsr", help="Name of the model.")
+    parser.add_argument("--scales", type=str, default="4")
+    parser.add_argument("--cuda_device", type=str, default="-1",
+                        help="Accepted for reference-CLI parity; ignored.")
+    parser.add_argument("--restore_path", type=str, required=True)
+    parser.add_argument("--restore_target", type=str)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080,
+                        help="0 picks an ephemeral port (printed at startup).")
+    parser.add_argument("--warmup_size", type=str, default="128x128",
+                        help="WxH compiled + executed before serving traffic.")
+    parser.add_argument("--chop_forward", action="store_true")
+    parser.add_argument("--chop_overlap_size", type=int, default=20)
+    parser.add_argument("--tile_forward", action="store_true",
+                        help="Batched fixed-shape tiles: one compile serves every frame size.")
+    parser.add_argument("--tile_size", type=int, default=128)
+    parser.add_argument("--tile_overlap", type=int, default=24)
+    parser.add_argument("--spatial_shard", type=int, default=0)
+    parser.add_argument("--spatial_halo", type=int, default=32)
+    parser.add_argument("--collapsed_tail", type=int, default=1)
+    parser.add_argument("--packed_trunk", type=int, default=1)
+    parser.add_argument("--int8_trunk", type=int, default=0)
+    parser.add_argument("--int8_calib_path", type=str, default=None,
+                        help="Directory of PNGs for int8 calibration.")
+    parser.add_argument("--dp_devices", type=int, default=0)
+    args, remaining = parser.parse_known_args(argv)
+
+    service = build_service(args, remaining)
+    w, h = (int(v) for v in args.warmup_size.split("x"))
+    print("warmup %dx%d (compiling)..." % (w, h))
+    service.warmup(h, w)
+    print("ready")
+
+    httpd = make_server(service, args.host, args.port)
+    print("serving %s on http://%s:%d" % (
+        args.model, httpd.server_address[0], httpd.server_address[1]))
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""HTTP serving surface (cli/serve.py): routed forward behind a
+persistent stdlib server. Pins: healthz gating, /info counters, PNG
+round-trip equality with the direct model.upscale path, tiled mode on
+odd frame sizes, and malformed-input resilience."""
+
+import argparse
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+from larvanet_tpu.core.registry import get_model
+from larvanet_tpu.cli import serve
+
+
+TINY = ["--edsr_res_blocks", "1", "--edsr_conv_features", "8"]
+
+
+def _ckpt(tmp_path):
+    m = get_model("edsr")
+    m.parse_args(list(TINY))
+    m.prepare(is_training=True, scales=[4])
+    m.global_step = 5
+    return m, m.save(str(tmp_path))
+
+
+def _args(ckpt, **over):
+    base = dict(model="edsr", scales="4", restore_path=ckpt, restore_target=None,
+                chop_forward=False, chop_overlap_size=20, tile_forward=False,
+                tile_size=32, tile_overlap=8, spatial_shard=0, spatial_halo=32,
+                collapsed_tail=1, packed_trunk=1, int8_trunk=0,
+                int8_calib_path=None, dp_devices=0)
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    model, ckpt = _ckpt(tmp)
+    service = serve.build_service(_args(ckpt), list(TINY))
+    httpd = serve.make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = "http://127.0.0.1:%d" % httpd.server_address[1]
+    yield service, httpd, url, model
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def _post(url, data):
+    req = urllib.request.Request(url, data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_healthz_gates_on_warmup(server):
+    service, _, url, _ = server
+    code, body = _get(url + "/healthz")
+    assert (code, body) == (503, b"warming up")
+    service.warmup(8, 8)
+    code, body = _get(url + "/healthz")
+    assert (code, body) == (200, b"ok")
+
+
+def test_upscale_matches_direct_path(server):
+    service, _, url, model = server
+    service.ready or service.warmup(8, 8)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (3, 9, 11)).astype(np.float32)
+    png = serve.chw_to_png(img)
+
+    code, body = _post(url + "/upscale", png)
+    assert code == 200
+    out = serve.png_to_chw(body)
+    assert out.shape == (3, 36, 44)
+
+    # the server's answer must equal the library path on the SAME decoded
+    # pixels (encode/decode quantizes the input once on both sides)
+    direct = model.upscale([serve.png_to_chw(png)], scale=4)[0]
+    np.testing.assert_array_equal(out, np.clip(np.round(direct), 0, 255))
+
+
+def test_info_counts_requests(server):
+    service, _, url, _ = server
+    before = service.num_requests
+    code, body = _get(url + "/info")
+    assert code == 200
+    info = json.loads(body)
+    assert info["model"] == "edsr"
+    assert info["scale"] == 4
+    assert info["num_requests"] == before
+
+
+def test_malformed_input_is_400_and_survives(server):
+    service, _, url, _ = server
+    code, body = _post(url + "/upscale", b"this is not a png")
+    assert code == 400 and b"bad request" in body
+    code, _ = _get(url + "/healthz")
+    assert code == 200  # server alive
+
+
+def test_unknown_path_404(server):
+    _, _, url, _ = server
+    assert _get(url + "/nope")[0] == 404
+    assert _post(url + "/nope", b"x")[0] == 404
+
+
+def test_tiled_mode_on_odd_frames(tmp_path):
+    _, ckpt = _ckpt(tmp_path)
+    service = serve.build_service(
+        _args(ckpt, tile_forward=True), list(TINY))
+    service.warmup(16, 16)
+    httpd = serve.make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = "http://127.0.0.1:%d" % httpd.server_address[1]
+    try:
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 255, (3, 37, 41)).astype(np.float32)
+        code, body = _post(url + "/upscale", serve.chw_to_png(img))
+        assert code == 200
+        assert serve.png_to_chw(body).shape == (3, 148, 164)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
