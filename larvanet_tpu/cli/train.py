@@ -106,6 +106,7 @@ def main(argv=None):
 
             scale = model.get_next_train_scale()
             summary = summary_writers[scale] if (local_step % args.summary_freq == 0) else None
+            dataloader.reseed_for_step(model.global_step)  # exact-resume stream
             input_list, truth_list = dataloader.get_patch_batch(
                 batch_size=args.batch_size, scale=scale, input_patch_size=args.input_patch_size
             )
@@ -149,12 +150,14 @@ def _train_device_pipeline(args, dataloader, model, scale):
         model, pipe, batch_size=args.batch_size, patch=args.input_patch_size,
         steps_per_call=args.device_pipeline,
     )
-    key = jax.random.PRNGKey(model.global_step)
+    # stateless chunk keys: fold_in(base, global_step) makes a resumed run
+    # reproduce the uninterrupted run's sample stream exactly
+    base_key = jax.random.PRNGKey(getattr(dataloader.args, "data_seed", None) or 0)
     import time as _time
 
     while model.global_step < args.max_steps:
         t0 = _time.time()
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(base_key, model.global_step)
         lr = model.get_learning_rate()
         model.params, model.opt_state, loss = chunk(model.params, model.opt_state, lr, sub)
         model.global_step += args.device_pipeline

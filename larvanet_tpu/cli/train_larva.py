@@ -135,6 +135,7 @@ def main(argv=None):
             if threaded:
                 inputs, truths = dataloader.get_queue_data(scale)
             else:
+                dataloader.reseed_for_step(model.global_step)  # exact-resume stream
                 inputs, truths = dataloader.get_patch_batch_nhwc(
                     args.batch_size, scale, args.input_patch_size
                 )
@@ -194,7 +195,8 @@ def _train_larva_device(args, dataloader, val_loader, model, scale, threaded, su
                 patch=args.input_patch_size, steps_per_call=n_steps)
         return chunk_fns[n_steps](model.params, model.opt_state, lr, key)
 
-    key = jax.random.PRNGKey(model.global_step)
+    # stateless chunk keys -> exact-resume sample stream
+    base_key = jax.random.PRNGKey(getattr(dataloader.args, "data_seed", None) or 0)
     if model.global_step == 0 and val_loader is not None:
         model.validate_for_train(args, val_loader)
     while True:
@@ -202,7 +204,7 @@ def _train_larva_device(args, dataloader, val_loader, model, scale, threaded, su
             (model.args.val_volume - model.temp_volume) / model.volume_per_step))
         n = min(args.device_pipeline, steps_to_val)
         t0 = time.time()
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(base_key, model.global_step)
         model.params, model.opt_state, loss = run_chunk(n, sub, model.get_learning_rate())
         model.global_step += n
         model.temp_volume += n * model.volume_per_step

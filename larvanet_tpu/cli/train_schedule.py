@@ -120,6 +120,7 @@ def main(argv=None):
             if getattr(dataloader, "is_threaded", False):
                 inputs, truths = dataloader.get_queue_data(scale)
             else:
+                dataloader.reseed_for_step(model.global_step)  # exact-resume stream
                 inputs, truths = dataloader.get_patch_batch(
                     args.batch_size, scale, args.input_patch_size)
             use_summary = summary if model.global_step % args.summary_freq == 0 else None
@@ -210,13 +211,14 @@ def _train_schedule_device(args, dataloader, val_loader, model, scale,
                 patch=args.input_patch_size, steps_per_call=n_steps)
         return chunk_fns[n_steps](model.params, model.opt_state, lr, key)
 
-    key = jax.random.PRNGKey(model.global_step)
+    # stateless chunk keys -> exact-resume sample stream
+    base_key = jax.random.PRNGKey(getattr(dataloader.args, "data_seed", None) or 0)
     while model.global_step < args.max_steps:
         to_val = val_every - (model.global_step % val_every) or val_every
         n = max(1, min(args.device_pipeline, to_val,
                        args.max_steps - model.global_step))
         t0 = time.time()
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(base_key, model.global_step)
         model.params, model.opt_state, loss = run_chunk(
             n, sub, model.get_learning_rate())
         model.global_step += n

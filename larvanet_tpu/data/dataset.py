@@ -154,6 +154,16 @@ class PairDataset:
             trs[i] = tp
         return ins, trs
 
+    def reseed_for_step(self, step: int) -> None:
+        """Stateless re-key: numpy stream from SeedSequence((seed, step)),
+        native batchers seek their (seed + step) counter — both make
+        resume-at-step-N draw exactly what an uninterrupted run would."""
+        if self.seed is None:
+            return
+        self.rng = np.random.default_rng((self.seed, step))
+        for nb in self._native_batchers.values():
+            nb.seek(step)
+
     def _native_batcher(self, scale: int):
         """Build (once) a native batch assembler over the full uint8 cache."""
         if not self.use_native or not self.cached:

@@ -63,6 +63,13 @@ class BaseLoader:
     def get_image_pair(self, image_index, scale):
         raise NotImplementedError
 
+    def reseed_for_step(self, step: int) -> None:
+        """Re-key the sampling RNG to (data_seed, step) so a resumed run
+        draws the SAME batch stream an uninterrupted run would — exact
+        train-resume reproducibility (no reference analog: its loaders
+        consume the global numpy RNG, base contract dataloaders/base.py).
+        No-op when unseeded or when prefetch threads own the stream."""
+
     def start_training_queue_runner(self, batch_size, input_patch_size):
         raise NotImplementedError
 
@@ -133,6 +140,11 @@ class PairLoader(BaseLoader):
     def get_patch_batch_nhwc(self, batch_size, scale, input_patch_size):
         """Device-ready NHWC float32 batch (TPU fast path)."""
         return self.dataset.patch_batch_nhwc(batch_size, scale, input_patch_size)
+
+    def reseed_for_step(self, step: int) -> None:
+        if self.is_threaded or self.args.data_seed is None or self.dataset is None:
+            return  # prefetch workers own their streams; unseeded = entropy
+        self.dataset.reseed_for_step(step)
 
     def get_random_image_patch_pair(self, scale, input_patch_size):
         ip, tp = self.dataset.random_patch_pair_u8(scale, input_patch_size)

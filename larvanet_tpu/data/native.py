@@ -122,6 +122,11 @@ class NativeBatcher:
         self._dims = (ctypes.c_int * (2 * n))(*dims)
         self._n = n
 
+    def seek(self, step: int) -> None:
+        """Jump the per-batch counter (each batch() call hashes
+        seed + step, so sampling is stateless in the counter)."""
+        self._step = int(step)
+
     def batch(self, batch_size: int, patch: int) -> Tuple[np.ndarray, np.ndarray]:
         out_lr = np.empty((batch_size, patch, patch, 3), np.float32)
         hp = patch * self.scale
