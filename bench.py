@@ -63,8 +63,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from larvanet_tpu.cli.common import enable_compile_cache
     from larvanet_tpu.core.registry import get_model
 
+    enable_compile_cache()  # reuse serving-graph compiles across runs
     dev = jax.devices()[0]
     log("device:", dev)
 
