@@ -39,6 +39,27 @@ from flax import serialization
 from larvanet_tpu.train.losses import l1_loss, multi_exit_l1, robust_sqrt_loss  # noqa: F401
 
 
+def add_qat_flag(parser):
+    """--qat for every family with an int8 (W8A8) serving path: train
+    through ops/packed_trunk.qat_pair (straight-through fake-quant of
+    the packed conv pairs with the EXACT int8 serving scheme — same
+    per-output-channel weight scales, same 1.05*max activation headroom)
+    so --int8_trunk serving costs ~0 dB instead of the measured
+    -0.01..-0.04 dB post-training deltas (INT8_REPORT.json). Requires
+    --packed_trunk and an even patch width."""
+    parser.add_argument("--qat", type=int, default=0,
+                        help="Quantization-aware training: fake-quantize the "
+                             "packed conv pairs with the int8 serving scheme "
+                             "(STE) so --int8_trunk serving costs ~0 dB. "
+                             "Requires --packed_trunk + even patch width.")
+
+
+def qat_requested(model) -> bool:
+    """True when the model was configured with --qat 1 (training-graph
+    routing helper for the packed mixins)."""
+    return bool(getattr(getattr(model, "args", None), "qat", 0))
+
+
 def chw_list_to_nhwc(images) -> jnp.ndarray:
     """Host image batch -> NHWC float32 device array.
 
@@ -125,6 +146,13 @@ class SRModel:
             raise ValueError("Only one scale should be provided.")
         self.scale = self.scale_list[0]
         self.is_training = is_training
+        _args = getattr(self, "args", None)
+        if (is_training and getattr(_args, "qat", 0)
+                and not getattr(_args, "packed_trunk", 0)):
+            raise ValueError(
+                "--qat 1 requires --packed_trunk 1: QAT fake-quantizes the "
+                "packed conv pairs the int8 serving path runs "
+                "(ops/packed_trunk.qat_pair)")
 
         self.module = self.build_module()
         init_rng = jax.random.PRNGKey(seed)

@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from larvanet_tpu.core.config import parse_known
 from larvanet_tpu.core.registry import register_model
-from larvanet_tpu.models.base import SRModel, l1_loss
+from larvanet_tpu.models.base import SRModel, add_qat_flag, l1_loss, qat_requested
 from larvanet_tpu.models.layers import (
     ConvTranspose2dTorch,
     MeanShift,
@@ -172,6 +172,7 @@ class _EBRNBase(SRModel):
                                  "every up/down-projection boundary outweigh the conv win "
                                  "on EBRN's huge HR tensors; BASELINE.md negative result). "
                                  "Kept opt-in.")
+        add_qat_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -197,14 +198,16 @@ class _EBRNRMPackedMixin:
 
     def prepare(self, is_training, scales, global_step=0, seed=0):
         self._packed_cache = None
+        self._qat_cache = None
         super().prepare(is_training, scales, global_step=global_step, seed=seed)
 
-    def _packed_fwd(self):
-        if getattr(self, "_packed_cache", None) is None:
+    def _packed_fwd(self, qat=False):
+        attr = "_qat_cache" if qat else "_packed_cache"
+        if getattr(self, attr, None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_rm_forward
 
-            self._packed_cache = make_packed_ebrn_rm_forward(self)
-        return self._packed_cache
+            setattr(self, attr, make_packed_ebrn_rm_forward(self, qat=qat))
+        return getattr(self, attr)
 
     def _forward_impl(self, params, x):
         if getattr(self.args, "packed_trunk", 0):
@@ -213,7 +216,8 @@ class _EBRNRMPackedMixin:
 
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
-            return self.loss(self._packed_fwd()(params, inputs), targets)
+            fwd = self._packed_fwd(qat=qat_requested(self))
+            return self.loss(fwd(params, inputs), targets)
         return super()._compute_loss(params, inputs, targets)
 
 
@@ -240,6 +244,9 @@ class _EBRNPackedMixin:
         return super()._forward_impl(params, x)
 
     def _compute_loss(self, params, inputs, targets):
+        if qat_requested(self):
+            raise ValueError("--qat applies to the ebrn_rm variants (full "
+                             "EBRN has no int8 serving path)")
         if getattr(self.args, "packed_full_ebrn", 0) and inputs.shape[2] % 2 == 0:
             return self.loss(self._packed_fwd()(params, inputs), targets)
         return super()._compute_loss(params, inputs, targets)

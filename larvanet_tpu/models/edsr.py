@@ -21,7 +21,13 @@ from flax import linen as nn
 
 from larvanet_tpu.core.registry import register_model
 from larvanet_tpu.core.config import parse_known
-from larvanet_tpu.models.base import SRModel, l1_loss, robust_sqrt_loss
+from larvanet_tpu.models.base import (
+    SRModel,
+    add_qat_flag,
+    l1_loss,
+    qat_requested,
+    robust_sqrt_loss,
+)
 from larvanet_tpu.models.layers import (
     MeanShift,
     ResBlock,
@@ -78,6 +84,7 @@ class EDSR(SRModel):
                                  "equivalent, removes the 256-ch PixelShuffle transposes "
                                  "from fwd+bwd; ops/packed_trunk.py). Requires "
                                  "--packed_trunk. 0 = plain live tail.")
+        add_qat_flag(parser)
         parser.add_argument("--train_dtype", type=str, default="f32",
                             choices=["f32", "bf16"],
                             help="Compute dtype of the training graph. bf16 = mixed "
@@ -105,7 +112,8 @@ class EDSR(SRModel):
                 builder = (make_packed_collapsed_edsr_train_forward
                            if getattr(self.args, "collapsed_tail_train", 0)
                            else make_packed_edsr_train_forward)
-                self._packed_train = builder(self, dtype=self._train_compute_dtype())
+                self._packed_train = builder(self, dtype=self._train_compute_dtype(),
+                                             qat=qat_requested(self))
             # bf16 out - f32 targets promotes: the loss reduction stays f32
             return self.loss(self._packed_train(params, inputs), targets)
         return super()._compute_loss(params, inputs, targets)

@@ -38,7 +38,13 @@ from flax import linen as nn
 
 from larvanet_tpu.core.config import parse_known
 from larvanet_tpu.core.registry import register_model
-from larvanet_tpu.models.base import SRModel, chw_list_to_nhwc, l1_loss
+from larvanet_tpu.models.base import (
+    SRModel,
+    add_qat_flag,
+    chw_list_to_nhwc,
+    l1_loss,
+    qat_requested,
+)
 from larvanet_tpu.models.layers import (
     ResBlock,
     conv3x3,
@@ -233,6 +239,7 @@ class LarvaNetBase(SRModel):
                             help="Width-packed trunk for training and inference "
                                  "(exact reparametrization, ~2x per conv on TPU; "
                                  "ops/packed_trunk.py). 0 = plain module graph.")
+        add_qat_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -287,7 +294,8 @@ class LarvaNetBase(SRModel):
             if getattr(self, "_packed_all", None) is None:
                 from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
 
-                self._packed_all = make_packed_larvanet_forward(self, all_exits=True)
+                self._packed_all = make_packed_larvanet_forward(
+                    self, all_exits=True, qat=qat_requested(self))
             return self._packed_all(params, inputs)
         return self.module.apply({"params": params}, inputs, exits="all")
 

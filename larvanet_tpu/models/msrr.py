@@ -36,7 +36,7 @@ from flax import linen as nn
 
 from larvanet_tpu.core.config import parse_known
 from larvanet_tpu.core.registry import register_model
-from larvanet_tpu.models.base import SRModel, l1_loss
+from larvanet_tpu.models.base import SRModel, add_qat_flag, l1_loss, qat_requested
 from larvanet_tpu.models.layers import (
     DepthwiseSeparableResBlock,
     MeanShift,
@@ -160,18 +160,20 @@ class _PackedTrunkMixin:
     --packed_trunk (default 1). Exact reparametrization (ops/
     packed_trunk.py); depthwise configs fall back to the plain graph."""
 
-    def _packed_fwd(self):
-        if getattr(self, "_packed_cache", None) is None:
+    def _packed_fwd(self, qat=False):
+        attr = "_qat_cache" if qat else "_packed_cache"
+        if getattr(self, attr, None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_msrr_forward
 
             try:
-                self._packed_cache = make_packed_msrr_forward(self)
+                setattr(self, attr, make_packed_msrr_forward(self, qat=qat))
             except ValueError:
-                self._packed_cache = False
-        return self._packed_cache or None
+                setattr(self, attr, False)
+        return getattr(self, attr) or None
 
     def prepare(self, is_training, scales, global_step=0, seed=0):
         self._packed_cache = None
+        self._qat_cache = None
         super().prepare(is_training, scales, global_step=global_step, seed=seed)
 
     def _forward_impl(self, params, x):
@@ -186,11 +188,16 @@ class _PackedTrunkMixin:
 
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
-            fwd = self._packed_fwd()
+            fwd = self._packed_fwd(qat=qat_requested(self))
+            if fwd is None and qat_requested(self):
+                raise ValueError("--qat is unsupported for depthwise configs "
+                                 "(they have no packed/int8 serving path)")
             if fwd is not None:
                 try:
                     return self.loss(fwd(params, inputs), targets)
                 except ValueError:
+                    if qat_requested(self):
+                        raise  # even-width requirement must not be masked
                     pass  # e.g. odd width with depthwise blocks
         return super()._compute_loss(params, inputs, targets)
 
@@ -199,6 +206,7 @@ def _add_packed_trunk_flag(parser):
     parser.add_argument("--packed_trunk", type=int, default=1,
                         help="Width-packed trunk (exact reparametrization, ~2x per "
                              "conv on TPU; ops/packed_trunk.py). 0 = plain graph.")
+    add_qat_flag(parser)
 
 
 class MSRR(_PackedTrunkMixin, SRModel):

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from larvanet_tpu.core.config import parse_known
 from larvanet_tpu.core.registry import register_model
-from larvanet_tpu.models.base import SRModel, l1_loss
+from larvanet_tpu.models.base import SRModel, add_qat_flag, l1_loss, qat_requested
 from larvanet_tpu.models.layers import (
     MeanShift,
     conv3x3,
@@ -127,14 +127,16 @@ class _REGOPackedMixin:
 
     def prepare(self, is_training, scales, global_step=0, seed=0):
         self._packed_cache = None
+        self._qat_cache = None
         super().prepare(is_training, scales, global_step=global_step, seed=seed)
 
-    def _packed_fwd(self):
-        if getattr(self, "_packed_cache", None) is None:
+    def _packed_fwd(self, qat=False):
+        attr = "_qat_cache" if qat else "_packed_cache"
+        if getattr(self, attr, None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_rego_forward
 
-            self._packed_cache = make_packed_rego_forward(self)
-        return self._packed_cache
+            setattr(self, attr, make_packed_rego_forward(self, qat=qat))
+        return getattr(self, attr)
 
     def _forward_impl(self, params, x):
         if getattr(self.args, "packed_trunk", 0):
@@ -143,7 +145,8 @@ class _REGOPackedMixin:
 
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
-            return self.loss(self._packed_fwd()(params, inputs), targets)
+            fwd = self._packed_fwd(qat=qat_requested(self))
+            return self.loss(fwd(params, inputs), targets)
         return super()._compute_loss(params, inputs, targets)
 
 
@@ -169,6 +172,7 @@ class REGONet(_REGOPackedMixin, SRModel):
                             help="The number of training steps to perform learning rate decay.")
         parser.add_argument("--packed_trunk", type=int, default=1,
                             help="Width-packed trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
+        add_qat_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -214,6 +218,7 @@ class REGOSerial(REGONet):
                             help="The number of training steps to perform learning rate decay.")
         parser.add_argument("--packed_trunk", type=int, default=1,
                             help="Width-packed trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
+        add_qat_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 

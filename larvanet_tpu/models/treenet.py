@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from larvanet_tpu.core.config import parse_known
 from larvanet_tpu.core.registry import register_model
-from larvanet_tpu.models.base import SRModel, l1_loss, chw_list_to_nhwc
+from larvanet_tpu.models.base import SRModel, add_qat_flag, chw_list_to_nhwc, l1_loss, qat_requested
 from larvanet_tpu.models.layers import (
     ResBlock,
     conv3x3,
@@ -106,6 +106,7 @@ class TreeNet(SRModel):
                             help="patience for lr scheduler")
         parser.add_argument("--packed_trunk", type=int, default=1,
                             help="Width-packed trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
+        add_qat_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -124,6 +125,7 @@ class TreeNet(SRModel):
 
     def prepare(self, is_training, scales, global_step=0, seed=0):
         self._packed_cache = None
+        self._qat_cache = None
         super().prepare(is_training, scales, global_step=global_step, seed=seed)
         if is_training:
             from larvanet_tpu.train.schedules import StepLR
@@ -136,12 +138,13 @@ class TreeNet(SRModel):
     def get_learning_rate(self):
         return self.scheduler.get_lr() if self.scheduler is not None else self.args.lr
 
-    def _packed_fwd(self):
-        if getattr(self, "_packed_cache", None) is None:
+    def _packed_fwd(self, qat=False):
+        attr = "_qat_cache" if qat else "_packed_cache"
+        if getattr(self, attr, None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_treenet_forward
 
-            self._packed_cache = make_packed_treenet_forward(self)
-        return self._packed_cache
+            setattr(self, attr, make_packed_treenet_forward(self, qat=qat))
+        return getattr(self, attr)
 
     def _forward_impl(self, params, x):
         if getattr(self.args, "packed_trunk", 0):
@@ -150,7 +153,8 @@ class TreeNet(SRModel):
 
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
-            outs = self._packed_fwd()(params, inputs, branches="all")
+            fwd = self._packed_fwd(qat=qat_requested(self))
+            outs = fwd(params, inputs, branches="all")
         else:
             outs = self.module.apply({"params": params}, inputs, branches="all")
         losses = [l1_loss(o, targets) for o in outs]

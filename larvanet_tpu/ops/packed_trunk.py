@@ -389,14 +389,15 @@ def make_int8_edsr_forward(model, calib_batch, dtype=jnp.bfloat16):
          for i in range(n_blocks)])
 
 
-def make_packed_edsr_train_forward(model, dtype=jnp.float32):
+def make_packed_edsr_train_forward(model, dtype=jnp.float32, qat=False):
     """Differentiable EDSR forward with a width-packed trunk and the LIVE
     original tail (params train; nothing is baked; topology in
     _edsr_walk mode='live_plain'). Loss/grad-equivalent to module.apply
     — the packing is differentiable slicing/concat — so it drops into
-    _compute_loss for ~1.5x faster training steps."""
+    _compute_loss for ~1.5x faster training steps. qat=True fake-
+    quantizes the trunk pairs with the int8 serving scheme (qat_pair)."""
     walk = _edsr_walk(model, dtype, "live_plain")
-    pair = exact_pair(dtype)
+    pair = _training_pair(qat, dtype)
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -404,7 +405,8 @@ def make_packed_edsr_train_forward(model, dtype=jnp.float32):
     return forward
 
 
-def make_packed_collapsed_edsr_train_forward(model, dtype=jnp.float32):
+def make_packed_collapsed_edsr_train_forward(model, dtype=jnp.float32,
+                                             qat=False):
     """Differentiable EDSR forward: width-packed trunk + LIVE collapsed
     tail (topology in _edsr_walk mode='live_collapsed'). The collapsed
     tail kernel is re-composed from the CURRENT upsample/final-conv
@@ -412,9 +414,11 @@ def make_packed_collapsed_edsr_train_forward(model, dtype=jnp.float32):
     a <1%-of-step differentiable delta probe), so training is
     loss/grad-equivalent to module.apply (tests/test_collapsed_tail.py)
     while the 256-channel PixelShuffle transposes disappear from fwd AND
-    bwd (139.2 -> 233.5 steps/s, BASELINE.md training table)."""
+    bwd (139.2 -> 233.5 steps/s, BASELINE.md training table). qat=True
+    fake-quantizes the trunk pairs with the int8 serving scheme
+    (qat_pair); the live tail stays exact, as at int8 serving."""
     walk = _edsr_walk(model, dtype, "live_collapsed")
-    pair = exact_pair(dtype)
+    pair = _training_pair(qat, dtype)
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -470,6 +474,81 @@ def exact_pair(dtype):
         return out if mask0 is None else out * mask0
 
     return pair
+
+
+def _ste_round(x):
+    """round() with a straight-through gradient (the standard QAT
+    estimator: d(round)/dx treated as 1)."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
+def _fake_quant(x, s):
+    """Symmetric fake-quantization onto the int8 grid with step `s`
+    (STE round; the clip's zero gradient outside [-127s, 127s] matches
+    the saturation the real int8 path applies)."""
+    return _ste_round(jnp.clip(x / s, -127.0, 127.0)) * s
+
+
+def qat_pair(dtype):
+    """Quantization-aware-training conv-pair runner (same call shape as
+    exact_pair): emulates make_pair_runner's pair_int8 W8A8 arithmetic
+    in float with straight-through rounding, so training learns weights
+    robust to the int8 serving path (--int8_trunk).
+
+    Scheme parity with serving: weight scales use the identical
+    per-output-channel max|k_packed|/127 rule (_quantize_pair_weights)
+    and activation scales the identical 1.05*max/127 headroom — computed
+    dynamically per batch and stop_gradient'd (scales are constants
+    within a step, the standard QAT recipe; at serving, calibration
+    recomputes them statically from a calib batch of the same
+    distribution). conv(fq(x), fq(k)) in float equals the int8 conv's
+    dequantized int32 accumulation up to float summation order
+    (tests/test_qat.py pins the match against the real int8 runner).
+
+    Only the conv pairs that run int8 at serving are fake-quantized;
+    heads / tails / residual streams stay exact, mirroring
+    make_int8_edsr_forward's scheme. Even width required, like the int8
+    path itself.
+    """
+
+    def pair(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
+             res_weight=1.0, mask0=None):
+        if mask0 is not None:
+            raise ValueError(
+                "--qat requires an even patch width (the int8 serving "
+                "path it trains for is even-width only); got an odd-width "
+                "packed walk")
+        f32 = jnp.float32
+        ka = pack_kernel_a(jnp.asarray(p1["kernel"], f32))
+        kb = pack_kernel_b(jnp.asarray(p2["kernel"], f32))
+        sa = jax.lax.stop_gradient(
+            jnp.max(jnp.abs(ka), axis=(0, 1, 2), keepdims=True)) / 127.0 + 1e-12
+        sb = jax.lax.stop_gradient(
+            jnp.max(jnp.abs(kb), axis=(0, 1, 2), keepdims=True)) / 127.0 + 1e-12
+        s_in = (jax.lax.stop_gradient(jnp.max(jnp.abs(hin))).astype(f32)
+                * 1.05 / 127.0 + 1e-12)
+        t = conv_a(_fake_quant(hin.astype(f32), s_in).astype(dtype),
+                   _fake_quant(ka, sa).astype(dtype),
+                   pack_bias(jnp.asarray(p1["bias"], dtype)))
+        t = act(t) * mask1
+        s_mid = (jax.lax.stop_gradient(jnp.max(jnp.abs(t))).astype(f32)
+                 * 1.05 / 127.0 + 1e-12)
+        t = conv_b(_fake_quant(t.astype(f32), s_mid).astype(dtype),
+                   _fake_quant(kb, sb).astype(dtype),
+                   pack_bias(jnp.asarray(p2["bias"], dtype)))
+        if res_weight != 1.0:
+            t = t * jnp.asarray(res_weight, dtype)
+        if kind == "both":
+            return t, hin + t
+        return hin + t if kind == "res" else t
+
+    return pair
+
+
+def _training_pair(qat, dtype):
+    """The pair runner a differentiable walk should train through:
+    qat_pair when the model opted into --qat, exact_pair otherwise."""
+    return qat_pair(dtype) if qat else exact_pair(dtype)
 
 
 def conv_plain(h, p, dtype, strides=(1, 1), padding="SAME", groups=1):
@@ -559,13 +638,14 @@ def _treenet_walk(model, dtype):
     return walk
 
 
-def make_packed_treenet_forward(model, dtype=jnp.float32):
+def make_packed_treenet_forward(model, dtype=jnp.float32, qat=False):
     """Width-packed TreeNet forward (topology in _treenet_walk). Returns
     forward(params, x, branches=0 | int | 'all') mirroring the module's
     signature (validate_tree sweeps branches; training uses 'all').
-    Differentiable — used for training too."""
+    Differentiable — used for training too; qat=True fake-quantizes the
+    conv pairs with the int8 serving scheme (qat_pair)."""
     walk = _treenet_walk(model, dtype)
-    pair = exact_pair(dtype)
+    pair = _training_pair(qat, dtype)
 
     def forward(params, x, branches=0):
         return walk(params, x, pair, branches=branches)
@@ -648,11 +728,12 @@ def _hrsr_walk(model, dtype):
     return walk
 
 
-def make_packed_hrsr_forward(model, dtype=jnp.float32):
+def make_packed_hrsr_forward(model, dtype=jnp.float32, qat=False):
     """Width-packed HRSR forward (topology in _hrsr_walk).
-    Differentiable — used for training too."""
+    Differentiable — used for training too; qat=True fake-quantizes the
+    packed LR-trunk pairs with the int8 serving scheme (qat_pair)."""
     walk = _hrsr_walk(model, dtype)
-    pair = exact_pair(dtype)
+    pair = _training_pair(qat, dtype)
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -770,11 +851,13 @@ def _rego_walk(model, dtype):
     return walk
 
 
-def make_packed_rego_forward(model, dtype=jnp.float32):
+def make_packed_rego_forward(model, dtype=jnp.float32, qat=False):
     """Width-packed REGO-Net / REGO-serial forward (topology in
-    _rego_walk). Differentiable — used for training too."""
+    _rego_walk). Differentiable — used for training too; qat=True
+    fake-quantizes the wavefront pairs with the int8 serving scheme
+    (qat_pair)."""
     walk = _rego_walk(model, dtype)
-    pair = exact_pair(dtype)
+    pair = _training_pair(qat, dtype)
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -849,12 +932,14 @@ def _ebrn_rm_walk(model, dtype):
     return walk
 
 
-def make_packed_ebrn_rm_forward(model, dtype=jnp.float32):
+def make_packed_ebrn_rm_forward(model, dtype=jnp.float32, qat=False):
     """Width-packed ebrn_rm / ebrn_rm_BLI forward (topology in
     _ebrn_rm_walk); only the 3-channel head and the final shuffle are
-    unpacked. Differentiable — used for training too."""
+    unpacked. Differentiable — used for training too; qat=True
+    fake-quantizes the BRM pairs with the int8 serving scheme
+    (qat_pair)."""
     walk = _ebrn_rm_walk(model, dtype)
-    pair = exact_pair(dtype)
+    pair = _training_pair(qat, dtype)
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -1500,15 +1585,17 @@ def _msrr_walk(model, dtype):
     return walk
 
 
-def make_packed_msrr_forward(model, dtype=jnp.float32):
+def make_packed_msrr_forward(model, dtype=jnp.float32, qat=False):
     """Width-packed forward for the MSRR family (differentiable; used for
     both inference and training). Covers MSRRModule (64ch trunk,
     reference models/msrr.py:214-248), MSRRReducedModule non-depthwise
     (48ch trunk, models/msrr_reduced*.py) and MSRRTestModule (64ch,
-    models/msrr_test.py); topology in _msrr_walk.
+    models/msrr_test.py); topology in _msrr_walk. qat=True
+    fake-quantizes the trunk pairs with the int8 serving scheme
+    (qat_pair).
     """
     walk = _msrr_walk(model, dtype)
-    pair = exact_pair(dtype)
+    pair = _training_pair(qat, dtype)
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -1733,7 +1820,8 @@ def _larvanet_walk(model, dtype, all_exits=False):
     return walk
 
 
-def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
+def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False,
+                                 qat=False):
     """Inference-optimized LarvaNet forward with a width-packed trunk
     (topology in _larvanet_walk).
 
@@ -1748,9 +1836,11 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False):
     per conv on v5e (36.9 -> 94.1 useful TF/s; BASELINE.md). Every
     non-V2 topology packs completely; the V2 tail runs unpacked (3 convs
     of the whole network). Honors the model's early-exit config
-    (LarvaLeg --leg k, k=0 = pure interpolated base)."""
+    (LarvaLeg --leg k, k=0 = pure interpolated base). qat=True (training
+    use) fake-quantizes every body/leg conv pair with the int8 serving
+    scheme (qat_pair)."""
     walk = _larvanet_walk(model, dtype, all_exits=all_exits)
-    pair = exact_pair(dtype)
+    pair = _training_pair(qat, dtype)
 
     def forward(params, x):
         return walk(params, x, pair)
