@@ -1,4 +1,5 @@
-"""Export a trained checkpoint as a reference-loadable `.pth`.
+"""Export a trained checkpoint as a reference-loadable `.pth` — or as a
+self-contained StableHLO serving artifact (`--stablehlo`).
 
 The reverse of the `.pth` restore path: models trained in this framework
 deploy through the reference workbench's own restore flow —
@@ -15,6 +16,16 @@ so weights move in BOTH directions between the frameworks.
 
 `--restore_path latest --train_path DIR` picks the newest checkpoint
 (msgpack, orbax directory, or .pth all restore transparently).
+
+StableHLO serving artifact (TPU-native deployment; utils/aot.py): the
+fast-path serving graph (packed trunk / collapsed tail / optionally
+int8) lowered for ONE input geometry with the weights baked in — loads
+and runs WITHOUT the model zoo:
+
+    python -m larvanet_tpu.cli.export --model edsr \
+        --restore_path ... --stablehlo edsr_serve.lvt \
+        --export_batch 1 --export_height 256 --export_width 256 \
+        [--int8_trunk 1 --calib_path LR_DIR] [--platforms tpu,cpu]
 """
 
 from __future__ import annotations
@@ -34,9 +45,37 @@ def main(argv=None):
                         help="Checkpoint to export ('latest' with --train_path).")
     parser.add_argument("--train_path", type=str, default=None,
                         help="Run directory for --restore_path latest.")
-    parser.add_argument("--output", type=str, required=True,
+    parser.add_argument("--output", type=str, default=None,
                         help="Destination .pth file.")
+    parser.add_argument("--stablehlo", type=str, default=None,
+                        help="Destination StableHLO serving artifact "
+                             "(utils/aot.py) instead of / in addition to "
+                             "the .pth.")
+    parser.add_argument("--export_batch", type=int, default=1,
+                        help="Artifact input batch size.")
+    parser.add_argument("--export_height", type=int, default=256,
+                        help="Artifact input (LR) height.")
+    parser.add_argument("--export_width", type=int, default=256,
+                        help="Artifact input (LR) width (even for the "
+                             "packed/int8 paths).")
+    parser.add_argument("--packed_trunk", type=int, default=1,
+                        help="Artifact path: width-packed trunk (exact).")
+    parser.add_argument("--collapsed_tail", type=int, default=1,
+                        help="Artifact path: collapsed linear tail (exact, "
+                             "EDSR family).")
+    parser.add_argument("--int8_trunk", type=int, default=0,
+                        help="Artifact path: W8A8 quantized trunk (NOT "
+                             "float-exact); requires --calib_path.")
+    parser.add_argument("--calib_path", type=str, default=None,
+                        help="Directory of LR PNGs for int8 calibration.")
+    parser.add_argument("--platforms", type=str, default=None,
+                        help="Comma-separated lowering platforms for the "
+                             "artifact (e.g. 'tpu,cpu'); default = current "
+                             "backend.")
     args, remaining = parser.parse_known_args(argv)
+    if not args.output and not args.stablehlo:
+        raise SystemExit("nothing to do: pass --output (.pth) and/or "
+                         "--stablehlo (serving artifact)")
 
     scale_list = common.scales_of(args)
     model, _, remaining = common.setup_model(
@@ -45,11 +84,6 @@ def main(argv=None):
     common.warn_leftovers(remaining)
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path
-    from larvanet_tpu.utils.torch_convert import EXPORT_RULES, save_pth
-
-    if args.model not in EXPORT_RULES:
-        raise SystemExit("no .pth export rules for model %r (supported: %s)"
-                         % (args.model, ", ".join(sorted(EXPORT_RULES))))
 
     ckpt = resolve_restore_path(args.restore_path, args.train_path)
     if ckpt is None:
@@ -57,8 +91,62 @@ def main(argv=None):
     model.restore(ckpt)
     print("restored the model")
 
-    out = save_pth(model.params, args.model, args.output)
-    print("exported %s -> %s" % (ckpt, out))
+    if args.output:
+        from larvanet_tpu.utils.torch_convert import EXPORT_RULES, save_pth
+
+        if args.model not in EXPORT_RULES:
+            raise SystemExit("no .pth export rules for model %r (supported: %s)"
+                             % (args.model, ", ".join(sorted(EXPORT_RULES))))
+        out = save_pth(model.params, args.model, args.output)
+        print("exported %s -> %s" % (ckpt, out))
+
+    if args.stablehlo:
+        from larvanet_tpu.utils.aot import export_serving, save_artifact
+
+        calib = None
+        if args.int8_trunk:
+            if not args.calib_path:
+                raise SystemExit("--int8_trunk requires --calib_path "
+                                 "(LR PNGs for activation calibration)")
+            calib = _calib_from_dir(args.calib_path, args.export_height,
+                                    args.export_width)
+        shape = (args.export_batch, args.export_height, args.export_width, 3)
+        platforms = tuple(args.platforms.split(",")) if args.platforms else None
+        exported, header = export_serving(
+            model, shape, packed_trunk=bool(args.packed_trunk),
+            collapsed_tail=bool(args.collapsed_tail),
+            int8_trunk=bool(args.int8_trunk), calib=calib,
+            platforms=platforms)
+        save_artifact(args.stablehlo, exported, header)
+        print("exported serving artifact %s (%s; input %s; platforms %s)"
+              % (args.stablehlo, header["path_desc"], shape,
+                 ",".join(header["platforms"])))
+
+
+def _calib_from_dir(path, height, width, num_images=4):
+    """Centre-crop the first PNGs of a directory to the export geometry
+    for int8 activation calibration (cli/common.int8_calib_batch rules:
+    even width, NHWC float32)."""
+    import os
+
+    import numpy as np
+
+    from larvanet_tpu.data import io
+
+    names = sorted(f for f in os.listdir(path) if f.lower().endswith(".png"))
+    if not names:
+        raise SystemExit("no PNGs in --calib_path %s" % path)
+    out = []
+    for f in names[:num_images]:
+        im = io.load_image_u8(os.path.join(path, f)).astype(np.float32)
+        if im.shape[0] < height or im.shape[1] < width:
+            raise SystemExit("calibration image %s (%dx%d) is smaller than "
+                             "the export geometry %dx%d"
+                             % (f, im.shape[0], im.shape[1], height, width))
+        top = (im.shape[0] - height) // 2
+        left = (im.shape[1] - width) // 2
+        out.append(im[top:top + height, left:left + width])
+    return np.asarray(out, np.float32)
 
 
 if __name__ == "__main__":
