@@ -86,6 +86,97 @@ class SRService:
         }
 
 
+class ArtifactService:
+    """Serve from a StableHLO artifact (cli/export.py --stablehlo): no
+    model zoo, no checkpoint restore, no graph build — load_artifact +
+    one compile. Direct mode requires requests of exactly the exported
+    LR geometry; --tile_forward serves ANY frame size through fixed
+    exported-shape tiles (the artifact's batch is padded/chunked)."""
+
+    def __init__(self, path: str, tile: bool, tile_overlap: int = 24):
+        from larvanet_tpu.utils.aot import load_artifact
+
+        serve_fn, header = load_artifact(path)
+        import jax
+
+        self._raw = jax.jit(serve_fn)
+        self.header = header
+        self.scale = int(header["scale"])
+        n, h, w, _ = header["input_shape"]
+        self._shape = (n, h, w)
+        self.mode = "tile" if tile else "direct"
+        self.tiler = None
+        if tile:
+            if h != w:
+                raise ValueError("--tile_forward over an artifact needs a "
+                                 "square exported geometry, got %dx%d" % (h, w))
+            self.tiler = TiledUpscaler(self._fixed_batch, scale=self.scale,
+                                       tile_size=h, overlap=tile_overlap,
+                                       max_batch=max(n, 16))
+        self._lock = threading.Lock()
+        self.num_requests = 0
+        self.total_device_s = 0.0
+        self.ready = False
+
+    def _fixed_batch(self, batch: np.ndarray) -> np.ndarray:
+        """Run an arbitrary-size NHWC tile batch through the fixed-batch
+        artifact (chunk + zero-pad to the exported N)."""
+        n = self._shape[0]
+        outs = []
+        for i in range(0, len(batch), n):
+            chunk = np.asarray(batch[i:i + n], np.float32)
+            if len(chunk) < n:
+                pad = np.zeros((n - len(chunk),) + chunk.shape[1:], np.float32)
+                outs.append(np.asarray(self._raw(
+                    np.concatenate([chunk, pad])))[: len(chunk)])
+            else:
+                outs.append(np.asarray(self._raw(chunk)))
+        return np.concatenate(outs)
+
+    def upscale_chw(self, img_chw: np.ndarray) -> np.ndarray:
+        with self._lock:
+            t0 = time.perf_counter()
+            if self.mode == "tile":
+                out = self.tiler.upscale_chw(img_chw)
+            else:
+                n, h, w = self._shape
+                hwc = np.asarray(img_chw, np.float32).transpose(1, 2, 0)
+                if hwc.shape[:2] != (h, w):
+                    raise ValueError(
+                        "artifact serves %dx%d inputs (got %dx%d); start with "
+                        "--tile_forward for arbitrary sizes"
+                        % (h, w, hwc.shape[0], hwc.shape[1]))
+                batch = np.concatenate(
+                    [hwc[None], np.zeros((n - 1, h, w, 3), np.float32)]) \
+                    if n > 1 else hwc[None]
+                out = np.asarray(self._raw(batch))[0].transpose(2, 0, 1)
+            self.total_device_s += time.perf_counter() - t0
+            self.num_requests += 1
+            return out
+
+    def warmup(self, height: int, width: int) -> None:
+        if self.mode == "direct":
+            height, width = self._shape[1], self._shape[2]
+        dummy = np.zeros((3, height, width), np.float32)
+        self.upscale_chw(dummy)
+        self.num_requests = 0
+        self.total_device_s = 0.0
+        self.ready = True
+
+    def info(self) -> dict:
+        mean_s = self.total_device_s / self.num_requests if self.num_requests else 0.0
+        return {
+            "model": self.header.get("model", ""),
+            "scale": self.scale,
+            "mode": "artifact-" + self.mode,
+            "path_desc": self.header.get("path_desc", ""),
+            "input_shape": self.header.get("input_shape"),
+            "ready": self.ready,
+            "num_requests": self.num_requests,
+            "mean_device_seconds": round(mean_s, 6),
+        }
+
+
 def png_to_chw(data: bytes) -> np.ndarray:
     from PIL import Image
 
@@ -205,7 +296,11 @@ def main(argv=None):
     parser.add_argument("--scales", type=str, default="4")
     parser.add_argument("--cuda_device", type=str, default="-1",
                         help="Accepted for reference-CLI parity; ignored.")
-    parser.add_argument("--restore_path", type=str, required=True)
+    parser.add_argument("--restore_path", type=str, default=None)
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="Serve from a StableHLO artifact "
+                             "(cli/export.py --stablehlo) instead of a "
+                             "checkpoint — no model build or restore.")
     parser.add_argument("--restore_target", type=str)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080,
@@ -228,7 +323,17 @@ def main(argv=None):
     parser.add_argument("--dp_devices", type=int, default=0)
     args, remaining = parser.parse_known_args(argv)
 
-    service = build_service(args, remaining)
+    if args.artifact:
+        common.warn_leftovers(remaining)
+        service = ArtifactService(args.artifact, tile=args.tile_forward,
+                                  tile_overlap=args.tile_overlap)
+        print("serving artifact %s (%s)"
+              % (args.artifact, service.header.get("path_desc", "")))
+    elif args.restore_path:
+        service = build_service(args, remaining)
+    else:
+        raise SystemExit("pass --restore_path (checkpoint) or --artifact "
+                         "(StableHLO serving artifact)")
     w, h = (int(v) for v in args.warmup_size.split("x"))
     print("warmup %dx%d (compiling)..." % (w, h))
     service.warmup(h, w)

@@ -138,3 +138,56 @@ def test_tiled_mode_on_odd_frames(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+# ---------------------------------------------------------------------------
+# artifact serving (--artifact): no model zoo, no restore
+# ---------------------------------------------------------------------------
+
+def _export_artifact(tmp_path, shape=(1, 16, 16, 3)):
+    from larvanet_tpu.utils import aot
+
+    model = get_model("edsr")
+    model.parse_args(list(TINY))
+    model.prepare(is_training=False, scales=[4])
+    exported, header = aot.export_serving(model, shape)
+    path = str(tmp_path / "serve.lvt")
+    aot.save_artifact(path, exported, header)
+    return model, path
+
+
+def test_artifact_service_direct(tmp_path):
+    model, path = _export_artifact(tmp_path)
+    service = serve.ArtifactService(path, tile=False)
+    service.warmup(16, 16)
+    assert service.ready
+    rng = np.random.default_rng(0)
+    img = np.asarray(rng.uniform(0, 255, (3, 16, 16)), np.float32)
+    out = service.upscale_chw(img)
+    assert out.shape == (3, 64, 64)
+    # equal to the live model's routed forward on the same input
+    import jax
+    import jax.numpy as jnp
+
+    from larvanet_tpu.ops.fastpath import build_fast_forward
+
+    fwd, _ = build_fast_forward(model, jnp.float32)
+    live = np.asarray(jax.jit(
+        lambda p, v: fwd(p, v).astype(jnp.float32))(
+            model.params, img.transpose(1, 2, 0)[None]))[0]
+    np.testing.assert_array_equal(out, live.transpose(2, 0, 1))
+    # wrong geometry must explain itself
+    with pytest.raises(ValueError, match="tile_forward"):
+        service.upscale_chw(np.zeros((3, 16, 18), np.float32))
+    assert service.info()["mode"] == "artifact-direct"
+
+
+def test_artifact_service_tiled_any_size(tmp_path):
+    _, path = _export_artifact(tmp_path, shape=(2, 16, 16, 3))
+    service = serve.ArtifactService(path, tile=True, tile_overlap=4)
+    service.warmup(16, 16)
+    rng = np.random.default_rng(1)
+    img = np.asarray(rng.uniform(0, 255, (3, 21, 27)), np.float32)
+    out = service.upscale_chw(img)  # odd size, > tile -> tiled path
+    assert out.shape == (3, 84, 108)
+    assert np.isfinite(out).all()
