@@ -40,18 +40,33 @@ from larvanet_tpu.train.losses import l1_loss, multi_exit_l1, robust_sqrt_loss  
 
 
 def add_qat_flag(parser):
-    """--qat for every family with an int8 (W8A8) serving path: train
-    through ops/packed_trunk.qat_pair (straight-through fake-quant of
-    the packed conv pairs with the EXACT int8 serving scheme — same
-    per-output-channel weight scales, same 1.05*max activation headroom)
-    so --int8_trunk serving costs ~0 dB instead of the measured
+    """Training-graph flags for every packed family:
+
+    --qat (families with an int8 W8A8 serving path): train through
+    ops/packed_trunk.qat_pair (straight-through fake-quant of the packed
+    conv pairs with the EXACT int8 serving scheme — same per-output-
+    channel weight scales, same 1.05*max activation headroom) so
+    --int8_trunk serving costs ~0 dB instead of the measured
     -0.01..-0.04 dB post-training deltas (INT8_REPORT.json). Requires
-    --packed_trunk and an even patch width."""
+    --packed_trunk and an even patch width. Recipe: converge exactly,
+    then fine-tune briefly with --qat 1 (from-scratch QAT measured real
+    exact-PSNR damage; tools/int8_family_report.py --qat_finetune).
+
+    --remat: jax.checkpoint over each packed conv pair — the backward
+    recomputes block activations instead of storing them, so training
+    peak HBM scales with one block instead of trunk depth (big-patch /
+    full-frame fine-tuning geometries). Loss/grad-identical
+    (ops/packed_trunk.remat_pair; tests/test_remat.py)."""
     parser.add_argument("--qat", type=int, default=0,
                         help="Quantization-aware training: fake-quantize the "
                              "packed conv pairs with the int8 serving scheme "
                              "(STE) so --int8_trunk serving costs ~0 dB. "
                              "Requires --packed_trunk + even patch width.")
+    parser.add_argument("--remat", type=int, default=0,
+                        help="Rematerialize (jax.checkpoint) each packed conv "
+                             "pair in the training graph: peak activation "
+                             "memory of ~1 block instead of the whole trunk, "
+                             "for large-patch training. Loss/grad-identical.")
 
 
 def qat_requested(model) -> bool:

@@ -397,7 +397,7 @@ def make_packed_edsr_train_forward(model, dtype=jnp.float32, qat=False):
     _compute_loss for ~1.5x faster training steps. qat=True fake-
     quantizes the trunk pairs with the int8 serving scheme (qat_pair)."""
     walk = _edsr_walk(model, dtype, "live_plain")
-    pair = _training_pair(qat, dtype)
+    pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -418,7 +418,7 @@ def make_packed_collapsed_edsr_train_forward(model, dtype=jnp.float32,
     fake-quantizes the trunk pairs with the int8 serving scheme
     (qat_pair); the live tail stays exact, as at int8 serving."""
     walk = _edsr_walk(model, dtype, "live_collapsed")
-    pair = _training_pair(qat, dtype)
+    pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -545,10 +545,38 @@ def qat_pair(dtype):
     return pair
 
 
-def _training_pair(qat, dtype):
+def remat_pair(pair):
+    """Wrap a pair runner in jax.checkpoint: the backward pass recomputes
+    each conv pair's activations instead of storing them, so training
+    peak memory scales with ONE block instead of the trunk depth — the
+    TPU answer to big-patch / full-frame fine-tuning geometries
+    (`--remat`; HBM is the budget, MXU recompute is nearly free for
+    these conv shapes). Loss/grad-identical to the unwrapped pair;
+    forward-only use is unaffected (checkpointing only acts under
+    differentiation). Verified by XLA's compiled memory analysis in
+    tests/test_remat.py."""
+
+    def wrapped(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
+                res_weight=1.0, mask0=None):
+        fn = jax.checkpoint(
+            lambda h, a, b, m1, m0: pair(idx, h, a, b, m1, kind=kind,
+                                         act=act, res_weight=res_weight,
+                                         mask0=m0))
+        return fn(hin, p1, p2, mask1, mask0)
+
+    return wrapped
+
+
+def _training_pair(qat, dtype, remat=False):
     """The pair runner a differentiable walk should train through:
-    qat_pair when the model opted into --qat, exact_pair otherwise."""
-    return qat_pair(dtype) if qat else exact_pair(dtype)
+    qat_pair when the model opted into --qat, exact_pair otherwise;
+    jax.checkpoint-wrapped under --remat."""
+    pair = qat_pair(dtype) if qat else exact_pair(dtype)
+    return remat_pair(pair) if remat else pair
+
+
+def _remat_requested(model) -> bool:
+    return bool(getattr(getattr(model, "args", None), "remat", 0))
 
 
 def conv_plain(h, p, dtype, strides=(1, 1), padding="SAME", groups=1):
@@ -645,7 +673,7 @@ def make_packed_treenet_forward(model, dtype=jnp.float32, qat=False):
     Differentiable — used for training too; qat=True fake-quantizes the
     conv pairs with the int8 serving scheme (qat_pair)."""
     walk = _treenet_walk(model, dtype)
-    pair = _training_pair(qat, dtype)
+    pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x, branches=0):
         return walk(params, x, pair, branches=branches)
@@ -733,7 +761,7 @@ def make_packed_hrsr_forward(model, dtype=jnp.float32, qat=False):
     Differentiable — used for training too; qat=True fake-quantizes the
     packed LR-trunk pairs with the int8 serving scheme (qat_pair)."""
     walk = _hrsr_walk(model, dtype)
-    pair = _training_pair(qat, dtype)
+    pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -857,7 +885,7 @@ def make_packed_rego_forward(model, dtype=jnp.float32, qat=False):
     fake-quantizes the wavefront pairs with the int8 serving scheme
     (qat_pair)."""
     walk = _rego_walk(model, dtype)
-    pair = _training_pair(qat, dtype)
+    pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -939,7 +967,7 @@ def make_packed_ebrn_rm_forward(model, dtype=jnp.float32, qat=False):
     fake-quantizes the BRM pairs with the int8 serving scheme
     (qat_pair)."""
     walk = _ebrn_rm_walk(model, dtype)
-    pair = _training_pair(qat, dtype)
+    pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -1595,7 +1623,7 @@ def make_packed_msrr_forward(model, dtype=jnp.float32, qat=False):
     (qat_pair).
     """
     walk = _msrr_walk(model, dtype)
-    pair = _training_pair(qat, dtype)
+    pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):
         return walk(params, x, pair)
@@ -1840,7 +1868,7 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False,
     use) fake-quantizes every body/leg conv pair with the int8 serving
     scheme (qat_pair)."""
     walk = _larvanet_walk(model, dtype, all_exits=all_exits)
-    pair = _training_pair(qat, dtype)
+    pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):
         return walk(params, x, pair)
