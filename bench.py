@@ -63,10 +63,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from larvanet_tpu.cli.common import enable_compile_cache
+    # importing cli.common enables the persistent compile cache (its
+    # module-level enable_compile_cache() call) — serving-graph compiles
+    # are reused across bench runs
+    import larvanet_tpu.cli.common  # noqa: F401
     from larvanet_tpu.core.registry import get_model
 
-    enable_compile_cache()  # reuse serving-graph compiles across runs
     dev = jax.devices()[0]
     log("device:", dev)
 

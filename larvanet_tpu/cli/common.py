@@ -34,11 +34,21 @@ def enable_compile_cache() -> Optional[str]:
     path = os.environ.get("LVT_COMPILE_CACHE")
     if path == "":
         return None
-    if path is None:
-        path = os.path.join(os.path.expanduser("~"), ".cache", "larvanet_tpu", "xla")
     try:
         import jax
 
+        if path is None:
+            # Never clobber a user-configured cache: the standard JAX env
+            # var or an embedder's own jax.config.update wins over our
+            # default directory (LVT_COMPILE_CACHE stays the explicit
+            # project-level override).
+            std = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            if std:
+                return std
+            if jax.config.jax_compilation_cache_dir:
+                return jax.config.jax_compilation_cache_dir
+            path = os.path.join(os.path.expanduser("~"), ".cache",
+                                "larvanet_tpu", "xla")
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

@@ -85,6 +85,14 @@ def main(argv=None):
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path
 
+    if args.output:
+        # fail fast, BEFORE the (slow on this tunnel) checkpoint restore
+        from larvanet_tpu.utils.torch_convert import EXPORT_RULES
+
+        if args.model not in EXPORT_RULES:
+            raise SystemExit("no .pth export rules for model %r (supported: %s)"
+                             % (args.model, ", ".join(sorted(EXPORT_RULES))))
+
     ckpt = resolve_restore_path(args.restore_path, args.train_path)
     if ckpt is None:
         raise SystemExit("no checkpoint found to export")
@@ -92,11 +100,8 @@ def main(argv=None):
     print("restored the model")
 
     if args.output:
-        from larvanet_tpu.utils.torch_convert import EXPORT_RULES, save_pth
+        from larvanet_tpu.utils.torch_convert import save_pth
 
-        if args.model not in EXPORT_RULES:
-            raise SystemExit("no .pth export rules for model %r (supported: %s)"
-                             % (args.model, ", ".join(sorted(EXPORT_RULES))))
         out = save_pth(model.params, args.model, args.output)
         print("exported %s -> %s" % (ckpt, out))
 
@@ -111,7 +116,8 @@ def main(argv=None):
             calib = _calib_from_dir(args.calib_path, args.export_height,
                                     args.export_width)
         shape = (args.export_batch, args.export_height, args.export_width, 3)
-        platforms = tuple(args.platforms.split(",")) if args.platforms else None
+        platforms = (tuple(p.strip() for p in args.platforms.split(","))
+                     if args.platforms else None)
         exported, header = export_serving(
             model, shape, packed_trunk=bool(args.packed_trunk),
             collapsed_tail=bool(args.collapsed_tail),

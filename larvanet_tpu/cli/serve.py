@@ -90,8 +90,13 @@ class ArtifactService:
     """Serve from a StableHLO artifact (cli/export.py --stablehlo): no
     model zoo, no checkpoint restore, no graph build — load_artifact +
     one compile. Direct mode requires requests of exactly the exported
-    LR geometry; --tile_forward serves ANY frame size through fixed
-    exported-shape tiles (the artifact's batch is padded/chunked)."""
+    LR geometry; --tile_forward serves any frame size >= the exported
+    tile through fixed-shape tiles (the artifact's batch is padded/
+    chunked). Sub-tile frames are rejected with a clear error in both
+    modes: spatially padding them into the fixed canvas would NOT be
+    exact for these models (mean-shift turns pad zeros into nonzero
+    border taps; the interpolated bases resample the padded canvas), so
+    export a smaller artifact for small inputs instead."""
 
     def __init__(self, path: str, tile: bool, tile_overlap: int = 24):
         from larvanet_tpu.utils.aot import load_artifact
@@ -121,7 +126,12 @@ class ArtifactService:
     def _fixed_batch(self, batch: np.ndarray) -> np.ndarray:
         """Run an arbitrary-size NHWC tile batch through the fixed-batch
         artifact (chunk + zero-pad to the exported N)."""
-        n = self._shape[0]
+        n, h, w = self._shape
+        if batch.shape[1:3] != (h, w):
+            raise ValueError(
+                "frame smaller than the exported %dx%d tile — export a "
+                "smaller artifact for sub-tile inputs (spatial zero-padding "
+                "would not be exact for these models)" % (h, w))
         outs = []
         for i in range(0, len(batch), n):
             chunk = np.asarray(batch[i:i + n], np.float32)
@@ -155,6 +165,11 @@ class ArtifactService:
             return out
 
     def warmup(self, height: int, width: int) -> None:
+        # warm with the exported geometry regardless of --warmup_size: the
+        # artifact has exactly one compiled shape (and the tiler's
+        # small-frame path must never see a sub-tile canvas)
+        height = max(height, self._shape[1])
+        width = max(width, self._shape[2])
         if self.mode == "direct":
             height, width = self._shape[1], self._shape[2]
         dummy = np.zeros((3, height, width), np.float32)

@@ -168,6 +168,12 @@ class SRModel:
                 "--qat 1 requires --packed_trunk 1: QAT fake-quantizes the "
                 "packed conv pairs the int8 serving path runs "
                 "(ops/packed_trunk.qat_pair)")
+        if (is_training and getattr(_args, "remat", 0)
+                and not getattr(_args, "packed_trunk", 0)):
+            raise ValueError(
+                "--remat 1 requires --packed_trunk 1: rematerialization "
+                "wraps the packed conv pairs (ops/packed_trunk.remat_pair); "
+                "the plain module graph would silently train without it")
 
         self.module = self.build_module()
         init_rng = jax.random.PRNGKey(seed)

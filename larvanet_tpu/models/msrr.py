@@ -189,9 +189,11 @@ class _PackedTrunkMixin:
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
             fwd = self._packed_fwd(qat=qat_requested(self))
-            if fwd is None and qat_requested(self):
-                raise ValueError("--qat is unsupported for depthwise configs "
-                                 "(they have no packed/int8 serving path)")
+            if fwd is None and (qat_requested(self)
+                                or getattr(self.args, "remat", 0)):
+                raise ValueError("--qat/--remat are unsupported for depthwise "
+                                 "configs (they run the plain graph — no "
+                                 "packed conv pairs to wrap)")
             if fwd is not None:
                 try:
                     return self.loss(fwd(params, inputs), targets)

@@ -55,3 +55,12 @@ def test_remat_recomputes_in_backward():
     # (conv_a's post-activation is the only intermediate the pair's
     # backward needs; conv_b's output grad is residual pass-through)
     assert remat >= plain + 4, (plain, remat)
+
+
+def test_remat_requires_packed_trunk():
+    import pytest
+
+    m = get_model("edsr")
+    m.parse_args(["--remat", "1", "--packed_trunk", "0"])
+    with pytest.raises(ValueError, match="packed_trunk"):
+        m.prepare(is_training=True, scales=[4])

@@ -191,3 +191,12 @@ def test_artifact_service_tiled_any_size(tmp_path):
     out = service.upscale_chw(img)  # odd size, > tile -> tiled path
     assert out.shape == (3, 84, 108)
     assert np.isfinite(out).all()
+
+
+def test_artifact_tiled_rejects_subtile_frames(tmp_path):
+    _, path = _export_artifact(tmp_path, shape=(1, 16, 16, 3))
+    service = serve.ArtifactService(path, tile=True, tile_overlap=4)
+    service.warmup(8, 8)  # clamped up to the exported tile internally
+    assert service.ready
+    with pytest.raises(ValueError, match="smaller than the exported"):
+        service.upscale_chw(np.zeros((3, 8, 8), np.float32))

@@ -105,13 +105,17 @@ def train_family(name, flags, steps, lrs, hrs, scale=4, batch=16, patch=24,
                                      patch=patch, steps_per_call=ft_chunk)
         t0, done = time.time(), 0
         while done < qat_finetune_steps:
+            todo = min(ft_chunk, qat_finetune_steps - done)
+            if todo != ft_chunk:  # remainder: one extra (smaller) compile
+                fn_ft = make_device_train_fn(model, pipe, batch_size=batch,
+                                             patch=patch, steps_per_call=todo)
             key, sub = jax.random.split(key)
             model.params, model.opt_state, loss = fn_ft(
                 model.params, model.opt_state, model.get_learning_rate(), sub)
-            done += ft_chunk
-            model.global_step += ft_chunk
+            done += todo
+            model.global_step += todo
         print("  QAT fine-tune %d steps in %.1fs, final chunk loss %.3f"
-              % (qat_finetune_steps, time.time() - t0, float(loss)))
+              % (done, time.time() - t0, float(loss)))
     return model
 
 
