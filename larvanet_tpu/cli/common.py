@@ -79,14 +79,71 @@ def setup_loader(name: str, remaining: Sequence[str], scales: List[int]):
     return loader, loader_args, remaining
 
 
-def setup_model(name: str, remaining: Sequence[str], scales: List[int], is_training: bool, global_step: int = 0):
+def setup_model(name: str, remaining: Sequence[str], scales: List[int], is_training: bool, global_step: int = 0,
+                ema_decay: float = 0.0):
     print("prepare model - %s" % (name,))
     # looked up via the module attribute so wrappers (train_larvaV2,
     # train_squid) can patch registry.get_model around the call
     model = registry.get_model(name)
     model_args, remaining = model.parse_args(list(remaining))
+    if ema_decay:
+        model.ema_decay = float(ema_decay)  # before prepare: shapes the optimizer
     model.prepare(is_training=is_training, scales=scales, global_step=global_step)
     return model, model_args, remaining
+
+
+def add_ema_decay_flag(parser) -> None:
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="Track an exponential moving average of the "
+                             "params inside the optimizer state (e.g. "
+                             "0.999); checkpoints carry it and the eval "
+                             "CLIs serve it with --ema. 0 = off.")
+
+
+def add_dp_train_flag(parser) -> None:
+    parser.add_argument("--dp_devices", type=int, default=0,
+                        help="Train data-parallel over this many devices: the "
+                             "global batch shards along a 1-D 'data' mesh, "
+                             "params/optimizer replicate, XLA inserts the "
+                             "gradient all-reduce over ICI "
+                             "(parallel/mesh.use_data_parallel). batch_size "
+                             "must be divisible. 0/1 = single device.")
+
+
+def maybe_dp_train(model, args) -> None:
+    """Switch a prepared+restored model to data-parallel training when
+    --dp_devices > 1. Call AFTER restore (replication re-places the
+    restored host arrays onto the mesh)."""
+    n = int(getattr(args, "dp_devices", 0) or 0)
+    if n <= 1:
+        return
+    if getattr(args, "device_pipeline", 0):
+        raise SystemExit(
+            "--dp_devices composes with the host loop only; drop "
+            "--device_pipeline (the HBM-resident pipeline is single-chip)")
+    if getattr(args, "batch_size", 0) % n:
+        raise SystemExit("--batch_size (%d) must be divisible by "
+                         "--dp_devices (%d)" % (args.batch_size, n))
+    import jax
+
+    from larvanet_tpu.parallel.mesh import make_mesh, use_data_parallel
+
+    if n > len(jax.devices()):
+        raise SystemExit("--dp_devices %d > %d available devices"
+                         % (n, len(jax.devices())))
+    mesh = make_mesh((n,), ("data",), devices=jax.devices()[:n])
+    use_data_parallel(model, mesh)
+    print("training data-parallel over %d devices (gradient all-reduce "
+          "over ICI)" % n)
+
+
+def maybe_use_ema(model, args) -> None:
+    """Swap restored EMA weights into the model when --ema is set. Must
+    run right after restore, BEFORE maybe_collapse_tail/maybe_int8_trunk
+    (they bake weights)."""
+    if getattr(args, "ema", 0):
+        model.use_ema_params()
+        print("serving the EMA weights (--ema)")
 
 
 def maybe_collapse_tail(model, args) -> None:

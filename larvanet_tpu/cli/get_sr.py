@@ -55,6 +55,8 @@ def main(argv=None):
     parser.add_argument("--dp_devices", type=int, default=0,
                         help="Shard tile batches across N devices (data-parallel serving; "
                              "use with --tile_forward; 0 = off).")
+    parser.add_argument("--ema", type=int, default=0,
+                        help="Serve the EMA weights from a --ema_decay checkpoint.")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -65,6 +67,7 @@ def main(argv=None):
     )
     common.warn_leftovers(remaining)
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+    common.maybe_use_ema(model, args)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
 

@@ -38,6 +38,8 @@ def main(argv=None):
     parser.add_argument("--int8_trunk", type=int, default=0,
                         help="Opt-in W8A8 quantized trunk (EDSR/LarvaNet families; calibrated "
                              "on the first input; NOT float-exact, ~-0.06 dB measured).")
+    parser.add_argument("--ema", type=int, default=0,
+                        help="Serve the EMA weights from a --ema_decay checkpoint.")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -53,6 +55,7 @@ def main(argv=None):
     common.warn_leftovers(remaining)
     if args.restore_path:
         model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+        common.maybe_use_ema(model, args)
         print("restored the model")
     common.maybe_collapse_tail(model, args)
     if args.int8_trunk:

@@ -258,6 +258,7 @@ def build_service(args, remaining) -> SRService:
         args.model, remaining, scale_list, is_training=False)
     common.warn_leftovers(remaining)
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+    common.maybe_use_ema(model, args)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
 
@@ -336,6 +337,8 @@ def main(argv=None):
     parser.add_argument("--int8_calib_path", type=str, default=None,
                         help="Directory of PNGs for int8 calibration.")
     parser.add_argument("--dp_devices", type=int, default=0)
+    parser.add_argument("--ema", type=int, default=0,
+                        help="Serve the EMA weights from a --ema_decay checkpoint.")
     args, remaining = parser.parse_known_args(argv)
 
     if args.artifact:

@@ -51,6 +51,8 @@ def main(argv=None):
     parser.add_argument("--report_json", type=str,
                         help="Write per-image and mean PSNR/SSIM to this JSON file "
                              "(used by tools/protocol_parity.py).")
+    parser.add_argument("--ema", type=int, default=0,
+                        help="Serve the EMA weights from a --ema_decay checkpoint.")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -58,6 +60,7 @@ def main(argv=None):
     model, _, remaining = common.setup_model(args.model, remaining, scale_list, is_training=False)
     common.warn_leftovers(remaining)
     model.restore(ckpt_path=args.restore_path)
+    common.maybe_use_ema(model, args)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
 

@@ -62,6 +62,8 @@ def main(argv=None):
                         help="Steps per fused device call: uploads the whole uint8 dataset to HBM once and runs sampling+augmentation+optimizer inside one jit (0 = host pipeline). Requires the dataset to fit in HBM.")
     parser.add_argument("--global_step", type=int, default=0,
                         help="Initial global step. Specify this to resume the training.")
+    common.add_ema_decay_flag(parser)
+    common.add_dp_train_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -69,7 +71,7 @@ def main(argv=None):
 
     dataloader, loader_args, remaining = common.setup_loader(args.dataloader, remaining, scale_list)
     model, model_args, remaining = common.setup_model(
-        args.model, remaining, scale_list, is_training=True, global_step=args.global_step
+        args.model, remaining, scale_list, is_training=True, global_step=args.global_step, ema_decay=args.ema_decay
     )
     model.async_checkpoints = bool(args.async_checkpoint)
     model.orbax_checkpoints = bool(args.orbax_checkpoint)
@@ -82,6 +84,8 @@ def main(argv=None):
     if restore_path is not None:
         model.restore(ckpt_path=restore_path, target=args.restore_target)
         print("restored the model")
+
+    common.maybe_dp_train(model, args)
 
     summary_writers = {
         scale: SummaryWriter(os.path.join(args.train_path, "x%d" % scale))

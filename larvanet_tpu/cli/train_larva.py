@@ -77,6 +77,8 @@ def main(argv=None):
                         help="Emit a jax.profiler device trace into this directory (new; TPU-native observability).")
     parser.add_argument("--global_step", type=int, default=0,
                         help="Initial global step.")
+    common.add_ema_decay_flag(parser)
+    common.add_dp_train_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -92,7 +94,7 @@ def main(argv=None):
     )
 
     model, model_args, remaining = common.setup_model(
-        args.model, remaining, scale_list, is_training=True, global_step=args.global_step
+        args.model, remaining, scale_list, is_training=True, global_step=args.global_step, ema_decay=args.ema_decay
     )
     model.async_checkpoints = bool(args.async_checkpoint)
     model.orbax_checkpoints = bool(args.orbax_checkpoint)
@@ -106,6 +108,8 @@ def main(argv=None):
     if restore_path is not None:
         model.restore(ckpt_path=restore_path, target=args.restore_target)
         print("restored the model")
+
+    common.maybe_dp_train(model, args)
 
     summary = SummaryWriter(os.path.join(args.train_path, "x%d" % scale_list[0]))
     dump_arguments_json(os.path.join(args.train_path, "arguments.json"), args, loader_args, model_args)

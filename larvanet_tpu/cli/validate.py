@@ -74,6 +74,8 @@ def main(argv=None):
     parser.add_argument("--report_json", type=str,
                         help="Write per-image and mean PSNRs to this JSON file "
                              "(used by tools/protocol_parity.py).")
+    parser.add_argument("--ema", type=int, default=0,
+                        help="Serve the EMA weights from a --ema_decay checkpoint.")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -84,6 +86,7 @@ def main(argv=None):
     common.warn_leftovers(remaining)
 
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+    common.maybe_use_ema(model, args)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
     common.maybe_int8_trunk(model, args, lambda: common.int8_calib_batch(

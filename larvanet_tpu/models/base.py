@@ -25,7 +25,7 @@ TPU redesign:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -100,18 +100,86 @@ def nhwc_to_chw_numpy(batch: jax.Array) -> np.ndarray:
     return np.asarray(batch).transpose(0, 3, 1, 2)
 
 
-def make_optimizer(kind: str, weight_decay: Optional[float] = None) -> optax.GradientTransformation:
-    """torch-parity Adam/AdamW with runtime-injected learning rate."""
-    if kind == "adam":
-        return optax.inject_hyperparams(optax.adam)(
-            learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8
-        )
-    if kind == "adamw":
-        wd = 0.01 if weight_decay is None else weight_decay
+class EmaState(NamedTuple):
+    """param_ema's state: the exponential moving average of the params."""
+
+    ema: Any
+
+
+def param_ema(decay: float) -> optax.GradientTransformation:
+    """Parameter EMA as an optax transform (the `--ema_decay` training
+    flag): updates pass through unchanged; the state tracks
+    ema <- decay*ema + (1-decay)*new_params after every optimizer step.
+
+    Living inside opt_state, the average threads through every existing
+    jitted step, the device pipeline's fori_loop, gradient accumulation,
+    the GSPMD dp step, and checkpoints with ZERO signature changes —
+    the TPU-native way to add averaged-weights serving (standard SR
+    competition practice; the reference has no equivalent). Serve with
+    `--ema` on the eval CLIs (SRModel.use_ema_params)."""
+
+    def init_fn(params):
+        # explicit copies: the train step donates BOTH params and
+        # opt_state, so the average must not alias the param buffers
+        return EmaState(ema=jax.tree_util.tree_map(
+            lambda p: jnp.array(p, copy=True), params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("param_ema requires params")
+        new_params = optax.apply_updates(params, updates)
+        d = jnp.asarray(decay, jnp.float32)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: (d * e.astype(jnp.float32)
+                          + (1.0 - d) * p.astype(jnp.float32)).astype(e.dtype),
+            state.ema, new_params)
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def find_ema(opt_state):
+    """The EmaState.ema subtree inside an optimizer state, or None
+    (namedtuples are tuples, so this walks chain/inject wrappers)."""
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    if isinstance(opt_state, tuple):
+        for el in opt_state:
+            found = find_ema(el)
+            if found is not None:
+                return found
+    return None
+
+
+def make_optimizer(kind: str, weight_decay: Optional[float] = None,
+                   ema_decay: float = 0.0) -> optax.GradientTransformation:
+    """torch-parity Adam/AdamW with runtime-injected learning rate;
+    ema_decay > 0 chains a parameter EMA (param_ema). With ema_decay=0
+    the optimizer state structure is EXACTLY the historical one, so old
+    checkpoints stay restorable."""
+    wd = 0.01 if weight_decay is None else weight_decay
+    if kind not in ("adam", "adamw"):
+        raise ValueError("unknown optimizer %r" % (kind,))
+    if not ema_decay:
+        # historical structure, bit-for-bit: keeps every pre-EMA
+        # checkpoint's opt_state restorable
+        if kind == "adam":
+            return optax.inject_hyperparams(optax.adam)(
+                learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8
+            )
         return optax.inject_hyperparams(optax.adamw)(
             learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd
         )
-    raise ValueError("unknown optimizer %r" % (kind,))
+
+    def with_ema(learning_rate, b1=0.9, b2=0.999, eps=1e-8):
+        inner = (optax.adam(learning_rate, b1=b1, b2=b2, eps=eps)
+                 if kind == "adam"
+                 else optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                                  weight_decay=wd))
+        return optax.chain(inner, param_ema(ema_decay))
+
+    return optax.inject_hyperparams(with_ema)(
+        learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8)
 
 
 class SRModel:
@@ -182,7 +250,9 @@ class SRModel:
         self.params = variables["params"]
 
         if is_training:
-            self.tx = make_optimizer(self.optimizer_kind)
+            self.tx = make_optimizer(
+                self.optimizer_kind,
+                ema_decay=float(getattr(self, "ema_decay", 0.0) or 0.0))
             self.opt_state = self.tx.init(self.params)
             self._train_jit = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._fwd_jit = jax.jit(self._forward_impl)
@@ -330,6 +400,12 @@ class SRModel:
         }
         if self.opt_state is not None:
             state["opt_state"] = self.opt_state
+            ema = find_ema(self.opt_state)
+            if ema is not None:
+                # also top-level, so eval-time restores (opt_state is None
+                # there) can serve the averaged weights without knowing the
+                # optimizer's state structure
+                state["ema_params"] = ema
         return state
 
     def _load_state_dict(self, state: Dict[str, Any], strict: bool = True) -> None:
@@ -349,8 +425,29 @@ class SRModel:
             self.params = serialization.from_state_dict(self.params, merged)
         self.global_step = int(state.get("global_step", self.global_step))
         self.total_volume = float(state.get("total_volume", self.total_volume))
+        self._restored_ema = state.get("ema_params")
         if self.opt_state is not None and "opt_state" in state:
-            self.opt_state = serialization.from_state_dict(self.opt_state, serialization.to_state_dict(state["opt_state"]))
+            try:
+                self.opt_state = serialization.from_state_dict(
+                    self.opt_state, serialization.to_state_dict(state["opt_state"]))
+            except (KeyError, ValueError) as exc:
+                raise ValueError(
+                    "optimizer state in the checkpoint does not match this "
+                    "run's optimizer — --ema_decay must be consistent across "
+                    "a resumed run (on: EMA state present; off: absent). "
+                    "Original error: %s" % (exc,)) from exc
+
+    def use_ema_params(self) -> None:
+        """Swap the restored EMA average into self.params (`--ema` on the
+        eval CLIs). Call right after restore and BEFORE any fast-path
+        routing that bakes weights (collapsed tail, int8 calibration)."""
+        ema = self._restored_ema if getattr(self, "_restored_ema", None) is not None \
+            else find_ema(self.opt_state)
+        if ema is None:
+            raise ValueError(
+                "checkpoint has no EMA weights — train with --ema_decay")
+        self.params = serialization.from_state_dict(
+            self.params, serialization.to_state_dict(ema))
 
     def checkpoint_name(self) -> str:
         return "model_%d.ckpt" % (self.global_step,)
