@@ -47,6 +47,16 @@ def enable_compile_cache() -> Optional[str]:
                 return std
             if jax.config.jax_compilation_cache_dir:
                 return jax.config.jax_compilation_cache_dir
+            # Forced-CPU runs (tests, the driver's virtual-mesh dryrun)
+            # skip the default cache: XLA:CPU AOT entries bake host
+            # machine features and reloading them risks SIGILL on a
+            # feature mismatch (observed warnings); the cache's value is
+            # the minutes-long remote TPU compiles anyway. Explicit
+            # LVT_COMPILE_CACHE still opts in.
+            platforms = (getattr(jax.config, "jax_platforms", None)
+                         or os.environ.get("JAX_PLATFORMS", ""))
+            if "cpu" in str(platforms or ""):
+                return None
             path = os.path.join(os.path.expanduser("~"), ".cache",
                                 "larvanet_tpu", "xla")
         jax.config.update("jax_compilation_cache_dir", path)
