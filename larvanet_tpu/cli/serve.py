@@ -99,49 +99,29 @@ class ArtifactService:
     export a smaller artifact for small inputs instead."""
 
     def __init__(self, path: str, tile: bool, tile_overlap: int = 24):
-        from larvanet_tpu.utils.aot import load_artifact
+        from larvanet_tpu.utils.aot import ArtifactModel
 
-        serve_fn, header = load_artifact(path)
-        import jax
-
-        self._raw = jax.jit(serve_fn)
-        self.header = header
-        self.scale = int(header["scale"])
-        n, h, w, _ = header["input_shape"]
-        self._shape = (n, h, w)
+        self.model = ArtifactModel(path)
+        self.header = self.model.header
+        self.scale = self.model.scale
         self.mode = "tile" if tile else "direct"
         self.tiler = None
         if tile:
+            h, w = self.model.height, self.model.width
             if h != w:
                 raise ValueError("--tile_forward over an artifact needs a "
                                  "square exported geometry, got %dx%d" % (h, w))
-            self.tiler = TiledUpscaler(self._fixed_batch, scale=self.scale,
+            self.tiler = TiledUpscaler(self.model.fwd_runtime, scale=self.scale,
                                        tile_size=h, overlap=tile_overlap,
-                                       max_batch=max(n, 16))
+                                       max_batch=max(self.model.batch, 16))
         self._lock = threading.Lock()
         self.num_requests = 0
         self.total_device_s = 0.0
         self.ready = False
 
-    def _fixed_batch(self, batch: np.ndarray) -> np.ndarray:
-        """Run an arbitrary-size NHWC tile batch through the fixed-batch
-        artifact (chunk + zero-pad to the exported N)."""
-        n, h, w = self._shape
-        if batch.shape[1:3] != (h, w):
-            raise ValueError(
-                "frame smaller than the exported %dx%d tile — export a "
-                "smaller artifact for sub-tile inputs (spatial zero-padding "
-                "would not be exact for these models)" % (h, w))
-        outs = []
-        for i in range(0, len(batch), n):
-            chunk = np.asarray(batch[i:i + n], np.float32)
-            if len(chunk) < n:
-                pad = np.zeros((n - len(chunk),) + chunk.shape[1:], np.float32)
-                outs.append(np.asarray(self._raw(
-                    np.concatenate([chunk, pad])))[: len(chunk)])
-            else:
-                outs.append(np.asarray(self._raw(chunk)))
-        return np.concatenate(outs)
+    @property
+    def _shape(self):
+        return (self.model.batch, self.model.height, self.model.width)
 
     def upscale_chw(self, img_chw: np.ndarray) -> np.ndarray:
         with self._lock:
@@ -149,17 +129,14 @@ class ArtifactService:
             if self.mode == "tile":
                 out = self.tiler.upscale_chw(img_chw)
             else:
-                n, h, w = self._shape
-                hwc = np.asarray(img_chw, np.float32).transpose(1, 2, 0)
-                if hwc.shape[:2] != (h, w):
+                h, w = self.model.height, self.model.width
+                if np.asarray(img_chw).shape[1:] != (h, w):
                     raise ValueError(
                         "artifact serves %dx%d inputs (got %dx%d); start with "
                         "--tile_forward for arbitrary sizes"
-                        % (h, w, hwc.shape[0], hwc.shape[1]))
-                batch = np.concatenate(
-                    [hwc[None], np.zeros((n - 1, h, w, 3), np.float32)]) \
-                    if n > 1 else hwc[None]
-                out = np.asarray(self._raw(batch))[0].transpose(2, 0, 1)
+                        % (h, w, np.asarray(img_chw).shape[1],
+                           np.asarray(img_chw).shape[2]))
+                out = self.model.upscale([img_chw])[0]
             self.total_device_s += time.perf_counter() - t0
             self.num_requests += 1
             return out

@@ -26,8 +26,8 @@ from larvanet_tpu.eval.tiling import TiledUpscaler, upscale_with_chop_forward
 def main(argv=None):
     parser = argparse.ArgumentParser()
     common.add_common_flags(parser, default_loader="div2k_val_loader", default_model="edsr")
-    parser.add_argument("--restore_path", type=str, required=True,
-                        help="Checkpoint path to be restored.")
+    parser.add_argument("--restore_path", type=str, default=None,
+                        help="Checkpoint path to be restored (or --artifact).")
     parser.add_argument("--restore_target", type=str,
                         help="Target of the restoration.")
     parser.add_argument("--restore_global_step", type=int, default=0,
@@ -76,22 +76,55 @@ def main(argv=None):
                              "(used by tools/protocol_parity.py).")
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="Validate a StableHLO serving artifact "
+                             "(cli/export.py --stablehlo) instead of a "
+                             "checkpoint — the challenge protocol runs "
+                             "against THE FILE production deploys. Images "
+                             "must match the exported geometry, or pass "
+                             "--tile_forward (tile size auto-set).")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
     dataloader, _, remaining = common.setup_loader(args.dataloader, remaining, scale_list)
-    model, _, remaining = common.setup_model(
-        args.model, remaining, scale_list, is_training=False, global_step=args.restore_global_step
-    )
-    common.warn_leftovers(remaining)
+    if args.artifact:
+        from larvanet_tpu.utils.aot import ArtifactModel
 
-    model.restore(ckpt_path=args.restore_path, target=args.restore_target)
-    common.maybe_use_ema(model, args)
-    print("restored the model")
-    common.maybe_collapse_tail(model, args)
-    common.maybe_int8_trunk(model, args, lambda: common.int8_calib_batch(
-        dataloader, scale_list[0], args.int8_calib_images))
-    common.maybe_spatial_shard(model, args, scale_list[0])
+        for flag in ("chop_forward", "self_ensemble", "int8_trunk",
+                     "spatial_shard", "ema", "dp_devices"):
+            if getattr(args, flag, 0):
+                raise SystemExit("--%s does not apply to --artifact "
+                                 "validation (the graph is baked into the "
+                                 "file)" % flag)
+        model = ArtifactModel(args.artifact)
+        common.warn_leftovers(remaining)
+        if scale_list != [model.scale]:
+            raise SystemExit("artifact is x%d; pass --scales %d"
+                             % (model.scale, model.scale))
+        if args.tile_forward:
+            if model.height != model.width:
+                raise SystemExit("--tile_forward needs a square exported "
+                                 "geometry (got %dx%d)"
+                                 % (model.height, model.width))
+            args.tile_size = model.height  # the artifact's one shape
+        print("validating serving artifact %s (%s; input %s)"
+              % (args.artifact, model.header.get("path_desc", ""),
+                 model.header.get("input_shape")))
+    else:
+        if not args.restore_path:
+            raise SystemExit("pass --restore_path (checkpoint) or --artifact")
+        model, _, remaining = common.setup_model(
+            args.model, remaining, scale_list, is_training=False, global_step=args.restore_global_step
+        )
+        common.warn_leftovers(remaining)
+
+        model.restore(ckpt_path=args.restore_path, target=args.restore_target)
+        common.maybe_use_ema(model, args)
+        print("restored the model")
+        common.maybe_collapse_tail(model, args)
+        common.maybe_int8_trunk(model, args, lambda: common.int8_calib_batch(
+            dataloader, scale_list[0], args.int8_calib_images))
+        common.maybe_spatial_shard(model, args, scale_list[0])
     if args.dp_devices > 1:
         import jax
 

@@ -96,6 +96,59 @@ def save_artifact(path: str, exported, header: dict) -> None:
         f.write(payload)
 
 
+class ArtifactModel:
+    """Duck-typed stand-in for an SRModel's forward surface, backed by a
+    serving artifact: `fwd_runtime(batch NHWC)` (chunks/zero-pads the
+    batch dim to the exported N) and `upscale(input_list, scale)` (the
+    reference's CHW float32 host contract). Lets cli/validate.py run the
+    challenge protocol against THE DEPLOYED FILE — the artifact is what
+    production serves, so it is what should be validated. Spatial dims
+    must match the exported geometry (direct) or come from the tiler
+    (tile size = exported H=W); sub-geometry inputs raise (spatial
+    zero-padding would not be exact for these models)."""
+
+    def __init__(self, path: str):
+        import jax
+
+        serve, header = load_artifact(path)
+        self._serve = jax.jit(serve)
+        self.header = header
+        self.registry_name = header.get("model", "artifact")
+        self.scale = int(header["scale"])
+        n, h, w, _ = header["input_shape"]
+        self.batch, self.height, self.width = int(n), int(h), int(w)
+
+    def fwd_runtime(self, batch) -> np.ndarray:
+        batch = np.asarray(batch, np.float32)
+        if batch.shape[1:3] != (self.height, self.width):
+            raise ValueError(
+                "artifact was exported for %dx%d inputs, got %dx%d — larger "
+                "frames should tile at the exported size; frames smaller "
+                "than the exported geometry need a smaller artifact (spatial "
+                "zero-padding would not be exact for these models)"
+                % (self.height, self.width, batch.shape[1], batch.shape[2]))
+        n = self.batch
+        outs = []
+        for i in range(0, len(batch), n):
+            chunk = batch[i:i + n]
+            if len(chunk) < n:
+                pad = np.zeros((n - len(chunk),) + chunk.shape[1:], np.float32)
+                outs.append(np.asarray(self._serve(
+                    np.concatenate([chunk, pad])))[: len(chunk)])
+            else:
+                outs.append(np.asarray(self._serve(chunk)))
+        return np.concatenate(outs)
+
+    def upscale(self, input_list, scale=None):
+        if scale is not None and int(scale) != self.scale:
+            raise ValueError("artifact is x%d, requested x%s"
+                             % (self.scale, scale))
+        batch = np.stack([np.asarray(im, np.float32).transpose(1, 2, 0)
+                          for im in input_list])
+        out = self.fwd_runtime(batch)
+        return [o.transpose(2, 0, 1) for o in out]
+
+
 def load_artifact(path: str):
     """Returns (callable, header). The callable takes one NHWC float32
     array of exactly the exported shape and returns the SR output; it is

@@ -133,3 +133,41 @@ def test_export_cli_stablehlo(tmp_path):
     live = np.asarray(jax.jit(
         lambda p, v: live_fwd(p, v).astype(jnp.float32))(model.params, x))
     np.testing.assert_array_equal(np.asarray(serve(x)), live)
+
+
+def test_validate_artifact_matches_checkpoint_validate(tmp_path):
+    """cli/validate --artifact: the challenge protocol against the
+    deployed file gives the same PSNR as validating the checkpoint."""
+    from larvanet_tpu.cli import export as export_cli
+    from larvanet_tpu.cli import validate as validate_cli
+    from larvanet_tpu.data.io import save_image_hwc
+
+    rng = np.random.default_rng(7)
+    for i in range(2):
+        hr = np.asarray(rng.uniform(0, 255, (64, 64, 3)), np.float32)
+        save_image_hwc(hr, str(tmp_path / "HR" / ("%04d.png" % i)))
+        save_image_hwc(hr[::4, ::4], str(tmp_path / "LR/X4" / ("%04dx4.png" % i)))
+
+    model = _edsr(training=True)
+    model.global_step = 1
+    ckpt = model.save(str(tmp_path))
+    art = str(tmp_path / "serve.lvt")
+    export_cli.main([
+        "--model", "edsr", "--restore_path", ckpt, "--stablehlo", art,
+        "--export_batch", "1", "--export_height", "16", "--export_width", "16",
+        "--edsr_res_blocks", "2", "--edsr_conv_features", "8"])
+
+    data = ["--dataloader", "div2k_val_loader", "--scales", "4",
+            "--data_input_path", str(tmp_path / "LR"),
+            "--data_truth_path", str(tmp_path / "HR")]
+    ref = validate_cli.main(data + [
+        "--model", "edsr", "--restore_path", ckpt,
+        "--edsr_res_blocks", "2", "--edsr_conv_features", "8"])
+    got = validate_cli.main(data + ["--artifact", art])
+    assert abs(ref[4] - got[4]) < 1e-4, (ref, got)
+
+    # guarded flags refuse clearly
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="chop_forward"):
+        validate_cli.main(data + ["--artifact", art, "--chop_forward"])
