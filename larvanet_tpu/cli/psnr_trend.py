@@ -27,6 +27,9 @@ def main(argv=None):
     common.add_common_flags(parser, default_loader="div2k_val_loader", default_model="edsr")
     parser.add_argument("--restore_dir", type=str, required=True,
                         help="Directory of checkpoints to sweep (*.ckpt).")
+    parser.add_argument("--ema", type=int, default=0,
+                        help="Sweep the EMA weights of --ema_decay "
+                             "checkpoints instead of the live params.")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -42,6 +45,7 @@ def main(argv=None):
     trend = []
     for ckpt in ckpts:
         model.restore(ckpt_path=ckpt)
+        common.maybe_use_ema(model, args)
         psnr_list = []
         for idx in range(dataloader.get_num_images()):
             inp, tru, _ = dataloader.get_image_pair(image_index=idx, scale=scale)
