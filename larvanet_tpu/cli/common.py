@@ -55,7 +55,8 @@ def enable_compile_cache() -> Optional[str]:
             # LVT_COMPILE_CACHE still opts in.
             platforms = (getattr(jax.config, "jax_platforms", None)
                          or os.environ.get("JAX_PLATFORMS", ""))
-            if "cpu" in str(platforms or ""):
+            first = str(platforms or "").split(",")[0].strip().lower()
+            if first == "cpu":  # forced-CPU; "tpu,cpu" fallback lists stay cached
                 return None
             path = os.path.join(os.path.expanduser("~"), ".cache",
                                 "larvanet_tpu", "xla")

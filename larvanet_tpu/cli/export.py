@@ -72,6 +72,10 @@ def main(argv=None):
                         help="Comma-separated lowering platforms for the "
                              "artifact (e.g. 'tpu,cpu'); default = current "
                              "backend.")
+    parser.add_argument("--ema", type=int, default=0,
+                        help="Export the EMA weights of a --ema_decay "
+                             "checkpoint (bakes the +dB averaged weights "
+                             "into the .pth / artifact).")
     args, remaining = parser.parse_known_args(argv)
     if not args.output and not args.stablehlo:
         raise SystemExit("nothing to do: pass --output (.pth) and/or "
@@ -97,6 +101,7 @@ def main(argv=None):
     if ckpt is None:
         raise SystemExit("no checkpoint found to export")
     model.restore(ckpt)
+    common.maybe_use_ema(model, args)
     print("restored the model")
 
     if args.output:

@@ -319,6 +319,13 @@ def main(argv=None):
     args, remaining = parser.parse_known_args(argv)
 
     if args.artifact:
+        for flag in ("chop_forward", "int8_trunk", "spatial_shard",
+                     "dp_devices", "ema"):
+            if getattr(args, flag, 0):
+                raise SystemExit("--%s does not apply to --artifact serving "
+                                 "(the graph and weights are baked into the "
+                                 "file; re-export with the right options)"
+                                 % flag)
         common.warn_leftovers(remaining)
         service = ArtifactService(args.artifact, tile=args.tile_forward,
                                   tile_overlap=args.tile_overlap)

@@ -151,6 +151,22 @@ def find_ema(opt_state):
     return None
 
 
+def find_ema_in_state_dict(sd):
+    """The EMA average inside a SERIALIZED opt_state (flax to_state_dict
+    renders EmaState as a single-key {"ema": tree} dict), or None. Lets
+    eval-side restores — where no live opt_state exists to give the
+    structure — serve the averaged weights without the checkpoint
+    duplicating the tree top-level."""
+    if isinstance(sd, dict):
+        if set(sd.keys()) == {"ema"}:
+            return sd["ema"]
+        for v in sd.values():
+            found = find_ema_in_state_dict(v)
+            if found is not None:
+                return found
+    return None
+
+
 def make_optimizer(kind: str, weight_decay: Optional[float] = None,
                    ema_decay: float = 0.0) -> optax.GradientTransformation:
     """torch-parity Adam/AdamW with runtime-injected learning rate;
@@ -400,12 +416,6 @@ class SRModel:
         }
         if self.opt_state is not None:
             state["opt_state"] = self.opt_state
-            ema = find_ema(self.opt_state)
-            if ema is not None:
-                # also top-level, so eval-time restores (opt_state is None
-                # there) can serve the averaged weights without knowing the
-                # optimizer's state structure
-                state["ema_params"] = ema
         return state
 
     def _load_state_dict(self, state: Dict[str, Any], strict: bool = True) -> None:
@@ -425,7 +435,11 @@ class SRModel:
             self.params = serialization.from_state_dict(self.params, merged)
         self.global_step = int(state.get("global_step", self.global_step))
         self.total_volume = float(state.get("total_volume", self.total_volume))
-        self._restored_ema = state.get("ema_params")
+        # "ema_params" kept for checkpoints written by an interim build
+        self._restored_ema = (state.get("ema_params")
+                              or find_ema_in_state_dict(
+                                  serialization.to_state_dict(
+                                      state.get("opt_state", {}))))
         if self.opt_state is not None and "opt_state" in state:
             try:
                 self.opt_state = serialization.from_state_dict(

@@ -152,3 +152,29 @@ def test_ema_train_cli_and_validate_ema(tmp_path):
     m.use_ema_params()
     out = m.upscale(input_list=[np.zeros((3, 8, 8), np.float32)], scale=4)[0]
     assert out.shape == (3, 32, 32)
+
+
+def test_export_ema_artifact(tmp_path):
+    """cli/export --ema bakes the averaged weights into the artifact."""
+    from larvanet_tpu.cli import export as export_cli
+    from larvanet_tpu.utils import aot
+
+    m = _model(ema_decay=0.9)
+    rng = np.random.default_rng(9)
+    for _ in range(2):
+        xs, ys = _batch(rng)
+        m.train_step(xs, 4, ys, summary=None)
+    m.global_step = 2
+    ckpt = m.save(str(tmp_path))
+
+    for flag, name in ([], "raw.lvt"), (["--ema", "1"], "ema.lvt"):
+        export_cli.main(["--model", "edsr", "--restore_path", ckpt,
+                         "--stablehlo", str(tmp_path / name),
+                         "--export_batch", "1", "--export_height", "8",
+                         "--export_width", "8"] + TINY + flag)
+    raw_serve, _ = aot.load_artifact(str(tmp_path / "raw.lvt"))
+    ema_serve, _ = aot.load_artifact(str(tmp_path / "ema.lvt"))
+    x = np.asarray(np.random.default_rng(10).uniform(0, 255, (1, 8, 8, 3)),
+                   np.float32)
+    assert float(np.max(np.abs(np.asarray(raw_serve(x))
+                               - np.asarray(ema_serve(x))))) > 0
