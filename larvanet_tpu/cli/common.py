@@ -157,6 +157,27 @@ def maybe_use_ema(model, args) -> None:
         print("serving the EMA weights (--ema)")
 
 
+def add_serving_dtype_flag(parser) -> None:
+    parser.add_argument("--serving_dtype", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="Compute dtype of the exact packed inference "
+                             "graphs. f32 (default) = the challenge-protocol "
+                             "parity configuration; bf16 = the throughput "
+                             "configuration BASELINE.md measures (~2x on the "
+                             "MXU's native path; NOT bit-identical to f32 — "
+                             "validate on your eval set).")
+
+
+def apply_serving_dtype(model, args) -> None:
+    """Record the CLI's --serving_dtype on the model BEFORE any fast-path
+    routing builds (the packed mixins and maybe_collapse_tail read it via
+    models/base.serving_compute_dtype)."""
+    model.serving_dtype = getattr(args, "serving_dtype", "f32")
+    if model.serving_dtype == "bf16":
+        print("inference compute dtype: bfloat16 (throughput configuration; "
+              "not bit-identical to f32)")
+
+
 def maybe_collapse_tail(model, args) -> None:
     """Route the model's jitted forward through the collapsed linear tail
     — and, when --packed_trunk (default on), the width-packed trunk —
@@ -174,16 +195,19 @@ def maybe_collapse_tail(model, args) -> None:
         model._packed_infer = None
         model._packed_all = None
         model._packed_cache = None
+    from larvanet_tpu.models.base import serving_compute_dtype
+
+    dtype = serving_compute_dtype(model)
     if getattr(args, "packed_trunk", 1) and model_name.startswith(("LarvaNet", "LarvaLeg")):
         from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
 
-        model._fwd_jit = jax.jit(make_packed_larvanet_forward(model))
+        model._fwd_jit = jax.jit(make_packed_larvanet_forward(model, dtype=dtype))
         print("inference: width-packed trunk enabled")
         return
     if getattr(args, "packed_trunk", 1) and model_name == "mamnet":
         from larvanet_tpu.ops.packed_trunk import make_packed_mamnet_forward
 
-        model._fwd_jit = jax.jit(make_packed_mamnet_forward(model))
+        model._fwd_jit = jax.jit(make_packed_mamnet_forward(model, dtype=dtype))
         print("inference: width-packed trunk + collapsed tail enabled")
         return
     if not getattr(args, "collapsed_tail", 0):
@@ -193,12 +217,12 @@ def maybe_collapse_tail(model, args) -> None:
     if getattr(args, "packed_trunk", 1):
         from larvanet_tpu.ops.packed_trunk import make_packed_edsr_forward
 
-        model._fwd_jit = jax.jit(make_packed_edsr_forward(model))
+        model._fwd_jit = jax.jit(make_packed_edsr_forward(model, dtype=dtype))
         print("inference: width-packed trunk + collapsed linear tail enabled")
     else:
         from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
 
-        model._fwd_jit = jax.jit(make_collapsed_edsr_forward(model))
+        model._fwd_jit = jax.jit(make_collapsed_edsr_forward(model, dtype=dtype))
         print("inference: collapsed linear tail enabled")
 
 

@@ -76,6 +76,11 @@ def main(argv=None):
                         help="Export the EMA weights of a --ema_decay "
                              "checkpoint (bakes the +dB averaged weights "
                              "into the .pth / artifact).")
+    parser.add_argument("--export_dtype", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="Artifact compute dtype: f32 = parity; bf16 = "
+                             "the ~2x TPU throughput configuration "
+                             "BASELINE.md measures (NOT bit-identical).")
     args, remaining = parser.parse_known_args(argv)
     if not args.output and not args.stablehlo:
         raise SystemExit("nothing to do: pass --output (.pth) and/or "
@@ -127,7 +132,8 @@ def main(argv=None):
             model, shape, packed_trunk=bool(args.packed_trunk),
             collapsed_tail=bool(args.collapsed_tail),
             int8_trunk=bool(args.int8_trunk), calib=calib,
-            platforms=platforms)
+            platforms=platforms,
+            dtype="bfloat16" if args.export_dtype == "bf16" else "float32")
         save_artifact(args.stablehlo, exported, header)
         print("exported serving artifact %s (%s; input %s; platforms %s)"
               % (args.stablehlo, header["path_desc"], shape,

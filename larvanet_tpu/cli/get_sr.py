@@ -57,6 +57,7 @@ def main(argv=None):
                              "use with --tile_forward; 0 = off).")
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
+    common.add_serving_dtype_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -68,6 +69,7 @@ def main(argv=None):
     common.warn_leftovers(remaining)
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
     common.maybe_use_ema(model, args)
+    common.apply_serving_dtype(model, args)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
 

@@ -40,6 +40,7 @@ def main(argv=None):
                              "on the first input; NOT float-exact, ~-0.06 dB measured).")
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
+    common.add_serving_dtype_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -57,6 +58,7 @@ def main(argv=None):
         model.restore(ckpt_path=args.restore_path, target=args.restore_target)
         common.maybe_use_ema(model, args)
         print("restored the model")
+    common.apply_serving_dtype(model, args)
     common.maybe_collapse_tail(model, args)
     if args.int8_trunk:
         if dataloader is not None:

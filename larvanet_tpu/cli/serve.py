@@ -236,6 +236,7 @@ def build_service(args, remaining) -> SRService:
     common.warn_leftovers(remaining)
     model.restore(ckpt_path=args.restore_path, target=args.restore_target)
     common.maybe_use_ema(model, args)
+    common.apply_serving_dtype(model, args)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
 
@@ -316,6 +317,7 @@ def main(argv=None):
     parser.add_argument("--dp_devices", type=int, default=0)
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
+    common.add_serving_dtype_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     if args.artifact:

@@ -83,6 +83,7 @@ def main(argv=None):
                              "against THE FILE production deploys. Images "
                              "must match the exported geometry, or pass "
                              "--tile_forward (tile size auto-set).")
+    common.add_serving_dtype_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -120,6 +121,7 @@ def main(argv=None):
 
         model.restore(ckpt_path=args.restore_path, target=args.restore_target)
         common.maybe_use_ema(model, args)
+        common.apply_serving_dtype(model, args)
         print("restored the model")
         common.maybe_collapse_tail(model, args)
         common.maybe_int8_trunk(model, args, lambda: common.int8_calib_batch(

@@ -39,6 +39,21 @@ from flax import serialization
 from larvanet_tpu.train.losses import l1_loss, multi_exit_l1, robust_sqrt_loss  # noqa: F401
 
 
+def serving_compute_dtype(model):
+    """Compute dtype for the packed inference graphs: float32 by default
+    (the challenge-protocol parity configuration — ≤7e-5 dB vs the
+    reference), bfloat16 when the eval CLI was given
+    `--serving_dtype bf16` (the THROUGHPUT configuration bench.py
+    measures: the packed conv runs ~2x faster on the MXU's native
+    bf16 path). Set as a model attribute by cli/common before the
+    fast-path routing builds."""
+    import jax.numpy as jnp
+
+    return (jnp.bfloat16
+            if getattr(model, "serving_dtype", "f32") == "bf16"
+            else jnp.float32)
+
+
 def add_qat_flag(parser):
     """Training-graph flags for every packed family:
 

@@ -206,7 +206,9 @@ class _EBRNRMPackedMixin:
         if getattr(self, attr, None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_rm_forward
 
-            setattr(self, attr, make_packed_ebrn_rm_forward(self, qat=qat))
+            from larvanet_tpu.models.base import serving_compute_dtype
+            setattr(self, attr, make_packed_ebrn_rm_forward(
+                self, dtype=serving_compute_dtype(self), qat=qat))
         return getattr(self, attr)
 
     def _forward_impl(self, params, x):
@@ -235,7 +237,9 @@ class _EBRNPackedMixin:
         if getattr(self, "_packed_cache", None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_ebrn_forward
 
-            self._packed_cache = make_packed_ebrn_forward(self)
+            from larvanet_tpu.models.base import serving_compute_dtype
+            self._packed_cache = make_packed_ebrn_forward(
+                self, dtype=serving_compute_dtype(self))
         return self._packed_cache
 
     def _forward_impl(self, params, x):

@@ -77,7 +77,9 @@ class _IMDNPackedMixin:
         if getattr(self, "_packed_cache", None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_imdn_forward
 
-            self._packed_cache = make_packed_imdn_forward(self)
+            from larvanet_tpu.models.base import serving_compute_dtype
+            self._packed_cache = make_packed_imdn_forward(
+                self, dtype=serving_compute_dtype(self))
         return self._packed_cache
 
     def _forward_impl(self, params, x):

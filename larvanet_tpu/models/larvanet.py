@@ -308,7 +308,9 @@ class LarvaNetBase(SRModel):
             if getattr(self, "_packed_infer", None) is None:
                 from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
 
-                self._packed_infer = make_packed_larvanet_forward(self)
+                from larvanet_tpu.models.base import serving_compute_dtype
+                self._packed_infer = make_packed_larvanet_forward(
+                    self, dtype=serving_compute_dtype(self))
             return self._packed_infer(params, x)
         exits = getattr(self.args, "leg", None) if self.has_early_exit else None
         if exits is not None:

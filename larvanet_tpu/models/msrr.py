@@ -166,7 +166,9 @@ class _PackedTrunkMixin:
             from larvanet_tpu.ops.packed_trunk import make_packed_msrr_forward
 
             try:
-                setattr(self, attr, make_packed_msrr_forward(self, qat=qat))
+                from larvanet_tpu.models.base import serving_compute_dtype
+                setattr(self, attr, make_packed_msrr_forward(
+                    self, dtype=serving_compute_dtype(self), qat=qat))
             except ValueError:
                 setattr(self, attr, False)
         return getattr(self, attr) or None

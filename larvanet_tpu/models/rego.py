@@ -135,7 +135,9 @@ class _REGOPackedMixin:
         if getattr(self, attr, None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_rego_forward
 
-            setattr(self, attr, make_packed_rego_forward(self, qat=qat))
+            from larvanet_tpu.models.base import serving_compute_dtype
+            setattr(self, attr, make_packed_rego_forward(
+                self, dtype=serving_compute_dtype(self), qat=qat))
         return getattr(self, attr)
 
     def _forward_impl(self, params, x):

@@ -143,7 +143,9 @@ class TreeNet(SRModel):
         if getattr(self, attr, None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_treenet_forward
 
-            setattr(self, attr, make_packed_treenet_forward(self, qat=qat))
+            from larvanet_tpu.models.base import serving_compute_dtype
+            setattr(self, attr, make_packed_treenet_forward(
+                self, dtype=serving_compute_dtype(self), qat=qat))
         return getattr(self, attr)
 
     def _forward_impl(self, params, x):

@@ -171,3 +171,27 @@ def test_validate_artifact_matches_checkpoint_validate(tmp_path):
 
     with _pytest.raises(SystemExit, match="chop_forward"):
         validate_cli.main(data + ["--artifact", art, "--chop_forward"])
+
+
+def test_bf16_export_dtype(tmp_path):
+    """--export_dtype bf16 lowers the throughput configuration: output
+    close to (but not bitwise) the f32 artifact."""
+    from larvanet_tpu.cli import export as export_cli
+
+    model = _edsr(training=True)
+    model.global_step = 1
+    ckpt = model.save(str(tmp_path))
+    outs = {}
+    for d in ("f32", "bf16"):
+        path = str(tmp_path / ("%s.lvt" % d))
+        export_cli.main(["--model", "edsr", "--restore_path", ckpt,
+                         "--stablehlo", path, "--export_batch", "1",
+                         "--export_height", "16", "--export_width", "16",
+                         "--export_dtype", d,
+                         "--edsr_res_blocks", "2", "--edsr_conv_features", "8"])
+        serve, header = aot.load_artifact(path)
+        assert header["dtype"] == ("bfloat16" if d == "bf16" else "float32")
+        x = _batch(np.random.default_rng(11))
+        outs[d] = np.asarray(serve(x))
+    diff = float(np.max(np.abs(outs["f32"] - outs["bf16"])))
+    assert 0 < diff < 2.0, diff  # bf16 rounding, not garbage

@@ -200,3 +200,17 @@ def test_artifact_tiled_rejects_subtile_frames(tmp_path):
     assert service.ready
     with pytest.raises(ValueError, match="smaller than the exported"):
         service.upscale_chw(np.zeros((3, 8, 8), np.float32))
+
+
+def test_serving_dtype_bf16_cli(tmp_path):
+    """--serving_dtype bf16 routes the packed inference graphs through
+    bfloat16 (throughput config): service output close to f32's."""
+    model, ckpt = _ckpt(tmp_path)
+    outs = {}
+    for d in ("f32", "bf16"):
+        service = serve.build_service(
+            _args(ckpt, serving_dtype=d), list(TINY))
+        img = np.linspace(0, 255, 3 * 16 * 16, dtype=np.float32).reshape(3, 16, 16)
+        outs[d] = service.upscale_chw(img)
+    diff = float(np.max(np.abs(outs["f32"] - outs["bf16"])))
+    assert 0 < diff < 2.0, diff
