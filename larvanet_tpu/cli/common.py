@@ -244,13 +244,17 @@ INT8_BUILDERS = {
 def int8_and_exact_forwards(model, model_name, calib):
     """Build the (int8, exact) forward pair for a model family, or raise
     ValueError when the family has no int8 path / the config cannot be
-    quantized (depthwise, V2 tails, ...)."""
+    quantized (depthwise, V2 tails, ...). The exact forward (odd-width
+    fallback and the --int8_report reference) honors --serving_dtype so
+    per-frame parity doesn't silently switch compute dtypes."""
+    from larvanet_tpu.models.base import serving_compute_dtype
     from larvanet_tpu.ops import packed_trunk
 
     for prefixes, (int8_name, exact_name) in INT8_BUILDERS.items():
         if model_name in prefixes or model_name.startswith(prefixes):
             int8_fwd = getattr(packed_trunk, int8_name)(model, calib)
-            exact_fwd = getattr(packed_trunk, exact_name)(model)
+            exact_fwd = getattr(packed_trunk, exact_name)(
+                model, dtype=serving_compute_dtype(model))
             return int8_fwd, exact_fwd
     raise ValueError("no int8 path for model %r" % (model_name,))
 

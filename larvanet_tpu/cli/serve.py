@@ -86,7 +86,7 @@ class SRService:
         }
 
 
-class ArtifactService:
+class ArtifactService(SRService):
     """Serve from a StableHLO artifact (cli/export.py --stablehlo): no
     model zoo, no checkpoint restore, no graph build — load_artifact +
     one compile. Direct mode requires requests of exactly the exported
@@ -101,72 +101,41 @@ class ArtifactService:
     def __init__(self, path: str, tile: bool, tile_overlap: int = 24):
         from larvanet_tpu.utils.aot import ArtifactModel
 
-        self.model = ArtifactModel(path)
-        self.header = self.model.header
-        self.scale = self.model.scale
-        self.mode = "tile" if tile else "direct"
-        self.tiler = None
+        model = ArtifactModel(path)
+        self.header = model.header
+        tiler = None
         if tile:
-            h, w = self.model.height, self.model.width
+            h, w = model.height, model.width
             if h != w:
                 raise ValueError("--tile_forward over an artifact needs a "
                                  "square exported geometry, got %dx%d" % (h, w))
-            self.tiler = TiledUpscaler(self.model.fwd_runtime, scale=self.scale,
-                                       tile_size=h, overlap=tile_overlap,
-                                       max_batch=max(self.model.batch, 16))
-        self._lock = threading.Lock()
-        self.num_requests = 0
-        self.total_device_s = 0.0
-        self.ready = False
-
-    @property
-    def _shape(self):
-        return (self.model.batch, self.model.height, self.model.width)
-
-    def upscale_chw(self, img_chw: np.ndarray) -> np.ndarray:
-        with self._lock:
-            t0 = time.perf_counter()
-            if self.mode == "tile":
-                out = self.tiler.upscale_chw(img_chw)
-            else:
-                h, w = self.model.height, self.model.width
-                if np.asarray(img_chw).shape[1:] != (h, w):
-                    raise ValueError(
-                        "artifact serves %dx%d inputs (got %dx%d); start with "
-                        "--tile_forward for arbitrary sizes"
-                        % (h, w, np.asarray(img_chw).shape[1],
-                           np.asarray(img_chw).shape[2]))
-                out = self.model.upscale([img_chw])[0]
-            self.total_device_s += time.perf_counter() - t0
-            self.num_requests += 1
-            return out
+            tiler = TiledUpscaler(model.fwd_runtime, scale=model.scale,
+                                  tile_size=h, overlap=tile_overlap,
+                                  max_batch=max(model.batch, 16))
+        # ArtifactModel duck-types the SRModel serving surface, so the
+        # lock/counters/request plumbing is SRService's, not a copy
+        super().__init__(model, model.scale, "tile" if tile else "direct",
+                         tiler=tiler)
 
     def warmup(self, height: int, width: int) -> None:
         # warm with the exported geometry regardless of --warmup_size: the
         # artifact has exactly one compiled shape (and the tiler's
         # small-frame path must never see a sub-tile canvas)
-        height = max(height, self._shape[1])
-        width = max(width, self._shape[2])
         if self.mode == "direct":
-            height, width = self._shape[1], self._shape[2]
-        dummy = np.zeros((3, height, width), np.float32)
-        self.upscale_chw(dummy)
-        self.num_requests = 0
-        self.total_device_s = 0.0
-        self.ready = True
+            height, width = self.model.height, self.model.width
+        else:
+            height = max(height, self.model.height)
+            width = max(width, self.model.width)
+        super().warmup(height, width)
 
     def info(self) -> dict:
-        mean_s = self.total_device_s / self.num_requests if self.num_requests else 0.0
-        return {
-            "model": self.header.get("model", ""),
-            "scale": self.scale,
-            "mode": "artifact-" + self.mode,
-            "path_desc": self.header.get("path_desc", ""),
-            "input_shape": self.header.get("input_shape"),
-            "ready": self.ready,
-            "num_requests": self.num_requests,
-            "mean_device_seconds": round(mean_s, 6),
-        }
+        out = super().info()
+        out.update(
+            mode="artifact-" + self.mode,
+            path_desc=self.header.get("path_desc", ""),
+            input_shape=self.header.get("input_shape"),
+        )
+        return out
 
 
 def png_to_chw(data: bytes) -> np.ndarray:
@@ -328,6 +297,12 @@ def main(argv=None):
                                  "(the graph and weights are baked into the "
                                  "file; re-export with the right options)"
                                  % flag)
+        if getattr(args, "serving_dtype", "f32") != "f32":
+            raise SystemExit("--serving_dtype does not apply to --artifact "
+                             "serving (the compute dtype was baked at export "
+                             "— use cli/export.py --export_dtype)")
+        if args.restore_path:
+            raise SystemExit("pass --restore_path OR --artifact, not both")
         common.warn_leftovers(remaining)
         service = ArtifactService(args.artifact, tile=args.tile_forward,
                                   tile_overlap=args.tile_overlap)
@@ -345,7 +320,8 @@ def main(argv=None):
 
     httpd = make_server(service, args.host, args.port)
     print("serving %s on http://%s:%d" % (
-        args.model, httpd.server_address[0], httpd.server_address[1]))
+        service.info().get("model") or args.model,
+        httpd.server_address[0], httpd.server_address[1]))
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

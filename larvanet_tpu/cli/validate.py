@@ -97,6 +97,12 @@ def main(argv=None):
                 raise SystemExit("--%s does not apply to --artifact "
                                  "validation (the graph is baked into the "
                                  "file)" % flag)
+        if getattr(args, "serving_dtype", "f32") != "f32":
+            raise SystemExit("--serving_dtype does not apply to --artifact "
+                             "validation (the compute dtype was baked at "
+                             "export — use cli/export.py --export_dtype)")
+        if args.restore_path:
+            raise SystemExit("pass --restore_path OR --artifact, not both")
         model = ArtifactModel(args.artifact)
         common.warn_leftovers(remaining)
         if scale_list != [model.scale]:

@@ -450,11 +450,17 @@ class SRModel:
             self.params = serialization.from_state_dict(self.params, merged)
         self.global_step = int(state.get("global_step", self.global_step))
         self.total_volume = float(state.get("total_volume", self.total_volume))
-        # "ema_params" kept for checkpoints written by an interim build
-        self._restored_ema = (state.get("ema_params")
-                              or find_ema_in_state_dict(
-                                  serialization.to_state_dict(
-                                      state.get("opt_state", {}))))
+        # Eval-side restores (no live opt_state) keep the EMA subtree for
+        # use_ema_params; training resumes read it from opt_state instead,
+        # so don't pin a params-sized host copy for the whole run.
+        # ("ema_params" kept for checkpoints written by an interim build.)
+        if self.opt_state is None:
+            self._restored_ema = (state.get("ema_params")
+                                  or find_ema_in_state_dict(
+                                      serialization.to_state_dict(
+                                          state.get("opt_state", {}))))
+        else:
+            self._restored_ema = None
         if self.opt_state is not None and "opt_state" in state:
             try:
                 self.opt_state = serialization.from_state_dict(

@@ -110,10 +110,23 @@ class MAMNet(SRModel):
                                  "loss/grad-equivalent, removes the 256-ch PixelShuffle "
                                  "transposes from fwd+bwd; ops/packed_trunk.py). "
                                  "0 = plain module graph.")
+        parser.add_argument("--qat", type=int, default=0,
+                            help="UNSUPPORTED for mamnet (declared so the flag "
+                                 "errors instead of vanishing as a leftover): "
+                                 "mamnet trains the plain trunk — the packed "
+                                 "training graph is a measured 5.7x regression "
+                                 "— so there are no packed pairs to fake-"
+                                 "quantize. Use post-training int8 with the "
+                                 "--int8_report guardrail.")
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
     def prepare(self, is_training, scales, global_step=0, seed=0):
+        if is_training and getattr(self.args, "qat", 0):
+            raise ValueError(
+                "--qat is unsupported for mamnet (plain-trunk training; no "
+                "packed pairs to fake-quantize) — serve post-training int8 "
+                "behind cli/validate.py --int8_report instead")
         self._packed_train = None
         self._collapsed_train = None
         super().prepare(is_training, scales, global_step=global_step, seed=seed)

@@ -123,9 +123,10 @@ class ArtifactModel:
         if batch.shape[1:3] != (self.height, self.width):
             raise ValueError(
                 "artifact was exported for %dx%d inputs, got %dx%d — larger "
-                "frames should tile at the exported size; frames smaller "
-                "than the exported geometry need a smaller artifact (spatial "
-                "zero-padding would not be exact for these models)"
+                "frames should run --tile_forward at the exported size; "
+                "frames smaller than the exported geometry need a smaller "
+                "artifact (spatial zero-padding would not be exact for "
+                "these models)"
                 % (self.height, self.width, batch.shape[1], batch.shape[2]))
         n = self.batch
         outs = []

@@ -12,9 +12,11 @@ import jax.numpy as jnp
 from larvanet_tpu.cli import common
 
 
-def _restore(old_dir, old_min):
+def _restore(old_dir, old_min, old_entry=None):
     jax.config.update("jax_compilation_cache_dir", old_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)
+    if old_entry is not None:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", old_entry)
 
 
 def test_env_path_and_disable(tmp_path, monkeypatch):
@@ -34,6 +36,7 @@ def test_env_path_and_disable(tmp_path, monkeypatch):
 def test_compiles_land_in_cache(tmp_path, monkeypatch):
     old_dir = jax.config.jax_compilation_cache_dir
     old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    old_entry = jax.config.jax_persistent_cache_min_entry_size_bytes
     try:
         monkeypatch.setenv("LVT_COMPILE_CACHE", str(tmp_path))
         common.enable_compile_cache()
@@ -51,4 +54,4 @@ def test_compiles_land_in_cache(tmp_path, monkeypatch):
         f(np.ones((64, 64), np.float32)).block_until_ready()
         assert len(os.listdir(tmp_path)) >= 1
     finally:
-        _restore(old_dir, old_min)
+        _restore(old_dir, old_min, old_entry)

@@ -77,14 +77,16 @@ def train_family(name, flags, steps, lrs, hrs, scale=4, batch=16, patch=24,
         [a.astype(np.uint8) for a in lrs],
         [h[: l.shape[0] * scale, : l.shape[1] * scale] for l, h in zip(lrs, hrs)],
         scale)
+    if qat and qat_finetune_steps:
+        # the exact-then-finetune recipe: converge exactly first, then a
+        # fake-quant fine-tune. Flip the flag BEFORE building the train fn
+        # so phase 1 is exact by construction, not by jit's lazy-trace
+        # timing. (Measured: from-scratch QAT costs real exact PSNR —
+        # LarvaNet -0.73 dB at 2000 steps; fine-tunes are delta-neutral —
+        # BASELINE.md QAT table.)
+        model.args.qat = 0
     fn = make_device_train_fn(model, pipe, batch_size=batch, patch=patch,
                               steps_per_call=chunk_steps)
-    if qat and qat_finetune_steps:
-        # the PRODUCTION QAT recipe: converge exactly first, then a short
-        # fake-quant fine-tune — from-scratch QAT measured real exact-PSNR
-        # damage on these 2000-step soaks (LarvaNet -0.73 dB) while the
-        # fine-tune keeps exact-level quality AND closes the int8 gap.
-        model.args.qat = 0
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     loss = None
