@@ -294,6 +294,22 @@ class DIV2KTrainLoaderTensor(PairLoader):
 
     always_cached = True
 
+    def parse_args(self, args):
+        ns, remaining = super().parse_args(args)
+        # the reference's tensor loader uniquely names its paths
+        # --train_input_path/--train_truth_path (div2k_train_loader_
+        # tensor.py:24-27); accept them as aliases so a migrated
+        # train_schedule_tensor command line works verbatim
+        alias = argparse.ArgumentParser()
+        alias.add_argument("--train_input_path", type=str, default=None)
+        alias.add_argument("--train_truth_path", type=str, default=None)
+        extra, remaining = parse_known(alias, remaining)
+        if extra.train_input_path:
+            ns.data_input_path = extra.train_input_path
+        if extra.train_truth_path:
+            ns.data_truth_path = extra.train_truth_path
+        return ns, remaining
+
     def prepare(self, scales):
         super().prepare(scales)
         for s in self.dataset.scale_list:
