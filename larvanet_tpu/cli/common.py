@@ -111,6 +111,50 @@ def add_ema_decay_flag(parser) -> None:
                              "CLIs serve it with --ema. 0 = off.")
 
 
+def add_widen_flag(parser) -> None:
+    parser.add_argument("--widen_from", type=str, default=None,
+                        help="Warm-start this (wider) model from a trained "
+                             "narrower checkpoint of the SAME topology — "
+                             "e.g. LarvaNet_w64 from a LarvaNet 48ch run. "
+                             "Function-preserving net2net widening "
+                             "(utils/width_transfer.py); optimizer starts "
+                             "fresh. Mutually exclusive with --restore_path.")
+
+
+def maybe_widen_from(model, args) -> None:
+    """Apply --widen_from: embed a narrower checkpoint's params into the
+    prepared (wider) model, function-preservingly. Call after prepare,
+    instead of restore."""
+    ckpt = getattr(args, "widen_from", None)
+    if not ckpt:
+        return
+    if getattr(args, "restore_path", None):
+        raise SystemExit("--widen_from and --restore_path are mutually "
+                         "exclusive (widening IS the warm start)")
+    import os
+
+    from flax import serialization
+
+    from larvanet_tpu.utils.width_transfer import widen_params
+
+    if ckpt.endswith((".pth", ".pt")):
+        raise SystemExit("--widen_from takes a framework checkpoint (.ckpt "
+                         "or orbax dir); restore the .pth into its own-width "
+                         "model and save it first")
+    if os.path.isdir(ckpt):
+        import orbax.checkpoint as ocp
+
+        state = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
+    else:
+        with open(ckpt, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+    model.params = widen_params(state["params"], model.params)
+    if model.opt_state is not None:
+        model.opt_state = model.tx.init(model.params)  # fresh moments
+    print("warm-started by widening %s into %s (function-preserving; "
+          "optimizer reset)" % (ckpt, model.registry_name))
+
+
 def add_dp_train_flag(parser) -> None:
     parser.add_argument("--dp_devices", type=int, default=0,
                         help="Train data-parallel over this many devices: the "

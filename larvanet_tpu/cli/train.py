@@ -64,6 +64,7 @@ def main(argv=None):
                         help="Initial global step. Specify this to resume the training.")
     common.add_ema_decay_flag(parser)
     common.add_dp_train_flag(parser)
+    common.add_widen_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -77,6 +78,8 @@ def main(argv=None):
     model.orbax_checkpoints = bool(args.orbax_checkpoint)
     model.grad_accum = args.grad_accum
     common.warn_leftovers(remaining)
+
+    common.maybe_widen_from(model, args)
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path
 

@@ -79,6 +79,7 @@ def main(argv=None):
                         help="Initial global step.")
     common.add_ema_decay_flag(parser)
     common.add_dp_train_flag(parser)
+    common.add_widen_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -101,6 +102,8 @@ def main(argv=None):
     model.grad_accum = args.grad_accum
     common.warn_leftovers(remaining)
     model.volume_per_step = args.input_patch_size ** 2 * args.batch_size * 3
+
+    common.maybe_widen_from(model, args)
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path
 

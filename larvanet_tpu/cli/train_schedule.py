@@ -67,6 +67,7 @@ def main(argv=None):
     parser.add_argument("--global_step", type=int, default=0)
     common.add_ema_decay_flag(parser)
     common.add_dp_train_flag(parser)
+    common.add_widen_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -87,6 +88,8 @@ def main(argv=None):
     model.orbax_checkpoints = bool(args.orbax_checkpoint)
     model.grad_accum = args.grad_accum
     common.warn_leftovers(remaining)
+
+    common.maybe_widen_from(model, args)
 
     from larvanet_tpu.utils.checkpoints import resolve_restore_path
 
