@@ -19,25 +19,38 @@ execution.
 vs_baseline divides by the frozen PyTorch-GPU estimate in BASELINE.md
 (1.5 LR-MP/s for EDSR-b x4 on a V100-class card; the reference repo
 publishes no numbers — BASELINE.md documents the derivation).
+
+Outage resilience (round-2 lesson: BENCH_r02.json was a traceback
+because the axon tunnel wedged and a single unguarded jax.devices()
+hung): this script is now a two-layer program. The top layer imports
+NO jax — it probes backend health in bounded throwaway subprocesses
+(retrying up to $LVT_BENCH_INIT_WAIT seconds, default 600), then runs
+the real benchmark as a watchdogged worker subprocess
+($LVT_BENCH_TOTAL_TIMEOUT, default 2400 s, one retry). Whatever hangs
+or crashes, the top layer still prints exactly ONE JSON line — on
+failure {"metric", "value": 0.0, ..., "error": reason} — and exits 0
+so the round artifact is always parseable.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
-
 BASELINE_GPU_MPS = 1.5  # see BASELINE.md "reference throughput estimate"
+
+_PROBE_CODE = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
 
 
 def log(*a):
     print(*a, file=sys.stderr)
+    sys.stderr.flush()
 
 
-def main():
+def _parse_args(argv):
     import argparse
 
     parser = argparse.ArgumentParser()
@@ -58,9 +71,115 @@ def main():
     parser.add_argument("--int8_trunk", type=int, default=0,
                         help="Opt-in W8A8 quantized trunk for EDSR (316 TOPS on v5e; "
                              "statically calibrated, NOT float-exact — see ops/packed_trunk.py).")
-    args, model_flags = parser.parse_known_args()
+    parser.add_argument("--_worker", action="store_true",
+                        help=argparse.SUPPRESS)
+    return parser.parse_known_args(argv)
 
+
+def _probe_backend(timeout):
+    """Run jax.devices() in a throwaway subprocess with a hard timeout.
+
+    The axon tunnel's observed failure mode is an indefinite hang inside
+    backend init, which no in-process guard can interrupt — hence the
+    subprocess. Overridable via $LVT_BENCH_PROBE_CMD for the failure-path
+    test (tests/test_bench_resilience.py).
+    """
+    code = os.environ.get("LVT_BENCH_PROBE_CMD", _PROBE_CODE)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return False, "probe timeout after %ds" % timeout
+    if r.returncode == 0 and r.stdout.strip():
+        return True, r.stdout.strip()
+    tail = (r.stderr or "").strip().splitlines()
+    return False, tail[-1] if tail else "probe failed (rc=%d)" % r.returncode
+
+
+def _wait_for_backend(total_wait, probe_timeout):
+    deadline = time.monotonic() + total_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        ok, info = _probe_backend(min(probe_timeout, max(20, int(remaining))))
+        if ok:
+            log("backend probe ok (attempt %d): %s" % (attempt, info))
+            return True
+        log("backend probe failed (attempt %d, %.0fs left): %s"
+            % (attempt, max(0, deadline - time.monotonic()), info))
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(min(30, max(1, deadline - time.monotonic())))
+
+
+def _emit_failure(args, reason):
+    print(json.dumps({
+        "metric": "%s_x%d_inference_throughput" % (args.model, args.scale),
+        "value": 0.0,
+        "unit": "LR_megapixels/sec/chip",
+        "vs_baseline": 0.0,
+        "error": reason,
+    }))
+    sys.stdout.flush()
+
+
+def main():
+    """Orchestrator: probe, then run the worker under a watchdog.
+
+    Never raises; always prints exactly one JSON line on stdout and
+    exits 0 so the driver's BENCH artifact is parseable even when the
+    TPU tunnel is wedged (the round-2 failure mode).
+    """
+    args, _ = _parse_args(sys.argv[1:])
+    if args._worker:
+        return _worker_main(sys.argv[1:])
+
+    init_wait = float(os.environ.get("LVT_BENCH_INIT_WAIT", "600"))
+    probe_timeout = float(os.environ.get("LVT_BENCH_PROBE_TIMEOUT", "240"))
+    total_timeout = float(os.environ.get("LVT_BENCH_TOTAL_TIMEOUT", "2400"))
+
+    if not _wait_for_backend(init_wait, probe_timeout):
+        _emit_failure(args, "backend unavailable (init probes failed for %.0fs)"
+                      % init_wait)
+        return
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--_worker"] + sys.argv[1:]
+    last_err = "unknown"
+    for trial in (1, 2):
+        try:
+            r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
+                               timeout=total_timeout)
+        except subprocess.TimeoutExpired:
+            last_err = "worker timeout after %.0fs (trial %d)" % (total_timeout, trial)
+            log(last_err)
+            continue
+        line = (r.stdout or "").strip().splitlines()
+        if r.returncode == 0 and line:
+            print(line[-1])
+            sys.stdout.flush()
+            return
+        last_err = "worker rc=%d (trial %d)" % (r.returncode, trial)
+        log(last_err)
+    _emit_failure(args, last_err)
+
+
+def _worker_main(argv):
+    args, model_flags = _parse_args(argv)
+    model_flags = [f for f in model_flags if f != "--_worker"]
+
+    import numpy as np
     import jax
+
+    if os.environ.get("LVT_BENCH_FORCE_CPU"):
+        # hermetic test hook: the ambient axon plugin ignores
+        # JAX_PLATFORMS, so tests force CPU via jax.config before
+        # backend init (CLAUDE.md gotcha)
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     # importing cli.common enables the persistent compile cache (its
