@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import io as _stdio
 import json
+import sys
 import threading
 import time
 
@@ -155,8 +156,11 @@ def chw_to_png(img_chw: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def make_server(service: SRService, host: str, port: int):
+def make_server(service: SRService, host: str, port: int,
+                max_body_mb: int = 64):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    max_body = int(max_body_mb) * 1024 * 1024
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str):
@@ -184,11 +188,24 @@ def make_server(service: SRService, host: str, port: int):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._send(400, b"bad request", "text/plain")
+                return
+            if length > max_body:
+                # don't trust a client-declared size into one read()
+                # (advisor r2: memory exhaustion from a single request)
+                self._send(413, ("request body exceeds %d MiB limit"
+                                 % max_body_mb).encode(), "text/plain")
+                return
+            try:
                 img = png_to_chw(self.rfile.read(length))
                 out = service.upscale_chw(img)
                 self._send(200, chw_to_png(out), "image/png")
             except Exception as exc:  # malformed input must not kill the server
-                self._send(400, ("bad request: %s" % exc).encode(), "text/plain")
+                # log server-side; never echo internals to the client
+                print("serve: request failed: %r" % (exc,), file=sys.stderr)
+                self._send(400, b"bad request: could not decode or process "
+                                b"the image", "text/plain")
 
         def log_message(self, fmt, *a):  # quiet per-request stderr spam
             pass
@@ -268,6 +285,8 @@ def main(argv=None):
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080,
                         help="0 picks an ephemeral port (printed at startup).")
+    parser.add_argument("--max_body_mb", type=int, default=64,
+                        help="Reject request bodies above this size with 413.")
     parser.add_argument("--warmup_size", type=str, default="128x128",
                         help="WxH compiled + executed before serving traffic.")
     parser.add_argument("--chop_forward", action="store_true")
@@ -318,7 +337,8 @@ def main(argv=None):
     service.warmup(h, w)
     print("ready")
 
-    httpd = make_server(service, args.host, args.port)
+    httpd = make_server(service, args.host, args.port,
+                        max_body_mb=args.max_body_mb)
     print("serving %s on http://%s:%d" % (
         service.info().get("model") or args.model,
         httpd.server_address[0], httpd.server_address[1]))

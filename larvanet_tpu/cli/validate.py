@@ -148,6 +148,15 @@ def main(argv=None):
     int8_report = args.int8_report and hasattr(model, "_int8_exact_jit")
     if args.int8_report and not int8_report:
         print("--int8_report: int8 trunk is not active; nothing to report")
+    if int8_report and (args.chop_forward or args.tile_forward):
+        # the exact-side forward below runs full-frame; under tiling the
+        # reported delta would conflate seam error with quantization
+        # error, and the full-frame compile defeats the point of tiling
+        # (advisor r2)
+        raise SystemExit(
+            "--int8_report requires direct (non-tiled) forwards: drop "
+            "--chop_forward/--tile_forward so the int8-vs-exact delta "
+            "measures quantization alone")
 
     print("begin validation")
     num_images = dataloader.get_num_images()

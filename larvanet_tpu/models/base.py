@@ -538,17 +538,34 @@ class SRModel:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
-        if os.path.exists(path):  # orbax refuses to overwrite
-            import shutil
-
-            shutil.rmtree(path)
+        if os.path.isfile(path):
+            # a prior non-orbax run left a msgpack FILE at this name
+            # (advisor r2: rmtree would raise NotADirectoryError)
+            os.unlink(path)
         if getattr(self, "async_checkpoints", False):
+            # orbax refuses to overwrite, and the async writer's
+            # completion point is unknown here — remove-first is the
+            # only ordering; wait_for_checkpoints() surfaces failures
+            if os.path.isdir(path):
+                import shutil
+
+                shutil.rmtree(path)
             if getattr(self, "_orbax_async", None) is None:
                 self._orbax_async = ocp.AsyncCheckpointer(
                     ocp.PyTreeCheckpointHandler())
             self._orbax_async.save(path, state)
         else:
-            ocp.PyTreeCheckpointer().save(path, state)
+            # never delete the existing checkpoint before the new one is
+            # durable: write to a temp name, then swap (advisor r2)
+            import shutil
+
+            tmp = path + ".tmp-new"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            ocp.PyTreeCheckpointer().save(tmp, state)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
         return path
 
     def wait_for_checkpoints(self) -> None:
@@ -591,9 +608,46 @@ class SRModel:
                 "don't know how to convert a .pth for model %r; use "
                 "utils/torch_convert manually" % (name,)
             )
-        params, skipped = torch_convert.load_pth(ckpt_path, name)
+        params, skipped, ms_overrides = torch_convert.load_pth(ckpt_path, name)
         if skipped:
             print("restore: skipped reference-only keys: %s" % (skipped,))
+        if ms_overrides:
+            # The checkpoint's frozen MeanShift convs deviate from the
+            # intended identity+bias — the reference constructor bug
+            # (models/edsr.py:131-133) leaves them RANDOM, so the model
+            # was trained around them. Install the actual affines on the
+            # module (layers.MeanShift.affine) for function parity.
+            import dataclasses
+
+            try:
+                self.module = dataclasses.replace(self.module, **ms_overrides)
+            except TypeError as e:
+                raise ValueError(
+                    "checkpoint %s carries trained (non-identity) MeanShift "
+                    "convs %s but module %s does not accept the override "
+                    "fields: %s" % (ckpt_path, sorted(ms_overrides),
+                                    type(self.module).__name__, e))
+            print("restore: installed the checkpoint's trained MeanShift "
+                  "affines on the module (%s) — the reference trains around "
+                  "its randomly-initialized frozen shifts"
+                  % ", ".join(sorted(ms_overrides)))
+            if getattr(self.args, "packed_trunk", 0):
+                # the packed/collapsed/int8 graphs bake the INTENDED
+                # +/-mean shifts (ops/packed_trunk.py), not arbitrary
+                # affines; routing them would silently change the
+                # restored function. ops/fastpath.py refuses too.
+                self.args.packed_trunk = 0
+                for attr in ("_packed_cache", "_qat_cache", "_packed_train"):
+                    if getattr(self, attr, None) is not None:
+                        setattr(self, attr, None)
+                print("restore: disabled --packed_trunk — the packed graphs "
+                      "bake the intended mean shifts, not this checkpoint's "
+                      "trained affines; running the exact module graph")
+            # the jitted closures captured the old module — rebuild them
+            self._fwd_jit = jax.jit(self._forward_impl)
+            self._val_psnr_jit = None
+            if self.is_training and getattr(self, "_train_jit", None) is not None:
+                self._train_jit = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         current = serialization.to_state_dict(self.params)
         _validate_param_shapes(current, params, strict=strict)
         if strict:

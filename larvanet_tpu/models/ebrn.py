@@ -73,10 +73,13 @@ class EBRNModule(nn.Module):
     features: int = 64
     num_brms: int = 10
     scale: int = 4
+    # trained-checkpoint MeanShift overrides (see layers.MeanShift.affine)
+    ms_affine: tuple = None
+    mis_affine: tuple = None
 
     @nn.compact
     def __call__(self, x):
-        x = MeanShift(sign=1.0)(x)
+        x = MeanShift(sign=1.0, affine=self.ms_affine)(x)
         fea = conv3x3(4 * self.features, name="fe0", in_features=3)(x)
         fea = PReLU(4 * self.features, name="fe_prelu0")(fea)
         fea = conv3x3(self.features, name="fe1", in_features=4 * self.features)(fea)
@@ -100,7 +103,7 @@ class EBRNModule(nn.Module):
         out = conv3x3(3, name="recon", in_features=self.features * self.num_brms)(
             jnp.concatenate(out_list, axis=-1)
         )
-        return MeanShift(sign=-1.0)(out)
+        return MeanShift(sign=-1.0, affine=self.mis_affine)(out)
 
 
 class EBRNRMModule(nn.Module):
@@ -110,11 +113,14 @@ class EBRNRMModule(nn.Module):
     num_brms: int = 10
     scale: int = 4
     bilinear_base: bool = False  # BLI variant: no mean-shift, + bilinear base
+    # trained-checkpoint MeanShift overrides (see layers.MeanShift.affine)
+    ms_affine: tuple = None
+    mis_affine: tuple = None
 
     @nn.compact
     def __call__(self, x):
         lrelu = get_activation("leaky_relu", 0.05)
-        inp = x if self.bilinear_base else MeanShift(sign=1.0)(x)
+        inp = x if self.bilinear_base else MeanShift(sign=1.0, affine=self.ms_affine)(x)
         fea = conv3x3(self.features, name="first_conv", in_features=3)(inp)
 
         out_list = []
@@ -142,7 +148,7 @@ class EBRNRMModule(nn.Module):
         sr = pixel_shuffle(up, self.scale)
         if self.bilinear_base:
             return sr + interpolated_base(x, self.scale, "bilinear")
-        return MeanShift(sign=-1.0)(sr)
+        return MeanShift(sign=-1.0, affine=self.mis_affine)(sr)
 
 
 class _EBRNBase(SRModel):

@@ -49,10 +49,13 @@ class IMDNModule(nn.Module):
     features: int = 64
     num_blocks: int = 8
     scale: int = 4
+    # trained-checkpoint MeanShift overrides (see layers.MeanShift.affine)
+    ms_affine: tuple = None
+    mis_affine: tuple = None
 
     @nn.compact
     def __call__(self, x):
-        x = MeanShift(sign=1.0)(x)
+        x = MeanShift(sign=1.0, affine=self.ms_affine)(x)
         x = conv3x3(self.features, name="first_conv", in_features=3)(x)
         res = x
         for i in range(self.num_blocks):
@@ -61,7 +64,7 @@ class IMDNModule(nn.Module):
         x = x + res
         x = conv3x3(3 * self.scale ** 2, name="upsample_conv", in_features=self.features)(x)
         x = pixel_shuffle(x, self.scale)
-        return MeanShift(sign=-1.0)(x)
+        return MeanShift(sign=-1.0, affine=self.mis_affine)(x)
 
 
 

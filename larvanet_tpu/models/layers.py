@@ -31,7 +31,7 @@ freshly-initialized models are statistically identical to the reference.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -139,13 +139,27 @@ class MeanShift(nn.Module):
     The reference implements this as a frozen 1x1 conv
     (models/edsr.py:129-136); since it is a constant affine map we fold
     it to a vector add — zero FLOPs, fuses into the adjacent conv.
+
+    `affine`: optional static 3x4 nested tuple (matrix | bias) that
+    REPLACES the intended shift with the full affine out = M x + b.
+    The reference's MeanShift constructor bug (edsr.py:131-133 assigns
+    `weight_data`, never `weight.data`) leaves its frozen 1x1 convs at
+    RANDOM init, so genuinely trained reference checkpoints were trained
+    around arbitrary affines; restoring such a checkpoint installs them
+    here (utils/torch_convert.extract_meanshift_overrides) — at this
+    exact pre-padding graph position, which no params-level fold can
+    reproduce at image borders.
     """
 
     sign: float = 1.0
     rgb_mean: Sequence[float] = DIV2K_RGB_MEAN
+    affine: Optional[Tuple[Tuple[float, ...], ...]] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.affine is not None:
+            mb = jnp.asarray(self.affine, dtype=x.dtype)  # (3, 4)
+            return jnp.einsum("...i,ji->...j", x, mb[:, :3]) + mb[:, 3]
         mean = jnp.asarray(self.rgb_mean, dtype=x.dtype)
         return x + self.sign * mean
 

@@ -66,10 +66,13 @@ class MAMNetModule(nn.Module):
     num_blocks: int = 16
     res_weight: float = 1.0
     scale: int = 4
+    # trained-checkpoint MeanShift overrides (see layers.MeanShift.affine)
+    ms_affine: tuple = None
+    mis_affine: tuple = None
 
     @nn.compact
     def __call__(self, x):
-        x = MeanShift(sign=1.0)(x)
+        x = MeanShift(sign=1.0, affine=self.ms_affine)(x)
         x = conv3x3(self.features, name="first_conv", in_features=3)(x)
         res = x
         for i in range(self.num_blocks):
@@ -78,7 +81,7 @@ class MAMNetModule(nn.Module):
         x = x + res
         x = UpsampleBlock(self.features, self.scale, name="upsample")(x)
         x = conv3x3(3, name="final_conv", in_features=self.features)(x)
-        return MeanShift(sign=-1.0)(x)
+        return MeanShift(sign=-1.0, affine=self.mis_affine)(x)
 
 
 class MAMNet(SRModel):

@@ -88,6 +88,9 @@ class MSRRReducedModule(nn.Module):
     base: Optional[str] = "bicubic"  # interpolate method, 'meanshift', or None
     init_style: str = "kaiming0.1"  # 'kaiming0.1' | 'default'
     depthwise: bool = False
+    # trained-checkpoint MeanShift overrides (see layers.MeanShift.affine)
+    ms_affine: tuple = None
+    mis_affine: tuple = None
 
     @nn.compact
     def __call__(self, x):
@@ -100,7 +103,7 @@ class MSRRReducedModule(nn.Module):
             block_init = None
 
         if self.base == "meanshift":
-            x_in = MeanShift(sign=1.0)(x)
+            x_in = MeanShift(sign=1.0, affine=self.ms_affine)(x)
         else:
             x_in = x
 
@@ -119,7 +122,7 @@ class MSRRReducedModule(nn.Module):
                 )(out)
         out = pixel_shuffle(out, self.scale)
         if self.base == "meanshift":
-            out = MeanShift(sign=-1.0)(out)
+            out = MeanShift(sign=-1.0, affine=self.mis_affine)(out)
         elif self.base is not None:
             out = out + interpolated_base(x, self.scale, self.base)
         return out

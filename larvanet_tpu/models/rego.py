@@ -93,13 +93,15 @@ class REGOModule(nn.Module):
     scale: int = 4
     num_regos: int = 1
     init_scale: float | None = None  # serial variant scales init by weight_scale
+    # trained-checkpoint MeanShift override (REGO has no inverse shift)
+    ms_affine: tuple = None
 
     @nn.compact
     def __call__(self, x):
         fea = conv3x3(self.features, name="feature_extraction",
                       in_features=3 if self.init_scale is None else None,
                       kernel_init=None if self.init_scale is None else kaiming_normal_scaled(self.init_scale),
-                      )(MeanShift(sign=1.0)(x))
+                      )(MeanShift(sign=1.0, affine=self.ms_affine)(x))
         for k in range(self.num_regos):
             def mk_block(i, j, k=k):
                 return RESBlock(self.features, weight=self.res_weight,

@@ -120,6 +120,35 @@ def test_unknown_path_404(server):
     assert _post(url + "/nope", b"x")[0] == 404
 
 
+def test_oversized_body_is_413_and_survives(tmp_path):
+    """--max_body_mb caps the client-declared Content-Length before the
+    body is read (advisor r2: memory exhaustion from one request); the
+    default server fixture uses the 64 MiB default, so spin a 0-MiB one."""
+    model, ckpt = _ckpt(tmp_path)
+    service = serve.build_service(_args(ckpt), list(TINY))
+    httpd = serve.make_server(service, "127.0.0.1", 0, max_body_mb=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = "http://127.0.0.1:%d" % httpd.server_address[1]
+    try:
+        code, body = _post(url + "/upscale", b"x")
+        assert code == 413 and b"exceeds" in body
+        # server alive (503 = not yet warmed, still serving)
+        assert _get(url + "/healthz")[0] in (200, 503)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_error_body_hides_internals(server):
+    """400 bodies must not echo exception internals to clients."""
+    _, _, url, _ = server
+    code, body = _post(url + "/upscale", b"\x89PNG\r\n\x1a\nbroken")
+    assert code == 400
+    assert b"Traceback" not in body and b"Error" not in body
+    assert body == b"bad request: could not decode or process the image"
+
+
 def test_tiled_mode_on_odd_frames(tmp_path):
     _, ckpt = _ckpt(tmp_path)
     service = serve.build_service(
