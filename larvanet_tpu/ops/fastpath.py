@@ -26,6 +26,16 @@ def build_fast_forward(model, dtype, packed_trunk: bool = True,
 
     name = getattr(model, "registry_name", "") or ""
 
+    module = getattr(model, "module", None)
+    if (getattr(module, "ms_affine", None) is not None
+            or getattr(module, "mis_affine", None) is not None):
+        # A restored reference checkpoint installed its trained (random
+        # frozen) MeanShift affines on the module (models/base.py); the
+        # packed/int8 builders bake the INTENDED +/-mean shifts into
+        # their fused graphs, so routing them would silently change the
+        # computed function. Run the exact module graph instead.
+        return None, None
+
     if int8_trunk:
         if calib is None:
             raise ValueError("int8_trunk requires a calibration batch")
