@@ -17,7 +17,13 @@ Endpoints:
                        as cli/get_sr.py:100-105: chop / tiled / direct)
 
 Concurrency: ThreadingHTTPServer; PNG decode/encode run concurrently,
-the device forward is serialized by a lock (one accelerator). Large or
+the device forward is serialized by a lock (one accelerator). The lock
+queue is BOUNDED (--max_queue): once that many requests are already
+waiting on the device, new ones get an immediate 503 + Retry-After
+instead of stretching the tail — a loaded SR server should shed, not
+queue, because every queued frame waits a full device pass. /info
+reports p50/p95/p99 device and queue-wait latencies over a sliding
+window (docs/SERVING.md "Concurrency and tail latency"). Large or
 variable frame sizes should use --tile_forward so every request reuses
 the single compiled tile shape.
 """
@@ -25,6 +31,7 @@ the single compiled tile shape.
 from __future__ import annotations
 
 import argparse
+import collections
 import io as _stdio
 import json
 import sys
@@ -38,52 +45,116 @@ from larvanet_tpu.data import io
 from larvanet_tpu.eval.tiling import TiledUpscaler, upscale_with_chop_forward
 
 
+class ServerBusy(RuntimeError):
+    """Raised when --max_queue requests are already waiting on the device."""
+
+
+def _percentiles(values, qs=(50, 95, 99)):
+    if not values:
+        return {("p%d" % q): 0.0 for q in qs}
+    s = sorted(values)
+    out = {}
+    for q in qs:
+        idx = min(len(s) - 1, max(0, int(round(q / 100.0 * (len(s) - 1)))))
+        out["p%d" % q] = round(s[idx], 6)
+    return out
+
+
 class SRService:
-    """Checkpoint-loaded model + routed forward, shared by HTTP threads."""
+    """Checkpoint-loaded model + routed forward, shared by HTTP threads.
+
+    One device => one in-flight forward (self._lock). The queue of
+    threads waiting on that lock is bounded by max_queue: beyond it,
+    upscale_chw raises ServerBusy, which the HTTP layer turns into an
+    immediate 503 + Retry-After (load shedding beats unbounded queueing
+    for tail latency — each queued frame waits a full device pass).
+    Per-request device and queue-wait latencies land in a sliding
+    window for the /info percentiles."""
 
     def __init__(self, model, scale: int, mode: str, tiler=None,
-                 chop_overlap: int = 20):
+                 chop_overlap: int = 20, max_queue: int = 32,
+                 latency_window: int = 1024):
         self.model = model
         self.scale = scale
         self.mode = mode  # "direct" | "tile" | "chop"
         self.tiler = tiler
         self.chop_overlap = chop_overlap
-        self._lock = threading.Lock()
+        self.max_queue = int(max_queue)
+        self._lock = threading.Lock()         # serializes the device
+        self._stats = threading.Lock()        # guards counters + window
+        self._waiting = 0
         self.num_requests = 0
+        self.num_rejected = 0
         self.total_device_s = 0.0
+        self._lat_device = collections.deque(maxlen=latency_window)
+        self._lat_wait = collections.deque(maxlen=latency_window)
         self.ready = False
 
+    def _forward(self, img_chw: np.ndarray) -> np.ndarray:
+        if self.mode == "chop":
+            return upscale_with_chop_forward(
+                self.model, img_chw, self.scale, self.chop_overlap)
+        if self.mode == "tile":
+            return self.tiler.upscale_chw(img_chw)
+        return self.model.upscale(input_list=[img_chw], scale=self.scale)[0]
+
     def upscale_chw(self, img_chw: np.ndarray) -> np.ndarray:
-        with self._lock:
-            t0 = time.perf_counter()
-            if self.mode == "chop":
-                out = upscale_with_chop_forward(
-                    self.model, img_chw, self.scale, self.chop_overlap)
-            elif self.mode == "tile":
-                out = self.tiler.upscale_chw(img_chw)
-            else:
-                out = self.model.upscale(input_list=[img_chw], scale=self.scale)[0]
-            self.total_device_s += time.perf_counter() - t0
-            self.num_requests += 1
+        with self._stats:
+            if self._waiting >= self.max_queue:
+                self.num_rejected += 1
+                raise ServerBusy(
+                    "%d requests already queued on the device (--max_queue)"
+                    % self._waiting)
+            self._waiting += 1
+        try:
+            t_q = time.perf_counter()
+            with self._lock:
+                wait_s = time.perf_counter() - t_q
+                t0 = time.perf_counter()
+                out = self._forward(img_chw)
+                dev_s = time.perf_counter() - t0
+            with self._stats:
+                self.total_device_s += dev_s
+                self.num_requests += 1
+                self._lat_device.append(dev_s)
+                self._lat_wait.append(wait_s)
             return out
+        finally:
+            with self._stats:
+                self._waiting -= 1
 
     def warmup(self, height: int, width: int) -> None:
         """Pay the XLA compile before accepting traffic."""
         dummy = np.zeros((3, height, width), np.float32)
         self.upscale_chw(dummy)
-        self.num_requests = 0
-        self.total_device_s = 0.0
+        with self._stats:
+            self.num_requests = 0
+            self.num_rejected = 0
+            self.total_device_s = 0.0
+            self._lat_device.clear()
+            self._lat_wait.clear()
         self.ready = True
 
     def info(self) -> dict:
-        mean_s = self.total_device_s / self.num_requests if self.num_requests else 0.0
+        with self._stats:
+            n = self.num_requests
+            mean_s = self.total_device_s / n if n else 0.0
+            dev = _percentiles(self._lat_device)
+            wait = _percentiles(self._lat_wait)
+            waiting = self._waiting
+            rejected = self.num_rejected
         return {
             "model": self.model.registry_name,
             "scale": self.scale,
             "mode": self.mode,
             "ready": self.ready,
-            "num_requests": self.num_requests,
+            "num_requests": n,
+            "num_rejected": rejected,
+            "queue_depth": waiting,
+            "max_queue": self.max_queue,
             "mean_device_seconds": round(mean_s, 6),
+            "device_seconds": dev,
+            "queue_wait_seconds": wait,
         }
 
 
@@ -99,7 +170,8 @@ class ArtifactService(SRService):
     border taps; the interpolated bases resample the padded canvas), so
     export a smaller artifact for small inputs instead."""
 
-    def __init__(self, path: str, tile: bool, tile_overlap: int = 24):
+    def __init__(self, path: str, tile: bool, tile_overlap: int = 24,
+                 max_queue: int = 32):
         from larvanet_tpu.utils.aot import ArtifactModel
 
         model = ArtifactModel(path)
@@ -116,7 +188,7 @@ class ArtifactService(SRService):
         # ArtifactModel duck-types the SRModel serving surface, so the
         # lock/counters/request plumbing is SRService's, not a copy
         super().__init__(model, model.scale, "tile" if tile else "direct",
-                         tiler=tiler)
+                         tiler=tiler, max_queue=max_queue)
 
     def warmup(self, height: int, width: int) -> None:
         # warm with the exported geometry regardless of --warmup_size: the
@@ -201,6 +273,16 @@ def make_server(service: SRService, host: str, port: int,
                 img = png_to_chw(self.rfile.read(length))
                 out = service.upscale_chw(img)
                 self._send(200, chw_to_png(out), "image/png")
+            except ServerBusy:
+                # shed load instead of stretching the tail: the client
+                # should back off and retry (docs/SERVING.md)
+                self.send_response(503)
+                body = b"server busy: device queue full, retry later"
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
             except Exception as exc:  # malformed input must not kill the server
                 # log server-side; never echo internals to the client
                 print("serve: request failed: %r" % (exc,), file=sys.stderr)
@@ -267,7 +349,8 @@ def build_service(args, remaining) -> SRService:
             min_batch=max(1, args.dp_devices),
         )
     return SRService(model, scale, mode, tiler=tiler,
-                     chop_overlap=args.chop_overlap_size)
+                     chop_overlap=args.chop_overlap_size,
+                     max_queue=getattr(args, "max_queue", 32))
 
 
 def main(argv=None):
@@ -287,6 +370,9 @@ def main(argv=None):
                         help="0 picks an ephemeral port (printed at startup).")
     parser.add_argument("--max_body_mb", type=int, default=64,
                         help="Reject request bodies above this size with 413.")
+    parser.add_argument("--max_queue", type=int, default=32,
+                        help="Max requests waiting on the device before new "
+                             "ones get an immediate 503 (load shedding).")
     parser.add_argument("--warmup_size", type=str, default="128x128",
                         help="WxH compiled + executed before serving traffic.")
     parser.add_argument("--chop_forward", action="store_true")
@@ -324,7 +410,8 @@ def main(argv=None):
             raise SystemExit("pass --restore_path OR --artifact, not both")
         common.warn_leftovers(remaining)
         service = ArtifactService(args.artifact, tile=args.tile_forward,
-                                  tile_overlap=args.tile_overlap)
+                                  tile_overlap=args.tile_overlap,
+                                  max_queue=args.max_queue)
         print("serving artifact %s (%s)"
               % (args.artifact, service.header.get("path_desc", "")))
     elif args.restore_path:

@@ -170,6 +170,100 @@ def test_tiled_mode_on_odd_frames(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# concurrency: N clients, bounded device queue, tail-latency stats
+# ---------------------------------------------------------------------------
+
+def test_concurrent_clients(server):
+    """8 threads x 4 requests: every response 200 and bitwise-equal to
+    the single-client answer; /info counts and percentiles populated."""
+    service, _, url, model = server
+    service.ready or service.warmup(8, 8)
+    before = service.num_requests
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 255, (3, 10, 12)).astype(np.float32)
+    png = serve.chw_to_png(img)
+    expect = np.clip(np.round(
+        model.upscale([serve.png_to_chw(png)], scale=4)[0]), 0, 255)
+
+    results = []
+
+    def client():
+        for _ in range(4):
+            results.append(_post(url + "/upscale", png))
+
+    threads = [threading.Thread(target=client) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(results) == 32
+    assert all(code == 200 for code, _ in results)
+    for _, body in results:
+        np.testing.assert_array_equal(serve.png_to_chw(body), expect)
+
+    info = json.loads(_get(url + "/info")[1])
+    assert info["num_requests"] == before + 32
+    dev = info["device_seconds"]
+    wait = info["queue_wait_seconds"]
+    assert dev["p50"] <= dev["p95"] <= dev["p99"]
+    assert wait["p50"] <= wait["p95"] <= wait["p99"]
+    assert dev["p95"] > 0  # real forwards were timed
+
+
+class _SlowModel:
+    """Duck-typed SRModel surface whose forward blocks: forces a real
+    device-lock queue so the shedding path is deterministic."""
+
+    registry_name = "slow"
+
+    def __init__(self, hold_s=0.25):
+        self.hold_s = hold_s
+
+    def upscale(self, input_list, scale):
+        import time as _t
+
+        _t.sleep(self.hold_s)
+        return [np.repeat(np.repeat(input_list[0], scale, 1), scale, 2)]
+
+
+def test_load_shedding_503():
+    """With --max_queue 1, a burst beyond one in-flight + one queued
+    request sheds with 503 + Retry-After instead of queueing unboundedly."""
+    service = serve.SRService(_SlowModel(), 4, "direct", max_queue=1)
+    service.ready = True
+    httpd = serve.make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = "http://127.0.0.1:%d" % httpd.server_address[1]
+    png = serve.chw_to_png(np.zeros((3, 4, 4), np.float32))
+    try:
+        results = []
+
+        def client():
+            results.append(_post(url + "/upscale", png))
+
+        threads = [threading.Thread(target=client) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        codes = sorted(code for code, _ in results)
+        assert codes.count(200) >= 1
+        assert codes.count(503) >= 1, codes
+        busy = [body for code, body in results if code == 503]
+        assert all(b"busy" in b for b in busy)
+        info = service.info()
+        assert info["num_rejected"] >= 1
+        assert info["max_queue"] == 1
+        # server still healthy after shedding
+        assert _get(url + "/healthz")[0] == 200
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+# ---------------------------------------------------------------------------
 # artifact serving (--artifact): no model zoo, no restore
 # ---------------------------------------------------------------------------
 
