@@ -1,0 +1,259 @@
+"""Fused H-Winograd x W-packed ResBlock — the Pallas attack on the
+1.33x packing floor (VERDICT r2 #2).
+
+The floor analysis (BASELINE.md "why the 1.33x is a real floor") binds
+any DIRECT MXU mapping of the 3x3 conv: N=128 output tiling forces
+pairing two adjacent pixels whose union support is 12 taps for 9 used.
+The escape is not a denser direct mapping but fewer true multiplies,
+WITHOUT giving up the full-width MXU tiles the packing bought:
+
+  * 1-D Winograd F(2,3) along H factors the packed kernel's kh=3 axis
+    into 4 basis taps for 2 output rows (transforms are add-only VPU
+    work);
+  * the W axis stays WIDTH-PACKED: each basis tap is a kw=2 conv at
+    2C=128 channels — full 128-wide MXU tiles, unlike 2-D Winograd
+    whose C=64 point-matmuls pad half the tile.
+
+MXU-slot accounting per output pixel (C=64):
+    direct packed trunk:        9 taps * 4/3 zeros        = 12 C^2
+    2-D Winograd F(2x2,3x3):    16 matmuls / 4 px, N=64   = 16 C^2 eff.
+    H-Winograd x packed here:   4 basis * 2 w * 4C^2 / 4  =  8 C^2
+so the kernel's compute ceiling is 12/8 = 1.5x over the measured-
+at-97%-of-peak packed trunk. (The 4/3 structural zeros survive the
+H-transform — they sit in fixed (e,d) blocks across kh — but Winograd
+cuts total slots on top of them.)
+
+Why Pallas and not plain XLA: the V/M basis tensors are 2x the
+activation size in f32; materialized in HBM they cost ~10 activation
+round-trips per conv vs direct's 2, turning a 1.5x compute win into a
+~3x bandwidth LOSS (the measured packed conv is compute-bound with only
+~1.7x headroom over its own HBM traffic). This kernel keeps the whole
+ResBlock pair — B^T transforms, 16 point matmuls, A^T inverses, bias,
+ReLU, grid1 overhang mask, residual add — in one VMEM-resident tile
+pass: HBM traffic is read h0 + write out, 1 activation unit per conv,
+compute-bound by construction.
+
+Mosaic notes (CLAUDE.md + ops/pallas_conv.py precedent):
+  * overlapping H-windows (halo 3 per tile) are fed as TWO row-shifted
+    aliases of the padded input, tiled disjointly — manual HBM slicing
+    of <128-lane channels trips the alignment rule;
+  * the lane dim is the packed 2C (=128 for EDSR): aligned by design;
+  * even/odd row splits are sublane reshapes, not strided slices.
+
+Exactness: same taps as the direct packed pair up to float summation
+order (transforms are exact +/- in f32; F(2,3) G entries are {0, 1/2,
+1}, exactly representable). Tests pin f32 agreement to the direct
+packed ResBlock at tight tolerance; serving use is opt-in like int8
+(--wino_trunk) until the TPU-measured PSNR delta is recorded.
+
+Reference trunk being accelerated: models/edsr.py:195-207 (ResBlock
+conv-relu-conv + skip), the same walk ops/packed/edsr.py runs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# F(2,3) 1-D Winograd (points {0, 1, -1, inf}): y = A^T [ (G k) * (B^T d) ]
+_G4 = np.array([[1.0, 0.0, 0.0],
+                [0.5, 0.5, 0.5],
+                [0.5, -0.5, 0.5],
+                [0.0, 0.0, 1.0]], np.float32)
+
+
+def h_transform_kernel(kp: jnp.ndarray) -> jnp.ndarray:
+    """Packed kernel (3, 2, 2C, 2C) -> H-Winograd basis (4, 2, 2C, 2C):
+    u[p, w] = sum_kh G4[p, kh] * kp[kh, w]. Float32."""
+    return jnp.einsum("pk,kwij->pwij", jnp.asarray(_G4),
+                      kp.astype(jnp.float32))
+
+
+def _bt(d0, d1, d2, d3):
+    return d0 - d2, d1 + d2, d2 - d1, d1 - d3
+
+
+def _at(m0, m1, m2):
+    # y0 = m0 + m1 + m2 ; y1 = m1 - m2 - m3 (m3 passed by caller)
+    return m0 + m1 + m2
+
+
+def _stage(xe, xo, u, bias, w_out, acc_dtype=jnp.float32):
+    """One H-Winograd packed conv on even/odd row splits.
+
+    xe, xo: (P+1, Win, 2C) even/odd rows of the (2P+2)-row input window;
+    pair p consumes rows (xe[p], xo[p], xe[p+1], xo[p+1]).
+    u: (4, 2, 2C, 2C) basis kernels; w_out: output width (Win-1 for the
+    kw=2 conv). Returns (t_even, t_odd): (P, w_out, 2C) f32 each.
+    """
+    p1, w_in, c2 = xe.shape
+    p = p1 - 1
+    v = _bt(xe[:-1], xo[:-1], xe[1:], xo[1:])  # 4 x (P, Win, 2C)
+    ms = []
+    for b in range(4):
+        acc = None
+        for e in (0, 1):
+            lhs = v[b][:, e:e + w_out, :].reshape(p * w_out, c2)
+            term = jnp.dot(lhs, u[b, e], preferred_element_type=acc_dtype)
+            acc = term if acc is None else acc + term
+        ms.append(acc.reshape(p, w_out, c2))
+    t_even = ms[0] + ms[1] + ms[2]
+    t_odd = ms[1] - ms[2] - ms[3]
+    if bias is not None:
+        t_even = t_even + bias
+        t_odd = t_odd + bias
+    return t_even, t_odd
+
+
+def _resblock_kernel(a0_ref, a6_ref, ua_ref, ub_ref, ba_ref, bb_ref,
+                     mask_ref, out_ref, *, tile_rows, w2, c2, res_weight,
+                     h_real):
+    """One (batch, row-tile) grid step of the fused pair.
+
+    a0/a6: row-shifted aliases of the H-padded input; their union is the
+    (tile_rows + 6)-row window [r0-3, r0+TR+3). All math f32 in VMEM.
+    """
+    from jax.experimental import pallas as pl
+
+    tr = tile_rows
+    xw = jnp.concatenate([a0_ref[0], a6_ref[0][tr - 6:]], axis=0)
+    xw = xw.astype(jnp.float32)                      # (TR+6, W2, 2C)
+
+    # conv_a: grid0 -> grid1, W-pad (1, 1)
+    xa = jnp.pad(xw, ((0, 0), (1, 1), (0, 0)))       # (TR+6, W2+2, 2C)
+    half = (tr + 6) // 2
+    xa = xa.reshape(half, 2, w2 + 2, c2)
+    xe, xo = xa[:, 0], xa[:, 1]                      # (TR/2+3, W2+2, 2C)
+    # t pairs cover rows [r0-2, r0+TR+2): P = TR/2 + 2
+    t_even, t_odd = _stage(xe, xo, ua_ref[...], ba_ref[...], w2 + 1)
+
+    # epilogue: ReLU + grid1 overhang mask (zero cols -1 / W as next pad)
+    mask = mask_ref[...]                             # (W2+1, 2C)
+    t_even = jnp.maximum(t_even, 0.0) * mask
+    t_odd = jnp.maximum(t_odd, 0.0) * mask
+
+    # H-boundary: conv_b's SAME padding means t rows outside the real
+    # image must be ZERO — conv_a applied to padded x would leave
+    # relu(bias) there instead. Mask by global t-row index.
+    r0 = pl.program_id(1) * tr
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (half - 1, 1, 1), 0)
+    ge = r0 - 2 + 2 * pidx                            # global even-t rows
+    t_even = t_even * ((ge >= 0) & (ge < h_real)).astype(jnp.float32)
+    t_odd = t_odd * ((ge + 1 >= 0) & (ge + 1 < h_real)).astype(jnp.float32)
+
+    # conv_b: grid1 -> grid0, W-pad (0, 0); out pair q needs t-local rows
+    # [2q+1, 2q+4] -> d = (t_odd[q], t_even[q+1], t_odd[q+1], t_even[q+2])
+    y_even, y_odd = _stage(t_odd[:-1], t_even[1:], ub_ref[...], bb_ref[...],
+                           w2)
+    # _stage pairs (xe[p], xo[p], xe[p+1], xo[p+1]); with xe := t_odd[:-1]
+    # and xo := t_even[1:], pair q reads (t_odd[q], t_even[q+1],
+    # t_odd[q+1], t_even[q+2]) — exactly the window above.
+
+    y = jnp.stack([y_even, y_odd], axis=1).reshape(tr, w2, c2)
+    if res_weight != 1.0:
+        y = y * jnp.float32(res_weight)
+    out_ref[...] = (xw[3:3 + tr] + y)[None].astype(out_ref.dtype)
+
+
+def wino_packed_resblock(h0, ka, ba, kb, bb, mask1, res_weight=1.0,
+                         tile_rows=8, interpret=False):
+    """Fused H-Winograd ResBlock on a grid0-packed tensor.
+
+    h0: (N, H, W2, 2C); ka/kb: packed (3, 2, 2C, 2C) kernels
+    (pack_kernel_a/b); ba/bb: packed (2C,) biases; mask1: (1, 1, W2+1,
+    2C) grid1 overhang mask (grid1_mask). Exactly the computation of
+    ops/packed/core.packed_resblock (act=relu) up to float summation
+    order. Even W2*2 widths only (callers fall back); any H.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w2, c2 = h0.shape
+    tr = tile_rows
+    grid_h = -(-h // tr)
+    rows = grid_h * tr
+
+    ua = h_transform_kernel(ka)
+    ub = h_transform_kernel(kb)
+    ba = jnp.asarray(ba, jnp.float32)
+    bb = jnp.asarray(bb, jnp.float32)
+    mask = jnp.asarray(mask1, jnp.float32).reshape(w2 + 1, c2)
+
+    # H halo 3 each side + bottom alignment; two shifted aliases whose
+    # blocks union to the (TR+6)-row window (ops/pallas_conv.py trick)
+    xp = jnp.pad(h0, ((0, 0), (3, 3 + rows - h), (0, 0), (0, 0)))
+    a0 = jax.lax.slice_in_dim(xp, 0, rows, axis=1)
+    a6 = jax.lax.slice_in_dim(xp, 6, 6 + rows, axis=1)
+
+    x_spec = pl.BlockSpec((1, tr, w2, c2), lambda ni, hi: (ni, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    kern = functools.partial(_resblock_kernel, tile_rows=tr, w2=w2, c2=c2,
+                             res_weight=float(res_weight), h_real=h)
+    out = pl.pallas_call(
+        kern,
+        grid=(n, grid_h),
+        in_specs=[x_spec, x_spec, full(), full(), full(), full(), full()],
+        out_specs=pl.BlockSpec((1, tr, w2, c2), lambda ni, hi: (ni, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, rows, w2, c2), h0.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * rows * w2 * 2 * (4 * 2 * c2 * c2) // 2,
+            bytes_accessed=2 * n * rows * w2 * c2 * h0.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a0, a6, ua, ub, ba, bb, mask)
+    return out[:, :h] if rows != h else out
+
+
+def wino_pallas_pair(dtype, tile_rows=8, interpret=False):
+    """exact_pair-compatible runner (ops/packed/pairs.py call shape) whose
+    'res'-kind ReLU pairs run the fused Pallas kernel. Inference only
+    (no custom VJP); other kinds/acts and odd widths raise so routing
+    falls back to the XLA packed path."""
+    from larvanet_tpu.ops.packed.core import (
+        pack_bias, pack_kernel_a, pack_kernel_b)
+
+    def pair(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
+             res_weight=1.0, mask0=None):
+        if kind != "res" or act is not jax.nn.relu or mask0 is not None:
+            raise ValueError("wino_pallas_pair supports even-width ReLU "
+                             "ResBlock pairs only")
+        return wino_packed_resblock(
+            hin,
+            pack_kernel_a(jnp.asarray(p1["kernel"], jnp.float32)),
+            pack_bias(jnp.asarray(p1["bias"], jnp.float32)),
+            pack_kernel_b(jnp.asarray(p2["kernel"], jnp.float32)),
+            pack_bias(jnp.asarray(p2["bias"], jnp.float32)),
+            mask1, res_weight=res_weight, tile_rows=tile_rows,
+            interpret=interpret,
+        ).astype(dtype)
+
+    return pair
+
+
+def make_wino_pallas_edsr_forward(model, dtype=jnp.float32, tile_rows=8,
+                                  interpret=False):
+    """EDSR inference forward: fused Pallas Winograd ResBlocks + the
+    standard packed head / after_res_conv / collapsed tail (topology in
+    ops/packed/edsr._edsr_walk, mode='baked'). Even input widths only.
+    """
+    from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
+    from larvanet_tpu.ops.packed.edsr import _edsr_walk
+
+    fast_tail = make_collapsed_edsr_forward(model, dtype=dtype).__wrapped_tail__
+    walk = _edsr_walk(model, dtype, "baked", fast_tail=fast_tail)
+    pair = wino_pallas_pair(dtype, tile_rows=tile_rows, interpret=interpret)
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("wino_trunk requires even width")
+        return walk(params, x, pair)
+
+    forward.__wrapped_tail__ = fast_tail
+    return forward

@@ -1,0 +1,109 @@
+"""Fused H-Winograd x W-packed Pallas ResBlock (ops/wino_pallas.py).
+
+Pins: exact agreement (float tolerance) with the direct packed ResBlock
+(ops/packed/core.packed_resblock) across tile boundaries, H paddings
+and res_weight; the H-boundary zero-mask (conv_b's SAME padding rows
+must be 0, not relu(bias)); and the full EDSR forward against the
+shipped packed+collapsed path. Runs the Mosaic interpreter on CPU —
+the TPU-compiled measurement lands in BASELINE.md with the bench.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from larvanet_tpu.ops.packed.core import (
+    grid1_mask, pack_bias, pack_kernel_a, pack_kernel_b, pack_w,
+    packed_resblock)
+from larvanet_tpu.ops.wino_pallas import (
+    h_transform_kernel, make_wino_pallas_edsr_forward, wino_packed_resblock)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def _pair(rng, c):
+    k1 = rng.randn(3, 3, c, c).astype(np.float32) * 0.2
+    b1 = rng.randn(c).astype(np.float32) * 0.1
+    k2 = rng.randn(3, 3, c, c).astype(np.float32) * 0.2
+    b2 = rng.randn(c).astype(np.float32) * 0.1
+    return (pack_kernel_a(jnp.asarray(k1)), pack_bias(jnp.asarray(b1)),
+            pack_kernel_b(jnp.asarray(k2)), pack_bias(jnp.asarray(b2)))
+
+
+def test_h_transform_is_winograd_g(rng):
+    """u[p] = sum_kh G[p,kh] * kp[kh]: basis 0/3 are the outer taps,
+    1/2 the half-sum/half-diff — F(2,3)'s G."""
+    kp = jnp.asarray(rng.randn(3, 2, 4, 4).astype(np.float32))
+    u = np.asarray(h_transform_kernel(kp))
+    np.testing.assert_allclose(u[0], kp[0], rtol=1e-6)
+    np.testing.assert_allclose(u[3], kp[2], rtol=1e-6)
+    np.testing.assert_allclose(u[1], 0.5 * (kp[0] + kp[1] + kp[2]), rtol=1e-5)
+    np.testing.assert_allclose(u[2], 0.5 * (kp[0] - kp[1] + kp[2]), rtol=1e-5)
+
+
+@pytest.mark.parametrize("h,tile", [(16, 8), (20, 8), (13, 8), (8, 8), (30, 16)])
+def test_matches_direct_packed_resblock(rng, h, tile):
+    """Tile boundaries, ragged last tile, odd H: all must agree with the
+    direct packed ResBlock to float tolerance."""
+    c, w = 8, 12
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    ka, ba, kb, bb = _pair(rng, c)
+    m1 = grid1_mask(w // 2 + 1, c)
+    h0 = pack_w(jnp.asarray(x))
+    ref = np.asarray(packed_resblock(h0, ka, ba, kb, bb, m1, res_weight=0.7))
+    got = np.asarray(wino_packed_resblock(h0, ka, ba, kb, bb, m1,
+                                          res_weight=0.7, tile_rows=tile,
+                                          interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_h_boundary_rows_are_same_padded(rng):
+    """The first/last output rows depend on conv_b's ZERO t-padding; a
+    kernel that lets conv_a(pad) leak relu(bias) there diverges. Large
+    biases amplify the leak, so this is a targeted trap."""
+    c, w, h = 8, 10, 8
+    x = rng.randn(1, h, w, c).astype(np.float32)
+    k1 = rng.randn(3, 3, c, c).astype(np.float32) * 0.2
+    k2 = rng.randn(3, 3, c, c).astype(np.float32) * 0.2
+    big_b = np.full(c, 7.5, np.float32)  # relu(bias) leak would be ~huge
+    ka, kb = pack_kernel_a(jnp.asarray(k1)), pack_kernel_b(jnp.asarray(k2))
+    ba = bb = pack_bias(jnp.asarray(big_b))
+    m1 = grid1_mask(w // 2 + 1, c)
+    h0 = pack_w(jnp.asarray(x))
+    ref = np.asarray(packed_resblock(h0, ka, ba, kb, bb, m1))
+    got = np.asarray(wino_packed_resblock(h0, ka, ba, kb, bb, m1,
+                                          tile_rows=8, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_edsr_forward_matches_packed(rng):
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed.edsr import make_packed_edsr_forward
+
+    m = get_model("edsr")
+    m.parse_args(["--edsr_res_blocks", "2", "--edsr_conv_features", "8",
+                  "--scales", "4"])
+    m.prepare(is_training=False, scales=[4])
+    x = rng.uniform(0, 255, (1, 18, 16, 3)).astype(np.float32)
+    ref = np.asarray(jax.jit(make_packed_edsr_forward(m))(m.params, x))
+    got = np.asarray(make_wino_pallas_edsr_forward(m, interpret=True)(
+        m.params, x))
+    # float reordering only: tight on the 0-255 output scale
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_odd_width_raises(rng):
+    from larvanet_tpu.core.registry import get_model
+
+    m = get_model("edsr")
+    m.parse_args(["--edsr_res_blocks", "1", "--edsr_conv_features", "8",
+                  "--scales", "4"])
+    m.prepare(is_training=False, scales=[4])
+    fwd = make_wino_pallas_edsr_forward(m, interpret=True)
+    with pytest.raises(ValueError, match="even width"):
+        fwd(m.params, np.zeros((1, 8, 9, 3), np.float32))
