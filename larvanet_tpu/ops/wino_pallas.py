@@ -65,11 +65,41 @@ _G4 = np.array([[1.0, 0.0, 0.0],
                 [0.5, -0.5, 0.5],
                 [0.0, 0.0, 1.0]], np.float32)
 
+# F(4,3) 1-D Winograd (points {0, +-1, +-2, inf}; Lavin construction,
+# verified exact against direct correlation to 4e-16). B^T/A^T entries
+# are small integers (VPU-exact adds/shifts); G's fractions touch only
+# the f32 weight transform outside the kernel.
+_G6 = np.array([
+    [1 / 4, 0, 0],
+    [-1 / 6, -1 / 6, -1 / 6],
+    [-1 / 6, 1 / 6, -1 / 6],
+    [1 / 24, 1 / 12, 1 / 6],
+    [1 / 24, -1 / 12, 1 / 6],
+    [0, 0, 1]], np.float32)
+_BT6 = np.array([
+    [4, 0, -5, 0, 1, 0],
+    [0, -4, -4, 1, 1, 0],
+    [0, 4, -4, -1, 1, 0],
+    [0, -2, -1, 2, 1, 0],
+    [0, 2, -1, -2, 1, 0],
+    [0, 4, 0, -5, 0, 1]], np.float32)
+_AT46 = np.array([
+    [1, 1, 1, 1, 1, 0],
+    [0, 1, -1, 2, -2, 0],
+    [0, 1, 1, 4, 4, 0],
+    [0, 1, -1, 8, -8, 1]], np.float32)
+
 
 def h_transform_kernel(kp: jnp.ndarray) -> jnp.ndarray:
     """Packed kernel (3, 2, 2C, 2C) -> H-Winograd basis (4, 2, 2C, 2C):
     u[p, w] = sum_kh G4[p, kh] * kp[kh, w]. Float32."""
     return jnp.einsum("pk,kwij->pwij", jnp.asarray(_G4),
+                      kp.astype(jnp.float32))
+
+
+def h4_transform_kernel(kp: jnp.ndarray) -> jnp.ndarray:
+    """Packed kernel (3, 2, 2C, 2C) -> F(4,3) basis (6, 2, 2C, 2C)."""
+    return jnp.einsum("pk,kwij->pwij", jnp.asarray(_G6),
                       kp.astype(jnp.float32))
 
 
@@ -211,7 +241,130 @@ def wino_packed_resblock(h0, ka, ba, kb, bb, mask1, res_weight=1.0,
     return out[:, :h] if rows != h else out
 
 
-def wino_pallas_pair(dtype, tile_rows=8, interpret=False):
+def _lincomb(coeffs, terms):
+    """Integer-coefficient linear combination, skipping zeros (VPU adds)."""
+    acc = None
+    for c, t in zip(coeffs, terms):
+        if c == 0:
+            continue
+        term = t if c == 1 else (-t if c == -1 else t * np.float32(c))
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _stage4(d, u, bias, w_out):
+    """One F(4,3) H-Winograd packed conv.
+
+    d: 6 tensors (P, Win, 2C) — per group p, input rows start-1..start+4;
+    u: (6, 2, 2C, 2C). Returns 4 per-group output-row tensors
+    (P, w_out, 2C) f32."""
+    p, w_in, c2 = d[0].shape
+    v = [_lincomb(_BT6[b], d) for b in range(6)]
+    ms = []
+    for b in range(6):
+        acc = None
+        for e in (0, 1):
+            lhs = v[b][:, e:e + w_out, :].reshape(p * w_out, c2)
+            term = jnp.dot(lhs, u[b, e], preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        ms.append(acc.reshape(p, w_out, c2))
+    ys = [_lincomb(_AT46[j], ms) for j in range(4)]
+    if bias is not None:
+        ys = [y + bias for y in ys]
+    return ys
+
+
+def _resblock4_kernel(a0_ref, a16_ref, ua_ref, ub_ref, ba_ref, bb_ref,
+                      mask_ref, out_ref, *, tile_rows, w2, c2, res_weight,
+                      h_real):
+    """F(4,3) variant: window [r0-8, r0+TR+8), groups of 4 rows.
+
+    Stage A produces t groups covering [r0-4, r0+TR+4); stage B consumes
+    them for out rows [r0, r0+TR). Group p's 6-row input window starts
+    at group p row 3 (split[p][3], split[p+1][0..3], split[p+2][0])."""
+    from jax.experimental import pallas as pl
+
+    tr = tile_rows
+    xw = jnp.concatenate([a0_ref[0], a16_ref[0][tr - 16:]], axis=0)
+    xw = xw.astype(jnp.float32)                       # (TR+16, W2, 2C)
+
+    xa = jnp.pad(xw, ((0, 0), (1, 1), (0, 0)))        # W-pad (1,1)
+    g1 = (tr + 16) // 4
+    sp = xa.reshape(g1, 4, w2 + 2, c2)
+    d = [sp[:-2, 3], sp[1:-1, 0], sp[1:-1, 1], sp[1:-1, 2], sp[1:-1, 3],
+         sp[2:, 0]]
+    ts = _stage4(d, ua_ref[...], ba_ref[...], w2 + 1)  # 4 x (G_t, W2+1, 2C)
+
+    mask = mask_ref[...]                               # (W2+1, 2C)
+    r0 = pl.program_id(1) * tr
+    gt = g1 - 2
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (gt, 1, 1), 0)
+    out_ts = []
+    for j in range(4):
+        t = jnp.maximum(ts[j], 0.0) * mask
+        ge = r0 - 4 + 4 * pidx + j                     # global t row
+        out_ts.append(t * ((ge >= 0) & (ge < h_real)).astype(jnp.float32))
+    # regroup t rows for stage B: group q needs t-local rows 4q+3..4q+8
+    tspl = out_ts                                      # tspl[j][p] = t row 4p+j
+    db = [tspl[3][:-2], tspl[0][1:-1], tspl[1][1:-1], tspl[2][1:-1],
+          tspl[3][1:-1], tspl[0][2:]]
+    ys = _stage4(db, ub_ref[...], bb_ref[...], w2)     # 4 x (TR/4, W2, 2C)
+
+    y = jnp.stack(ys, axis=1).reshape(tr, w2, c2)
+    if res_weight != 1.0:
+        y = y * jnp.float32(res_weight)
+    out_ref[...] = (xw[8:8 + tr] + y)[None].astype(out_ref.dtype)
+
+
+def wino4_packed_resblock(h0, ka, ba, kb, bb, mask1, res_weight=1.0,
+                          tile_rows=16, interpret=False):
+    """F(4,3) fused H-Winograd ResBlock: 6 C^2 MXU slots/pixel — a 2.0x
+    compute ceiling over the direct packed trunk's 12. Same contract as
+    wino_packed_resblock; tile_rows must be a multiple of 4 and >= 16
+    (the alias-union construction needs TR >= 2*halo = 16)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w2, c2 = h0.shape
+    tr = tile_rows
+    if tr % 4 or tr < 16:
+        raise ValueError("tile_rows must be a multiple of 4 and >= 16")
+    grid_h = -(-h // tr)
+    rows = grid_h * tr
+
+    ua = h4_transform_kernel(ka)
+    ub = h4_transform_kernel(kb)
+    ba = jnp.asarray(ba, jnp.float32)
+    bb = jnp.asarray(bb, jnp.float32)
+    mask = jnp.asarray(mask1, jnp.float32).reshape(w2 + 1, c2)
+
+    xp = jnp.pad(h0, ((0, 0), (8, 8 + rows - h), (0, 0), (0, 0)))
+    a0 = jax.lax.slice_in_dim(xp, 0, rows, axis=1)
+    a16 = jax.lax.slice_in_dim(xp, 16, 16 + rows, axis=1)
+
+    x_spec = pl.BlockSpec((1, tr, w2, c2), lambda ni, hi: (ni, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    kern = functools.partial(_resblock4_kernel, tile_rows=tr, w2=w2, c2=c2,
+                             res_weight=float(res_weight), h_real=h)
+    out = pl.pallas_call(
+        kern,
+        grid=(n, grid_h),
+        in_specs=[x_spec, x_spec, full(), full(), full(), full(), full()],
+        out_specs=pl.BlockSpec((1, tr, w2, c2), lambda ni, hi: (ni, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, rows, w2, c2), h0.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * rows * w2 * 2 * 6 * c2 * c2 // 4,
+            bytes_accessed=2 * n * rows * w2 * c2 * h0.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a0, a16, ua, ub, ba, bb, mask)
+    return out[:, :h] if rows != h else out
+
+
+def wino_pallas_pair(dtype, tile_rows=8, interpret=False, m=2):
     """exact_pair-compatible runner (ops/packed/pairs.py call shape) whose
     'res'-kind ReLU pairs run the fused Pallas kernel. Inference only
     (no custom VJP); other kinds/acts and odd widths raise so routing
@@ -219,12 +372,14 @@ def wino_pallas_pair(dtype, tile_rows=8, interpret=False):
     from larvanet_tpu.ops.packed.core import (
         pack_bias, pack_kernel_a, pack_kernel_b)
 
+    block = wino_packed_resblock if m == 2 else wino4_packed_resblock
+
     def pair(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
              res_weight=1.0, mask0=None):
         if kind != "res" or act is not jax.nn.relu or mask0 is not None:
             raise ValueError("wino_pallas_pair supports even-width ReLU "
                              "ResBlock pairs only")
-        return wino_packed_resblock(
+        return block(
             hin,
             pack_kernel_a(jnp.asarray(p1["kernel"], jnp.float32)),
             pack_bias(jnp.asarray(p1["bias"], jnp.float32)),
@@ -237,18 +392,23 @@ def wino_pallas_pair(dtype, tile_rows=8, interpret=False):
     return pair
 
 
-def make_wino_pallas_edsr_forward(model, dtype=jnp.float32, tile_rows=8,
-                                  interpret=False):
+def make_wino_pallas_edsr_forward(model, dtype=jnp.float32, tile_rows=None,
+                                  interpret=False, m=2):
     """EDSR inference forward: fused Pallas Winograd ResBlocks + the
     standard packed head / after_res_conv / collapsed tail (topology in
     ops/packed/edsr._edsr_walk, mode='baked'). Even input widths only.
+    m=2: F(2,3), 1.5x compute ceiling; m=4: F(4,3), 2.0x (slightly
+    looser numerics — integer B^T/A^T, fractional G in f32).
     """
     from larvanet_tpu.ops.collapsed_tail import make_collapsed_edsr_forward
     from larvanet_tpu.ops.packed.edsr import _edsr_walk
 
+    if tile_rows is None:
+        tile_rows = 8 if m == 2 else 16
     fast_tail = make_collapsed_edsr_forward(model, dtype=dtype).__wrapped_tail__
     walk = _edsr_walk(model, dtype, "baked", fast_tail=fast_tail)
-    pair = wino_pallas_pair(dtype, tile_rows=tile_rows, interpret=interpret)
+    pair = wino_pallas_pair(dtype, tile_rows=tile_rows, interpret=interpret,
+                            m=m)
 
     def forward(params, x):
         if x.shape[2] % 2:

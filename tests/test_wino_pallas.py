@@ -97,6 +97,55 @@ def test_edsr_forward_matches_packed(rng):
     np.testing.assert_allclose(got, ref, atol=2e-3)
 
 
+@pytest.mark.parametrize("h", [16, 20, 37, 48])
+def test_f43_matches_direct_packed_resblock(rng, h):
+    """F(4,3) variant (2.0x compute ceiling): same agreement bar, with a
+    big conv_a bias as the H-boundary leak trap."""
+    from larvanet_tpu.ops.wino_pallas import wino4_packed_resblock
+
+    c, w = 8, 12
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    k1 = rng.randn(3, 3, c, c).astype(np.float32) * 0.2
+    k2 = rng.randn(3, 3, c, c).astype(np.float32) * 0.2
+    ka, kb = pack_kernel_a(jnp.asarray(k1)), pack_kernel_b(jnp.asarray(k2))
+    ba = pack_bias(jnp.asarray(np.full(c, 5.0, np.float32)))
+    bb = pack_bias(jnp.asarray(rng.randn(c).astype(np.float32) * 0.1))
+    m1 = grid1_mask(w // 2 + 1, c)
+    h0 = pack_w(jnp.asarray(x))
+    ref = np.asarray(packed_resblock(h0, ka, ba, kb, bb, m1, res_weight=0.7))
+    got = np.asarray(wino4_packed_resblock(h0, ka, ba, kb, bb, m1,
+                                           res_weight=0.7, tile_rows=16,
+                                           interpret=True))
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_f43_transform_matrices_exact():
+    """A^T[(G g) * (B^T d)] must equal the direct 1-D correlation —
+    pins the hardcoded F(4,3) matrices."""
+    from larvanet_tpu.ops.wino_pallas import _AT46, _BT6, _G6
+
+    r = np.random.RandomState(3)
+    d, g = r.randn(6), r.randn(3)
+    y = _AT46 @ ((_G6 @ g) * (_BT6 @ d))
+    ref = np.array([np.dot(d[i:i + 3], g) for i in range(4)])
+    np.testing.assert_allclose(y, ref, atol=1e-6)
+
+
+def test_edsr_forward_matches_packed_f43(rng):
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed.edsr import make_packed_edsr_forward
+
+    m = get_model("edsr")
+    m.parse_args(["--edsr_res_blocks", "2", "--edsr_conv_features", "8",
+                  "--scales", "4"])
+    m.prepare(is_training=False, scales=[4])
+    x = rng.uniform(0, 255, (1, 18, 16, 3)).astype(np.float32)
+    ref = np.asarray(jax.jit(make_packed_edsr_forward(m))(m.params, x))
+    got = np.asarray(make_wino_pallas_edsr_forward(m, interpret=True, m=4)(
+        m.params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
 def test_odd_width_raises(rng):
     from larvanet_tpu.core.registry import get_model
 
