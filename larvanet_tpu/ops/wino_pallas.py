@@ -117,17 +117,20 @@ def _stage(xe, xo, u, bias, w_out, acc_dtype=jnp.float32):
 
     xe, xo: (P+1, Win, 2C) even/odd rows of the (2P+2)-row input window;
     pair p consumes rows (xe[p], xo[p], xe[p+1], xo[p+1]).
-    u: (4, 2, 2C, 2C) basis kernels; w_out: output width (Win-1 for the
-    kw=2 conv). Returns (t_even, t_odd): (P, w_out, 2C) f32 each.
+    u: (4, 2, 2C, 2C) basis kernels — the point matmuls contract in
+    u.dtype (bf16 at serving keeps the fast MXU path, f32 in tests) and
+    accumulate f32. w_out: output width (Win-1 for the kw=2 conv).
+    Returns (t_even, t_odd): (P, w_out, 2C) f32 each.
     """
     p1, w_in, c2 = xe.shape
     p = p1 - 1
+    mm = u.dtype
     v = _bt(xe[:-1], xo[:-1], xe[1:], xo[1:])  # 4 x (P, Win, 2C)
     ms = []
     for b in range(4):
         acc = None
         for e in (0, 1):
-            lhs = v[b][:, e:e + w_out, :].reshape(p * w_out, c2)
+            lhs = v[b][:, e:e + w_out, :].reshape(p * w_out, c2).astype(mm)
             term = jnp.dot(lhs, u[b, e], preferred_element_type=acc_dtype)
             acc = term if acc is None else acc + term
         ms.append(acc.reshape(p, w_out, c2))
@@ -207,8 +210,11 @@ def wino_packed_resblock(h0, ka, ba, kb, bb, mask1, res_weight=1.0,
     grid_h = -(-h // tr)
     rows = grid_h * tr
 
-    ua = h_transform_kernel(ka)
-    ub = h_transform_kernel(kb)
+    # point-matmul dtype follows the activation dtype: bf16 serving uses
+    # the fast MXU path (f32 would halve MXU rate), f32 tests stay tight
+    mm = h0.dtype if h0.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    ua = h_transform_kernel(ka).astype(mm)
+    ub = h_transform_kernel(kb).astype(mm)
     ba = jnp.asarray(ba, jnp.float32)
     bb = jnp.asarray(bb, jnp.float32)
     mask = jnp.asarray(mask1, jnp.float32).reshape(w2 + 1, c2)
@@ -259,12 +265,13 @@ def _stage4(d, u, bias, w_out):
     u: (6, 2, 2C, 2C). Returns 4 per-group output-row tensors
     (P, w_out, 2C) f32."""
     p, w_in, c2 = d[0].shape
+    mm = u.dtype
     v = [_lincomb(_BT6[b], d) for b in range(6)]
     ms = []
     for b in range(6):
         acc = None
         for e in (0, 1):
-            lhs = v[b][:, e:e + w_out, :].reshape(p * w_out, c2)
+            lhs = v[b][:, e:e + w_out, :].reshape(p * w_out, c2).astype(mm)
             term = jnp.dot(lhs, u[b, e], preferred_element_type=jnp.float32)
             acc = term if acc is None else acc + term
         ms.append(acc.reshape(p, w_out, c2))
@@ -332,8 +339,9 @@ def wino4_packed_resblock(h0, ka, ba, kb, bb, mask1, res_weight=1.0,
     grid_h = -(-h // tr)
     rows = grid_h * tr
 
-    ua = h4_transform_kernel(ka)
-    ub = h4_transform_kernel(kb)
+    mm = h0.dtype if h0.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    ua = h4_transform_kernel(ka).astype(mm)
+    ub = h4_transform_kernel(kb).astype(mm)
     ba = jnp.asarray(ba, jnp.float32)
     bb = jnp.asarray(bb, jnp.float32)
     mask = jnp.asarray(mask1, jnp.float32).reshape(w2 + 1, c2)

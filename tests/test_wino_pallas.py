@@ -146,6 +146,21 @@ def test_edsr_forward_matches_packed_f43(rng):
     np.testing.assert_allclose(got, ref, atol=5e-3)
 
 
+@pytest.mark.slow
+def test_wino_bench_quick(tmp_path):
+    """tools/wino_bench.py --quick: every variant times and reports a
+    PSNR guardrail; failures are recorded per-variant, not fatal."""
+    from tools import wino_bench
+
+    out = str(tmp_path / "wb.json")
+    report = wino_bench.main(["--quick", "--out", out])
+    for name in ("packed", "wino2", "wino4", "wino2d"):
+        entry = report["variants"][name]
+        assert "error" not in entry, entry
+        assert entry["mps"] > 0
+        assert entry["psnr_vs_exact_db"] > 40  # bf16 rounding only
+
+
 def test_odd_width_raises(rng):
     from larvanet_tpu.core.registry import get_model
 
