@@ -9,6 +9,7 @@ is a no-op here (device selection is JAX platform config; SURVEY.md §2.5).
 from __future__ import annotations
 
 import argparse
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -301,6 +302,40 @@ def int8_and_exact_forwards(model, model_name, calib):
                 model, dtype=serving_compute_dtype(model))
             return int8_fwd, exact_fwd
     raise ValueError("no int8 path for model %r" % (model_name,))
+
+
+def maybe_wino_trunk(model, args) -> None:
+    """Route EDSR inference through the fused Pallas Winograd trunk when
+    --wino_trunk is 2 (F(2,3), 1.5x compute ceiling) or 4 (F(4,3),
+    2.0x) — ops/wino_pallas.py. Opt-in like --int8_trunk: summation
+    order differs from the exact path (float-tolerance equal; the
+    TPU-measured PSNR delta lands in WINO_BENCH.json / BASELINE.md).
+    Even input widths only; requires a TPU backend (Mosaic) — CPU runs
+    fall back with a notice unless $LVT_WINO_INTERPRET=1 (tests)."""
+    import jax
+
+    m = int(getattr(args, "wino_trunk", 0) or 0)
+    if not m:
+        return
+    if m not in (2, 4):
+        raise SystemExit("--wino_trunk must be 0, 2 or 4 (got %d)" % m)
+    model_name = getattr(args, "model", None) or ""
+    if model_name not in ("edsr", "edsr_loss"):
+        print("--wino_trunk: only the EDSR family is routed; running the "
+              "standard path for %r" % model_name)
+        return
+    interpret = bool(os.environ.get("LVT_WINO_INTERPRET"))
+    if jax.default_backend() != "tpu" and not interpret:
+        print("--wino_trunk: no TPU backend (Mosaic kernels); running the "
+              "standard path")
+        return
+    from larvanet_tpu.models.base import serving_compute_dtype
+    from larvanet_tpu.ops.wino_pallas import make_wino_pallas_edsr_forward
+
+    dtype = serving_compute_dtype(model)
+    model._fwd_jit = jax.jit(make_wino_pallas_edsr_forward(
+        model, dtype, interpret=interpret, m=m))
+    print("inference: fused Pallas Winograd F(%d,3) trunk enabled" % m)
 
 
 def maybe_int8_trunk(model, args, get_calib) -> None:

@@ -38,6 +38,10 @@ def main(argv=None):
     parser.add_argument("--int8_trunk", type=int, default=0,
                         help="Opt-in W8A8 quantized trunk (EDSR/LarvaNet families; calibrated "
                              "on the first input; NOT float-exact, ~-0.06 dB measured).")
+    parser.add_argument("--wino_trunk", type=int, default=0,
+                        help="Opt-in fused Pallas Winograd trunk for EDSR: 2 = "
+                             "F(2,3), 4 = F(4,3) (ops/wino_pallas.py; float-"
+                             "tolerance equal, TPU only; 0 = off).")
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
     common.add_serving_dtype_flag(parser)
@@ -60,6 +64,7 @@ def main(argv=None):
         print("restored the model")
     common.apply_serving_dtype(model, args)
     common.maybe_collapse_tail(model, args)
+    common.maybe_wino_trunk(model, args)
     if args.int8_trunk:
         if dataloader is not None:
             common.maybe_int8_trunk(model, args, lambda: dataloader.get_image_pair(

@@ -60,6 +60,10 @@ def main(argv=None):
     parser.add_argument("--int8_trunk", type=int, default=0,
                         help="Opt-in W8A8 quantized trunk (EDSR/LarvaNet families; "
                              "NOT float-exact, ~-0.06 dB measured; see --int8_report).")
+    parser.add_argument("--wino_trunk", type=int, default=0,
+                        help="Opt-in fused Pallas Winograd trunk for EDSR: 2 = "
+                             "F(2,3), 4 = F(4,3) (ops/wino_pallas.py; float-"
+                             "tolerance equal, TPU only; 0 = off).")
     parser.add_argument("--int8_calib_images", type=int, default=4,
                         help="Number of val images stacked (centre-cropped) into the "
                              "int8 activation-scale calibration batch.")
@@ -130,6 +134,7 @@ def main(argv=None):
         common.apply_serving_dtype(model, args)
         print("restored the model")
         common.maybe_collapse_tail(model, args)
+        common.maybe_wino_trunk(model, args)
         common.maybe_int8_trunk(model, args, lambda: common.int8_calib_batch(
             dataloader, scale_list[0], args.int8_calib_images))
         common.maybe_spatial_shard(model, args, scale_list[0])
