@@ -320,9 +320,11 @@ def maybe_wino_trunk(model, args) -> None:
     if m not in (2, 4):
         raise SystemExit("--wino_trunk must be 0, 2 or 4 (got %d)" % m)
     model_name = getattr(args, "model", None) or ""
-    if model_name not in ("edsr", "edsr_loss"):
-        print("--wino_trunk: only the EDSR family is routed; running the "
-              "standard path for %r" % model_name)
+    is_edsr = model_name in ("edsr", "edsr_loss")
+    is_larva = model_name.startswith(("LarvaNet", "LarvaLeg"))
+    if not (is_edsr or is_larva):
+        print("--wino_trunk: only the EDSR/LarvaNet families are routed; "
+              "running the standard path for %r" % model_name)
         return
     interpret = bool(os.environ.get("LVT_WINO_INTERPRET"))
     if jax.default_backend() != "tpu" and not interpret:
@@ -330,11 +332,22 @@ def maybe_wino_trunk(model, args) -> None:
               "standard path")
         return
     from larvanet_tpu.models.base import serving_compute_dtype
-    from larvanet_tpu.ops.wino_pallas import make_wino_pallas_edsr_forward
+    from larvanet_tpu.ops.wino_pallas import (
+        make_wino_pallas_edsr_forward, make_wino_pallas_larvanet_forward)
 
     dtype = serving_compute_dtype(model)
-    model._fwd_jit = jax.jit(make_wino_pallas_edsr_forward(
-        model, dtype, interpret=interpret, m=m))
+    if is_edsr:
+        fwd = make_wino_pallas_edsr_forward(model, dtype, interpret=interpret,
+                                            m=m)
+    else:
+        fwd = make_wino_pallas_larvanet_forward(model, dtype,
+                                                interpret=interpret, m=m)
+        feats = int(getattr(model.module, "features", 0) or 0)
+        if feats != 64:
+            print("--wino_trunk: %r trunk is %d channels (needs 64 for "
+                  "128-lane Mosaic tiles); body pairs fall back to the "
+                  "exact packed path" % (model_name, feats))
+    model._fwd_jit = jax.jit(fwd)
     print("inference: fused Pallas Winograd F(%d,3) trunk enabled" % m)
 
 

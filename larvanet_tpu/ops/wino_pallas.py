@@ -400,6 +400,60 @@ def wino_pallas_pair(dtype, tile_rows=8, interpret=False, m=2):
     return pair
 
 
+def wino_pallas_pair_with_fallback(dtype, tile_rows=None, interpret=False,
+                                   m=2):
+    """Mixed pair runner: 'res'-kind ReLU pairs at a 128-multiple packed
+    width run the fused Winograd kernel; everything else (leg kinds,
+    other activations, odd-width mask0, 96-lane LarvaNet-48 trunks that
+    Mosaic's 128-lane tiling cannot block) falls back to exact_pair.
+    Lets family walks with heterogeneous pair kinds (LarvaNet legs,
+    REGO 'both') adopt the kernel where it applies."""
+    from larvanet_tpu.ops.packed.pairs import exact_pair
+
+    if tile_rows is None:
+        tile_rows = 8 if m == 2 else 16
+    wino = wino_pallas_pair(dtype, tile_rows=tile_rows, interpret=interpret,
+                            m=m)
+    exact = exact_pair(dtype)
+
+    def pair(idx, hin, p1, p2, mask1, kind="res", act=jax.nn.relu,
+             res_weight=1.0, mask0=None):
+        if (kind == "res" and act is jax.nn.relu and mask0 is None
+                and hin.shape[-1] % 128 == 0
+                and p1["kernel"].shape[-1] == p2["kernel"].shape[-2]
+                and p1["kernel"].shape[-2] == p2["kernel"].shape[-1]):
+            return wino(idx, hin, p1, p2, mask1, kind=kind, act=act,
+                        res_weight=res_weight, mask0=mask0)
+        return exact(idx, hin, p1, p2, mask1, kind=kind, act=act,
+                     res_weight=res_weight, mask0=mask0)
+
+    return pair
+
+
+def make_wino_pallas_larvanet_forward(model, dtype=jnp.float32,
+                                      tile_rows=None, interpret=False, m=2,
+                                      all_exits=False):
+    """LarvaNet-family inference forward with Winograd-fused body
+    ResBlocks (topology in ops/packed/larvanet._larvanet_walk). The
+    64-feature configs (LarvaNet_w64, the TPU-native serving
+    recommendation) run every body pair through the kernel (2C=128
+    lanes); 48-feature configs fall back per-pair to the exact packed
+    path (96 lanes — under Mosaic's 128-lane tiling). Legs/tail always
+    run exact. Even input widths only."""
+    from larvanet_tpu.ops.packed.larvanet import _larvanet_walk
+
+    walk = _larvanet_walk(model, dtype, all_exits=all_exits)
+    pair = wino_pallas_pair_with_fallback(dtype, tile_rows=tile_rows,
+                                          interpret=interpret, m=m)
+
+    def forward(params, x):
+        if x.shape[2] % 2:
+            raise ValueError("wino_trunk requires even width")
+        return walk(params, x, pair)
+
+    return forward
+
+
 def make_wino_pallas_edsr_forward(model, dtype=jnp.float32, tile_rows=None,
                                   interpret=False, m=2):
     """EDSR inference forward: fused Pallas Winograd ResBlocks + the

@@ -146,6 +146,35 @@ def test_edsr_forward_matches_packed_f43(rng):
     np.testing.assert_allclose(got, ref, atol=5e-3)
 
 
+def test_larvanet_w64_forward_matches_packed(rng):
+    """LarvaNet-family routing: 64-feature trunks (2C=128 lanes) run the
+    kernel on body pairs; narrower configs fall back per-pair to the
+    exact packed path bit-identically; legs always run exact."""
+    from larvanet_tpu.core.registry import get_model
+    from larvanet_tpu.ops.packed.larvanet import make_packed_larvanet_forward
+    from larvanet_tpu.ops.wino_pallas import (
+        make_wino_pallas_larvanet_forward)
+
+    x = rng.uniform(0, 255, (1, 12, 16, 3)).astype(np.float32)
+
+    tiny = get_model("LarvaNet_w64")
+    tiny.parse_args(["--num_blocks", "2,2", "--num_features", "16"])
+    tiny.prepare(is_training=False, scales=[4])
+    ref = np.asarray(jax.jit(make_packed_larvanet_forward(tiny))(
+        tiny.params, x))
+    got = np.asarray(make_wino_pallas_larvanet_forward(tiny, interpret=True)(
+        tiny.params, x))
+    np.testing.assert_array_equal(got, ref)  # 32-lane: pure fallback
+
+    w64 = get_model("LarvaNet_w64")
+    w64.parse_args(["--num_blocks", "1,1", "--num_features", "64"])
+    w64.prepare(is_training=False, scales=[4])
+    ref = np.asarray(jax.jit(make_packed_larvanet_forward(w64))(w64.params, x))
+    got = np.asarray(make_wino_pallas_larvanet_forward(w64, interpret=True)(
+        w64.params, x))
+    np.testing.assert_allclose(got, ref, atol=1e-3)  # kernel path
+
+
 @pytest.mark.slow
 def test_wino_bench_quick(tmp_path):
     """tools/wino_bench.py --quick: every variant times and reports a
