@@ -76,6 +76,10 @@ def main(argv=None):
     parser.add_argument("--tile_rows2", type=int, default=8)
     parser.add_argument("--tile_rows4", type=int, default=16)
     parser.add_argument("--variants", default="packed,wino2,wino4,wino2d")
+    parser.add_argument("--family", default="edsr", choices=["edsr", "larva64"],
+                        help="edsr: EDSR-b (the bench headline). larva64: "
+                             "LarvaNet_w64 2x[4,5] (the TPU-native serving "
+                             "recommendation; wino2d not applicable).")
     parser.add_argument("--out", default="WINO_BENCH.json")
     parser.add_argument("--quick", action="store_true",
                         help="CPU smoke: tiny geometry, interpret-mode "
@@ -96,15 +100,26 @@ def main(argv=None):
     import larvanet_tpu.cli.common  # noqa: F401  (compile cache)
     from larvanet_tpu.core.registry import get_model
     from larvanet_tpu.ops.fastpath import build_fast_forward
-    from larvanet_tpu.ops.wino_pallas import make_wino_pallas_edsr_forward
+    from larvanet_tpu.ops.wino_pallas import (
+        make_wino_pallas_edsr_forward, make_wino_pallas_larvanet_forward)
     from larvanet_tpu.ops.winograd import make_winograd_edsr_forward
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     interp = bool(args.quick)
 
-    model = get_model("edsr")
-    model.parse_args(["--edsr_res_blocks", str(args.blocks),
-                      "--edsr_conv_features", str(args.features)])
+    if args.family == "edsr":
+        model = get_model("edsr")
+        model.parse_args(["--edsr_res_blocks", str(args.blocks),
+                          "--edsr_conv_features", str(args.features)])
+        make_wino = make_wino_pallas_edsr_forward
+    else:
+        model = get_model("LarvaNet_w64")
+        blocks = "1,1" if args.quick else "4,5"
+        model.parse_args(["--num_blocks", blocks, "--num_features",
+                          "16" if args.quick else "64"])
+        make_wino = make_wino_pallas_larvanet_forward
+        args.variants = ",".join(v for v in args.variants.split(",")
+                                 if v.strip() != "wino2d")
     model.prepare(is_training=False, scales=[4])
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), model.params)
 
@@ -114,9 +129,9 @@ def main(argv=None):
 
     builders = {
         "packed": lambda: build_fast_forward(model, dtype)[0],
-        "wino2": lambda: make_wino_pallas_edsr_forward(
+        "wino2": lambda: make_wino(
             model, dtype, tile_rows=args.tile_rows2, interpret=interp, m=2),
-        "wino4": lambda: make_wino_pallas_edsr_forward(
+        "wino4": lambda: make_wino(
             model, dtype, tile_rows=args.tile_rows4, interpret=interp, m=4),
         "wino2d": lambda: make_winograd_edsr_forward(model, dtype=dtype),
     }
@@ -134,9 +149,9 @@ def main(argv=None):
                              - np.clip(np.round(exact), 0, 255)) ** 2))
         return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
 
-    report = {"geometry": {"batch": args.batch, "tile": args.tile,
-                           "blocks": args.blocks, "features": args.features,
-                           "dtype": args.dtype},
+    report = {"geometry": {"family": args.family, "batch": args.batch,
+                           "tile": args.tile, "blocks": args.blocks,
+                           "features": args.features, "dtype": args.dtype},
               "quick": bool(args.quick), "variants": {}}
     for name in args.variants.split(","):
         name = name.strip()
