@@ -41,7 +41,9 @@ def main(argv=None):
     parser.add_argument("--wino_trunk", type=int, default=0,
                         help="Opt-in fused Pallas Winograd trunk for EDSR: 2 = "
                              "F(2,3), 4 = F(4,3) (ops/wino_pallas.py; float-"
-                             "tolerance equal, TPU only; 0 = off).")
+                             "tolerance equal, TPU only; 0 = off). MEASURED "
+                             "7-9x SLOWER than the default packed trunk on "
+                             "v5e — negative-result record, see BASELINE.md.")
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
     common.add_serving_dtype_flag(parser)

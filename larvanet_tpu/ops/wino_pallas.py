@@ -43,8 +43,18 @@ Mosaic notes (CLAUDE.md + ops/pallas_conv.py precedent):
 Exactness: same taps as the direct packed pair up to float summation
 order (transforms are exact +/- in f32; F(2,3) G entries are {0, 1/2,
 1}, exactly representable). Tests pin f32 agreement to the direct
-packed ResBlock at tight tolerance; serving use is opt-in like int8
-(--wino_trunk) until the TPU-measured PSNR delta is recorded.
+packed ResBlock at tight tolerance.
+
+MEASURED OUTCOME (v5e, WINO_BENCH.json / WINO_DIAG.json): a NEGATIVE
+RESULT — 7-9x slower end-to-end than the packed trunk. The compute
+ceiling above is real but unrealizable in this structure: the halo
+aliases cost 1.5x the packed path's HBM traffic, Mosaic runs the
+looped point matmuls at ~half XLA's fused-conv rate (the skeleton
+variant with matmuls alone already matches the WHOLE packed block),
+and the f32 VPU transforms + sublane relayouts dominate the real
+kernels. Full attribution table and the perfect-kernel bound that
+closes the case: BASELINE.md round-3 section. Kept as the opt-in
+negative-result record behind --wino_trunk.
 
 Reference trunk being accelerated: models/edsr.py:195-207 (ResBlock
 conv-relu-conv + skip), the same walk ops/packed/edsr.py runs.
