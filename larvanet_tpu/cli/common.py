@@ -92,7 +92,7 @@ def setup_loader(name: str, remaining: Sequence[str], scales: List[int]):
 
 
 def setup_model(name: str, remaining: Sequence[str], scales: List[int], is_training: bool, global_step: int = 0,
-                ema_decay: float = 0.0):
+                ema_decay: float = 0.0, fused_opt: int = 0):
     print("prepare model - %s" % (name,))
     # looked up via the module attribute so wrappers (train_larvaV2,
     # train_squid) can patch registry.get_model around the call
@@ -100,8 +100,20 @@ def setup_model(name: str, remaining: Sequence[str], scales: List[int], is_train
     model_args, remaining = model.parse_args(list(remaining))
     if ema_decay:
         model.ema_decay = float(ema_decay)  # before prepare: shapes the optimizer
+    if fused_opt:
+        model.fused_opt = 1  # before prepare: shapes the optimizer
     model.prepare(is_training=is_training, scales=scales, global_step=global_step)
     return model, model_args, remaining
+
+
+def add_fused_opt_flag(parser) -> None:
+    parser.add_argument("--fused_opt", type=int, default=0,
+                        help="Run the Adam update as ONE vectorized pass over "
+                             "a flattened (ravel_pytree) parameter vector "
+                             "instead of ~70 per-leaf kernels (optax.flatten; "
+                             "numerically identical per element). Checkpoint "
+                             "optimizer layouts convert on restore either "
+                             "way. 0 = historical per-leaf layout.")
 
 
 def add_ema_decay_flag(parser) -> None:

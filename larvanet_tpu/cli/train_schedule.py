@@ -66,6 +66,7 @@ def main(argv=None):
     parser.add_argument("--restore_target", type=str)
     parser.add_argument("--global_step", type=int, default=0)
     common.add_ema_decay_flag(parser)
+    common.add_fused_opt_flag(parser)
     common.add_dp_train_flag(parser)
     common.add_widen_flag(parser)
     args, remaining = parser.parse_known_args(argv)
@@ -82,7 +83,8 @@ def main(argv=None):
         scale_list,
     )
     model, model_args, remaining = common.setup_model(
-        args.model, remaining, scale_list, is_training=True, global_step=args.global_step, ema_decay=args.ema_decay
+        args.model, remaining, scale_list, is_training=True, global_step=args.global_step, ema_decay=args.ema_decay,
+        fused_opt=args.fused_opt
     )
     model.async_checkpoints = bool(args.async_checkpoint)
     model.orbax_checkpoints = bool(args.orbax_checkpoint)

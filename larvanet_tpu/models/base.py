@@ -182,32 +182,127 @@ def find_ema_in_state_dict(sd):
     return None
 
 
+def _adapt_opt_layout(template_sd, saved_sd, params):
+    """Convert a serialized opt_state between the per-leaf and the
+    --fused_opt (optax.flatten) layouts, matching `template_sd`'s shape.
+
+    optax.flatten stores Adam's mu/nu as ONE jax.flatten_util.
+    ravel_pytree vector over the params tree (deterministic leaf
+    order), so the conversion is exactly ravel/unravel of params-shaped
+    subtrees. Returns the adapted state dict, or None when the
+    structures differ for some other reason (caller raises its usual
+    mismatch error)."""
+    import jax.flatten_util
+
+    params_sd = serialization.to_state_dict(params)
+    n_total = sum(np.asarray(v).size
+                  for v in jax.tree_util.tree_leaves(params_sd))
+    _, unravel = jax.flatten_util.ravel_pytree(params)
+
+    def is_params_like(node):
+        return (isinstance(node, dict) and
+                jax.tree_util.tree_structure(node)
+                == jax.tree_util.tree_structure(params_sd))
+
+    def is_flat_vec(node):
+        return (not isinstance(node, dict)
+                and getattr(np.asarray(node), "shape", None) == (n_total,))
+
+    changed = []
+
+    def walk(tpl, saved):
+        if is_params_like(tpl) and is_flat_vec(saved):
+            changed.append(1)  # fused ckpt -> per-leaf run
+            tree = unravel(jnp.asarray(saved))
+            return serialization.to_state_dict(
+                jax.tree_util.tree_map(
+                    lambda ref, v: v.astype(ref.dtype) if hasattr(ref, "dtype")
+                    else v, params, tree))
+        if is_flat_vec(tpl) and is_params_like(saved):
+            changed.append(1)  # per-leaf ckpt -> fused run
+            leaf_tree = serialization.from_state_dict(params, saved)
+            return jax.flatten_util.ravel_pytree(leaf_tree)[0]
+        if isinstance(tpl, dict) and isinstance(saved, dict):
+            if set(tpl.keys()) != set(saved.keys()):
+                return None
+            out = {}
+            for k in tpl:
+                sub = walk(tpl[k], saved[k])
+                if sub is None:
+                    return None
+                out[k] = sub
+            return out
+        return saved
+
+    adapted = walk(template_sd, saved_sd)
+    if adapted is None or not changed:
+        return None
+    return adapted
+
+
 def make_optimizer(kind: str, weight_decay: Optional[float] = None,
-                   ema_decay: float = 0.0) -> optax.GradientTransformation:
+                   ema_decay: float = 0.0,
+                   fused: bool = False) -> optax.GradientTransformation:
     """torch-parity Adam/AdamW with runtime-injected learning rate;
     ema_decay > 0 chains a parameter EMA (param_ema). With ema_decay=0
-    the optimizer state structure is EXACTLY the historical one, so old
-    checkpoints stay restorable."""
+    and fused=False the optimizer state structure is EXACTLY the
+    historical one, so old checkpoints stay restorable.
+
+    fused=True (--fused_opt) wraps the inner Adam in optax.flatten: the
+    update runs as ONE vectorized m/v/param pass over a single
+    ravel_pytree vector instead of ~70 per-leaf elementwise kernels
+    (the train-step anatomy's multiply_add swarm — BASELINE.md round-3
+    train anatomy). Numerically identical per element (Adam is
+    elementwise); opt_state holds FLAT mu/nu vectors, so checkpoints
+    written with the flag only restore with the flag (and vice versa) —
+    restore() converts between the two layouts when shapes allow."""
     wd = 0.01 if weight_decay is None else weight_decay
     if kind not in ("adam", "adamw"):
         raise ValueError("unknown optimizer %r" % (kind,))
+
+    def inner(learning_rate, b1=0.9, b2=0.999, eps=1e-8):
+        tx = (optax.adam(learning_rate, b1=b1, b2=b2, eps=eps)
+              if kind == "adam"
+              else optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                               weight_decay=wd))
+        return optax.flatten(tx) if fused else tx
+
     if not ema_decay:
-        # historical structure, bit-for-bit: keeps every pre-EMA
-        # checkpoint's opt_state restorable
-        if kind == "adam":
-            return optax.inject_hyperparams(optax.adam)(
-                learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8
+        if not fused:
+            # historical structure, bit-for-bit: keeps every pre-EMA
+            # checkpoint's opt_state restorable
+            if kind == "adam":
+                return optax.inject_hyperparams(optax.adam)(
+                    learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8
+                )
+            return optax.inject_hyperparams(optax.adamw)(
+                learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd
             )
-        return optax.inject_hyperparams(optax.adamw)(
-            learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd
-        )
+
+        # hyperparams-dict parity with the historical signatures above
+        # (inject_hyperparams introspects the callee), so per-leaf
+        # checkpoints convert to the fused layout by mu/nu ravel alone
+        if kind == "adam":
+            def fused_adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                           eps_root=0.0):
+                return optax.flatten(optax.adam(
+                    learning_rate, b1=b1, b2=b2, eps=eps, eps_root=eps_root))
+
+            return optax.inject_hyperparams(fused_adam)(
+                learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8)
+
+        def fused_adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                        eps_root=0.0, weight_decay=0.01):
+            return optax.flatten(optax.adamw(
+                learning_rate, b1=b1, b2=b2, eps=eps, eps_root=eps_root,
+                weight_decay=weight_decay))
+
+        return optax.inject_hyperparams(fused_adamw)(
+            learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
 
     def with_ema(learning_rate, b1=0.9, b2=0.999, eps=1e-8):
-        inner = (optax.adam(learning_rate, b1=b1, b2=b2, eps=eps)
-                 if kind == "adam"
-                 else optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
-                                  weight_decay=wd))
-        return optax.chain(inner, param_ema(ema_decay))
+        return optax.chain(inner(learning_rate, b1=b1, b2=b2, eps=eps),
+                           param_ema(ema_decay))
 
     return optax.inject_hyperparams(with_ema)(
         learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8)
@@ -283,7 +378,8 @@ class SRModel:
         if is_training:
             self.tx = make_optimizer(
                 self.optimizer_kind,
-                ema_decay=float(getattr(self, "ema_decay", 0.0) or 0.0))
+                ema_decay=float(getattr(self, "ema_decay", 0.0) or 0.0),
+                fused=bool(getattr(self, "fused_opt", 0)))
             self.opt_state = self.tx.init(self.params)
             self._train_jit = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._fwd_jit = jax.jit(self._forward_impl)
@@ -462,9 +558,22 @@ class SRModel:
         else:
             self._restored_ema = None
         if self.opt_state is not None and "opt_state" in state:
+            saved_opt = serialization.to_state_dict(state["opt_state"])
+            # --fused_opt layout conversion: per-leaf Adam moments <->
+            # one ravel_pytree vector (the same leaf order optax.flatten
+            # uses), so resumes cross the flag either way. Must run
+            # BEFORE from_state_dict: flax accepts a dict into an array
+            # leaf silently and the mismatch would only explode mid-step.
+            adapted = _adapt_opt_layout(
+                serialization.to_state_dict(self.opt_state), saved_opt,
+                self.params)
+            if adapted is not None:
+                print("converted checkpoint optimizer state between "
+                      "per-leaf and fused (--fused_opt) layouts")
+                saved_opt = adapted
             try:
                 self.opt_state = serialization.from_state_dict(
-                    self.opt_state, serialization.to_state_dict(state["opt_state"]))
+                    self.opt_state, saved_opt)
             except (KeyError, ValueError) as exc:
                 raise ValueError(
                     "optimizer state in the checkpoint does not match this "

@@ -81,6 +81,14 @@ class EDSR(SRModel):
         parser.add_argument("--packed_trunk", type=int, default=1,
                             help="Width-packed trunk for training (exact reparametrization, "
                                  "~1.5x on TPU; ops/packed_trunk.py). 0 = plain module graph.")
+        parser.add_argument("--lr_domain_loss", type=int, default=1,
+                            help="With --collapsed_tail_train: compute the training "
+                                 "L1 loss PRE-SHUFFLE in the LR domain (targets are "
+                                 "pixel-unshuffled instead; mean-L1 is permutation-"
+                                 "invariant, so per-element grads are identical and "
+                                 "the loss differs only in f32 summation order) — the "
+                                 "output depth-to-space transpose leaves fwd AND bwd. "
+                                 "0 = HR-domain loss (bitwise-historical).")
         parser.add_argument("--collapsed_tail_train", type=int, default=1,
                             help="Train through the LIVE collapsed tail (differentiable "
                                  "in-graph composition of the upsample chain; loss/grad-"
@@ -106,17 +114,32 @@ class EDSR(SRModel):
 
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
+            collapsed = getattr(self.args, "collapsed_tail_train", 0)
+            lr_domain = bool(collapsed
+                             and getattr(self.args, "lr_domain_loss", 0))
             if getattr(self, "_packed_train", None) is None:
                 from larvanet_tpu.ops.packed_trunk import (
                     make_packed_collapsed_edsr_train_forward,
                     make_packed_edsr_train_forward,
                 )
 
-                builder = (make_packed_collapsed_edsr_train_forward
-                           if getattr(self.args, "collapsed_tail_train", 0)
-                           else make_packed_edsr_train_forward)
-                self._packed_train = builder(self, dtype=self._train_compute_dtype(),
-                                             qat=qat_requested(self))
+                if collapsed:
+                    self._packed_train = make_packed_collapsed_edsr_train_forward(
+                        self, dtype=self._train_compute_dtype(),
+                        qat=qat_requested(self), lr_domain=lr_domain)
+                else:
+                    self._packed_train = make_packed_edsr_train_forward(
+                        self, dtype=self._train_compute_dtype(),
+                        qat=qat_requested(self))
+            if lr_domain:
+                # LR-domain loss: unshuffle the TARGETS (constants — no
+                # backward) instead of shuffling the output (fwd + bwd
+                # transposes); mean-L1 is permutation-invariant so per-
+                # element grads are identical (tests/test_collapsed_tail.py)
+                from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
+
+                return self.loss(self._packed_train(params, inputs),
+                                 pixel_unshuffle(targets, self.scale))
             # bf16 out - f32 targets promotes: the loss reduction stays f32
             return self.loss(self._packed_train(params, inputs), targets)
         return super()._compute_loss(params, inputs, targets)

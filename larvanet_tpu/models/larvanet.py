@@ -239,6 +239,13 @@ class LarvaNetBase(SRModel):
                             help="Width-packed trunk for training and inference "
                                  "(exact reparametrization, ~2x per conv on TPU; "
                                  "ops/packed_trunk.py). 0 = plain module graph.")
+        parser.add_argument("--lr_domain_loss", type=int, default=1,
+                            help="With --packed_trunk: compute every exit's "
+                                 "training L1 loss PRE-SHUFFLE in the LR domain "
+                                 "(targets pixel-unshuffled instead; mean-L1 is "
+                                 "permutation-invariant — identical per-element "
+                                 "grads, loss equal up to f32 summation order). "
+                                 "0 = HR-domain loss (bitwise-historical).")
         add_qat_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
@@ -295,11 +302,23 @@ class LarvaNetBase(SRModel):
                 from larvanet_tpu.ops.packed_trunk import make_packed_larvanet_forward
 
                 self._packed_all = make_packed_larvanet_forward(
-                    self, all_exits=True, qat=qat_requested(self))
+                    self, all_exits=True, qat=qat_requested(self),
+                    lr_domain=self._lr_domain_loss())
             return self._packed_all(params, inputs)
         return self.module.apply({"params": params}, inputs, exits="all")
 
+    def _lr_domain_loss(self) -> bool:
+        return bool(getattr(self.args, "packed_trunk", 0)
+                    and getattr(self.args, "lr_domain_loss", 0))
+
     def _compute_loss(self, params, inputs, targets):
+        if self._lr_domain_loss():
+            # every exit is pre-shuffle LR-domain (base folded in); the
+            # targets unshuffle ONCE with no backward — see
+            # ops/packed/larvanet.py's LR-domain branch
+            from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
+
+            targets = pixel_unshuffle(targets, SCALE)
         losses = [l1_loss(o, targets) for o in self._all_exits(params, inputs)]
         return sum(losses) / len(losses)
 

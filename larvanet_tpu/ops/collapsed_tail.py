@@ -464,10 +464,16 @@ def apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale, packed=False,
         out_lr = jnp.where(in_side | in_topbot, frame, out_lr)
 
     if lr_domain:
-        # pre-shuffle LR-domain output (3s² channels) so the caller can
-        # fuse an add and share ONE pixel shuffle (make_collapsed_base);
-        # only valid for zero bias tiles (asserted by the caller)
-        return out_lr
+        # pre-shuffle LR-domain output (3s² channels), ALL biases
+        # included: the interior bias tile adds per-LR-channel in torch
+        # shuffle order (c = ch*s*s + i*s + j), exactly the post-shuffle
+        # per-(i,j) add below — pixel_shuffle is a pure permutation.
+        # Callers: make_collapsed_base (zero tile, shares one shuffle)
+        # and the LR-domain training loss (mean-L1 is permutation-
+        # invariant, so the output shuffle leaves fwd AND bwd entirely;
+        # see make_packed_collapsed_edsr_train_forward(lr_domain=True)).
+        tile_lr = jnp.transpose(tile, (2, 0, 1)).reshape(1, 1, 1, -1)
+        return out_lr + tile_lr
     out = pixel_shuffle(out_lr, s)
     n, hs, ws, c3 = out.shape
     return (out.reshape(n, hs // s, s, ws // s, s, c3)

@@ -14,7 +14,7 @@ from larvanet_tpu.ops.packed.pairs import (
     _make_int8, _remat_requested, _training_pair, exact_pair)
 
 
-def _edsr_walk(model, dtype, mode, fast_tail=None):
+def _edsr_walk(model, dtype, mode, fast_tail=None, lr_domain=False):
     """The ONE EDSR trunk topology walk (reference models/edsr.py:177-207:
     head conv, N x ResBlock(conv-relu-conv), after_res_conv, global
     skip, linear tail). Returns walk(params, x, pair). `mode` selects
@@ -87,7 +87,7 @@ def _edsr_walk(model, dtype, mode, fast_tail=None):
         if mode == "baked":
             return fast_tail(fused, packed=True) if packed else fast_tail(fused)
         return apply_collapsed_tail(fused, kernel, bias_tile, tail_fn, scale,
-                                    packed=packed)
+                                    packed=packed, lr_domain=lr_domain)
 
     return walk
 
@@ -159,7 +159,7 @@ def make_packed_edsr_train_forward(model, dtype=jnp.float32, qat=False):
 
 
 def make_packed_collapsed_edsr_train_forward(model, dtype=jnp.float32,
-                                             qat=False):
+                                             qat=False, lr_domain=False):
     """Differentiable EDSR forward: width-packed trunk + LIVE collapsed
     tail (topology in _edsr_walk mode='live_collapsed'). The collapsed
     tail kernel is re-composed from the CURRENT upsample/final-conv
@@ -169,8 +169,16 @@ def make_packed_collapsed_edsr_train_forward(model, dtype=jnp.float32,
     while the 256-channel PixelShuffle transposes disappear from fwd AND
     bwd (139.2 -> 233.5 steps/s, BASELINE.md training table). qat=True
     fake-quantizes the trunk pairs with the int8 serving scheme
-    (qat_pair); the live tail stays exact, as at int8 serving."""
-    walk = _edsr_walk(model, dtype, "live_collapsed")
+    (qat_pair); the live tail stays exact, as at int8 serving.
+
+    lr_domain=True returns the PRE-SHUFFLE LR-domain output (3s²
+    torch-ordered channels, all biases included): mean-L1 training loss
+    against pixel_unshuffle(targets) is then numerically the HR loss
+    (pixel_shuffle is a permutation; per-element grads identical), and
+    the output depth-to-space transpose leaves the step's fwd AND bwd
+    — the train-step anatomy's largest non-conv cost (BASELINE.md
+    round-3 train anatomy)."""
+    walk = _edsr_walk(model, dtype, "live_collapsed", lr_domain=lr_domain)
     pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):

@@ -14,7 +14,7 @@ from larvanet_tpu.ops.packed.pairs import (
     _make_int8, _remat_requested, _training_pair)
 
 
-def _larvanet_walk(model, dtype, all_exits=False):
+def _larvanet_walk(model, dtype, all_exits=False, lr_domain=False):
     """The ONE LarvaNet-family topology walk (reference
     models/LarvaNet.py:205-293 + variants): packed head, per-body
     ResBlock pairs with module-level skip (plain or dual-stream 'res'
@@ -110,6 +110,31 @@ def _larvanet_walk(model, dtype, all_exits=False):
 
         if all_exits:
             # training list: one output per leg (+ tail), module.apply(exits='all')
+            if lr_domain:
+                # LR-domain training outputs (--lr_domain_loss): every
+                # exit returns PRE-SHUFFLE (3s² torch-ordered channels)
+                # with the interpolated base unshuffled ONCE (a forward-
+                # only transpose of a no-grad tensor) instead of one
+                # pixel_shuffle fwd+bwd per exit. pixel_shuffle is a
+                # permutation, so mean-L1 against unshuffled targets has
+                # identical per-element grads (tests/test_models.py).
+                from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
+
+                base_lr = pixel_unshuffle(base, SCALE)
+                outs = [
+                    packed_exit(leg_out(features[i], leg_params(i),
+                                        n_body_pairs if i == n_run - 1
+                                        else -1), odd, ww) + base_lr
+                    for i in range(n_run)
+                ]
+                if mod.use_tail:
+                    cats = [packed_exit(f, odd, ww) for f in features]
+                    t = conv_plain(jnp.concatenate(cats, axis=-1),
+                                   sp["tail_merge"], dtype)
+                    r = jax.nn.relu(conv_plain(t, sp["tail_recon1"], dtype))
+                    r = conv_plain(r, sp["tail_recon2"], dtype)
+                    outs.append(r + base_lr)
+                return outs
             outs = [
                 finish(leg_out(features[i], leg_params(i),
                                n_body_pairs if i == n_run - 1 else -1))
@@ -129,7 +154,7 @@ def _larvanet_walk(model, dtype, all_exits=False):
 
 
 def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False,
-                                 qat=False):
+                                 qat=False, lr_domain=False):
     """Inference-optimized LarvaNet forward with a width-packed trunk
     (topology in _larvanet_walk).
 
@@ -146,8 +171,11 @@ def make_packed_larvanet_forward(model, dtype=jnp.float32, all_exits=False,
     of the whole network). Honors the model's early-exit config
     (LarvaLeg --leg k, k=0 = pure interpolated base). qat=True (training
     use) fake-quantizes every body/leg conv pair with the int8 serving
-    scheme (qat_pair)."""
-    walk = _larvanet_walk(model, dtype, all_exits=all_exits)
+    scheme (qat_pair). lr_domain=True (training use, with all_exits):
+    exits return pre-shuffle LR-domain outputs with the base folded in
+    — see the walk's LR-domain branch and models/edsr.py's analog."""
+    walk = _larvanet_walk(model, dtype, all_exits=all_exits,
+                          lr_domain=lr_domain and all_exits)
     pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):

@@ -143,6 +143,55 @@ def test_packed_collapsed_train_grads_match(rng):
     np.testing.assert_allclose(fn, fr, atol=2e-4 * scale)
 
 
+def test_lr_domain_loss_equals_hr(rng):
+    """--lr_domain_loss: the pre-shuffle LR-domain output is EXACTLY the
+    permuted HR output (pixel_shuffle of it is bitwise-equal), so the
+    mean-L1 loss against unshuffled targets has identical per-element
+    grads and a loss value equal up to f32 summation order (the model-
+    level wiring in models/edsr.py _compute_loss)."""
+    from larvanet_tpu.ops.packed_trunk import (
+        make_packed_collapsed_edsr_train_forward)
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
+
+    m = get_model("edsr")
+    m.parse_args(["--edsr_conv_features", "8", "--edsr_res_blocks", "2"])
+    m.prepare(is_training=True, scales=[4])
+    fwd_hr = make_packed_collapsed_edsr_train_forward(m)
+    fwd_lr = make_packed_collapsed_edsr_train_forward(m, lr_domain=True)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 20, 24, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 255, (2, 80, 96, 3)).astype(np.float32))
+
+    o_hr = np.asarray(jax.jit(fwd_hr)(m.params, x))
+    o_lr = np.asarray(jax.jit(lambda p, z: pixel_shuffle(fwd_lr(p, z), 4))(
+        m.params, x))
+    np.testing.assert_array_equal(o_lr, o_hr)
+
+    l1, g1 = jax.value_and_grad(
+        lambda p: jnp.mean(jnp.abs(fwd_hr(p, x) - t)))(m.params)
+    l2, g2 = jax.value_and_grad(
+        lambda p: jnp.mean(jnp.abs(fwd_lr(p, x) - pixel_unshuffle(t, 4))))(
+            m.params)
+    assert abs(float(l1) - float(l2)) < 1e-4 * max(float(l1), 1.0)
+    f1 = np.asarray(jax.flatten_util.ravel_pytree(g1)[0])
+    f2 = np.asarray(jax.flatten_util.ravel_pytree(g2)[0])
+    np.testing.assert_array_equal(f2, f1)
+
+
+def test_lr_domain_loss_model_wiring(rng):
+    """EDSR._compute_loss with --lr_domain_loss 1 (default) matches the
+    HR-domain loss (--lr_domain_loss 0) on the same params/batch."""
+    x = jnp.asarray(rng.uniform(0, 255, (2, 12, 12, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 255, (2, 48, 48, 3)).astype(np.float32))
+    losses = {}
+    for flag in (0, 1):
+        m = get_model("edsr")
+        m.parse_args(["--edsr_conv_features", "8", "--edsr_res_blocks", "1",
+                      "--lr_domain_loss", str(flag)])
+        m.prepare(is_training=True, scales=[4])
+        losses[flag] = float(m._compute_loss(m.params, x, t))
+    assert abs(losses[0] - losses[1]) < 1e-4 * max(losses[0], 1.0)
+
+
 @pytest.mark.parametrize("mode,scale", [("bicubic", 4), ("bilinear", 4),
                                         ("bicubic", 3), ("bicubic", 2),
                                         ("nearest", 4), ("nearest", 2)])

@@ -28,7 +28,7 @@ def test_verify_detects_drift(tmp_path):
     fixture.generate(str(tmp_path), shapes=((8, 9, 0, 0),), scales=(4,))
     fixture.verify(str(tmp_path))  # clean tree passes
     victim = os.path.join(str(tmp_path), "x4", "input", "img000.png")
-    img = io.load_image_u8(victim)
+    img = io.load_image_u8(victim).copy()  # PIL may hand back read-only
     img[0, 0, 0] ^= 1
     io.save_image_hwc(img, victim)
     with pytest.raises(ValueError, match="drift"):

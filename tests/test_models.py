@@ -199,3 +199,28 @@ def test_restore_accepts_reference_pth(tmp_path, rng):
     m2.prepare(is_training=False, scales=[4])
     with pytest.raises(ValueError, match="shape mismatch"):
         m2.restore(ckpt_path=pth)
+
+
+def test_larvanet_lr_domain_loss_equals_hr(rng):
+    """--lr_domain_loss on the multi-exit family: per-element grads are
+    IDENTICAL to the HR-domain loss for every exit config (plain + V2
+    tail); the loss scalar differs only in f32 summation order
+    (ops/packed/larvanet.py LR-domain branch)."""
+    import jax
+
+    from larvanet_tpu.core.registry import get_model
+
+    x = jnp.asarray(rng.uniform(0, 255, (2, 12, 12, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 255, (2, 48, 48, 3)).astype(np.float32))
+    for name in ("LarvaNet", "LarvaNetV2"):
+        got = {}
+        for flag in (0, 1):
+            m = get_model(name)
+            m.parse_args(["--num_blocks", "2,2",
+                          "--lr_domain_loss", str(flag)])
+            m.prepare(is_training=True, scales=[4])
+            loss, grads = jax.value_and_grad(m._compute_loss)(m.params, x, t)
+            got[flag] = (float(loss),
+                         np.asarray(jax.flatten_util.ravel_pytree(grads)[0]))
+        assert abs(got[0][0] - got[1][0]) < 1e-4 * max(got[0][0], 1.0), name
+        np.testing.assert_array_equal(got[1][1], got[0][1], err_msg=name)

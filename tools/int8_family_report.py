@@ -45,12 +45,13 @@ FAMILIES = [
 ]
 
 EVAL_CROP = (32, 28)  # one LR shape for every eval image -> one compile/path
+REAL_EVAL_CROP = (72, 110)  # realistic fixture (~320x480 HR): soak_real's crop
 
 
-def _fixture_images(root, scale=4):
+def _fixture_images(root, scale=4, realistic=False):
     from larvanet_tpu.data import fixture, io
 
-    fixture.ensure(root)
+    (fixture.ensure_realistic if realistic else fixture.ensure)(root)
     lrs, hrs = [], []
     names = sorted(os.listdir(os.path.join(root, "x%d" % scale, "input")))
     for f in names:
@@ -121,14 +122,14 @@ def train_family(name, flags, steps, lrs, hrs, scale=4, batch=16, patch=24,
     return model
 
 
-def eval_family(model, name, lrs, hrs, scale=4):
+def eval_family(model, name, lrs, hrs, scale=4, crop=EVAL_CROP):
     import jax
 
     from larvanet_tpu.cli.common import int8_and_exact_forwards
     from larvanet_tpu.eval import metrics
     from larvanet_tpu.models.layers import interpolated_base
 
-    ch, cw = EVAL_CROP
+    ch, cw = crop
     xs, ts = [], []
     for lr, hr in zip(lrs, hrs):
         if lr.shape[0] < ch or lr.shape[1] < cw:
@@ -176,10 +177,26 @@ def main(argv=None):
                              "on the model) so the reported int8 delta measures "
                              "the QAT-closed gap; compare against the plain run "
                              "(INT8_REPORT.json vs QAT_REPORT.json).")
-    parser.add_argument("--out", default="INT8_REPORT.json")
+    parser.add_argument("--realistic", action="store_true",
+                        help="Use the realistic fixture (data/fixture_real, 48 "
+                             "natural-statistics images at ~320x480 HR) with a "
+                             "%dx%d LR eval crop and patch-48 training — the "
+                             "VERDICT r2 #4 geometry. Default --fixture becomes "
+                             "data/fixture_real; write to INT8_REAL.json."
+                             % REAL_EVAL_CROP)
+    parser.add_argument("--patch", type=int, default=0,
+                        help="Training patch size override (0 = 24, or 48 with "
+                             "--realistic).")
+    parser.add_argument("--out", default="")
     args = parser.parse_args(argv)
+    if args.realistic and args.fixture == "data/fixture":
+        args.fixture = "data/fixture_real"
+    out_path = args.out or ("INT8_REAL.json" if args.realistic
+                            else "INT8_REPORT.json")
+    crop = REAL_EVAL_CROP if args.realistic else EVAL_CROP
+    patch = args.patch or (48 if args.realistic else 24)
 
-    lrs, hrs = _fixture_images(args.fixture)
+    lrs, hrs = _fixture_images(args.fixture, realistic=args.realistic)
     want = set(args.families.split(","))
     report = {}
     for name, flags, steps in FAMILIES:
@@ -196,9 +213,9 @@ def main(argv=None):
         print("=== %s ===" % name)
         try:
             model = train_family(name, flags, args.steps or steps, lrs, hrs,
-                                 qat=bool(args.qat),
+                                 patch=patch, qat=bool(args.qat),
                                  qat_finetune_steps=args.qat_finetune)
-            rep = eval_family(model, name, lrs, hrs)
+            rep = eval_family(model, name, lrs, hrs, crop=crop)
         except Exception as exc:
             print("  FAILED: %s" % (exc,))
             report[name] = {"error": str(exc)}
@@ -208,9 +225,9 @@ def main(argv=None):
               "worst %+.4f dB"
               % (rep["mean_exact_psnr"], rep["mean_bicubic_psnr"],
                  rep["mean_delta_db"], rep["worst_delta_db"]))
-        with open(args.out, "w") as f:
+        with open(out_path, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
-    print("wrote %s" % args.out)
+    print("wrote %s" % out_path)
     return report
 
 

@@ -36,6 +36,9 @@ def main():
     parser.add_argument("--n1", type=int, default=20)
     parser.add_argument("--n2", type=int, default=120)
     parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--fused_opt", type=int, default=0,
+                        help="Flattened one-pass Adam (--fused_opt on the "
+                             "train CLIs; models/base.make_optimizer).")
     args, remaining = parser.parse_known_args()
     if remaining and remaining[0] == "--":
         remaining = remaining[1:]
@@ -44,6 +47,8 @@ def main():
 
     model = get_model(args.model)
     model.parse_args(remaining)
+    if args.fused_opt:
+        model.fused_opt = 1
     model.prepare(is_training=True, scales=[args.scale])
 
     p = args.input_patch_size
