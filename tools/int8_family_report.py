@@ -140,16 +140,24 @@ def eval_family(model, name, lrs, hrs, scale=4, crop=EVAL_CROP):
 
     calib = x[:4]
     int8_fwd, exact_fwd = int8_and_exact_forwards(model, name, calib)
-    exact = np.asarray(jax.jit(exact_fwd)(model.params, x))
-    quant = np.asarray(jax.jit(int8_fwd)(model.params, x))
-    base = np.asarray(interpolated_base(x, scale, "bicubic"))
+    # per-image PSNRs reduce ON DEVICE (psnr_rgb_jax = the same
+    # round/clip-to-uint8 protocol): fetching full HR outputs at the
+    # realistic geometry is ~70 MB per forward over the ~200 KB/s axon
+    # tunnel D2H (CLAUDE.md) — scalars come back instead.
+    t_dev = jax.device_put(np.stack(ts).astype(np.float32))
+    pe_v = np.asarray(jax.jit(
+        lambda p, v, t: metrics.psnr_rgb_jax(exact_fwd(p, v), t))(
+            model.params, x, t_dev))
+    pq_v = np.asarray(jax.jit(
+        lambda p, v, t: metrics.psnr_rgb_jax(int8_fwd(p, v), t))(
+            model.params, x, t_dev))
+    pb_v = np.asarray(jax.jit(
+        lambda v, t: metrics.psnr_rgb_jax(
+            interpolated_base(v, scale, "bicubic"), t))(x, t_dev))
 
     rows = []
-    for i, t in enumerate(ts):
-        tu8 = metrics.image_to_uint8(t)
-        pe = metrics.psnr_rgb(metrics.image_to_uint8(exact[i]), tu8)
-        pq = metrics.psnr_rgb(metrics.image_to_uint8(quant[i]), tu8)
-        pb = metrics.psnr_rgb(metrics.image_to_uint8(base[i]), tu8)
+    for i in range(len(ts)):
+        pe, pq, pb = float(pe_v[i]), float(pq_v[i]), float(pb_v[i])
         rows.append({"exact_psnr": pe, "int8_psnr": pq, "bicubic_psnr": pb,
                      "delta": pq - pe})
     deltas = [r["delta"] for r in rows]

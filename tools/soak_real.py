@@ -49,23 +49,31 @@ def _load_realistic(root, scale=4, eval_n=16):
 
 
 def _make_eval(model, lrs, hrs, scale, eval_n, crop):
-    """One-compile challenge-protocol eval on fixed crops of eval_n images."""
+    """One-compile challenge-protocol eval on fixed crops of eval_n images.
+
+    The PSNR reduction runs ON DEVICE (metrics.psnr_rgb_jax — the same
+    round/clip-to-uint8 protocol) and only eval_n scalars come back:
+    bulk D2H over the axon tunnel runs ~200 KB/s (CLAUDE.md), so
+    fetching the full HR outputs (~24 MB at the default geometry) would
+    dominate every soak eval."""
     import jax
+    import jax.numpy as jnp
 
     from larvanet_tpu.eval import metrics
 
     ch, cw = crop
     xs = np.stack([lr[:ch, :cw].astype(np.float32) for lr in lrs[:eval_n]])
-    ts = [hr[: ch * scale, : cw * scale] for hr in hrs[:eval_n]]
+    ts = np.stack([hr[: ch * scale, : cw * scale].astype(np.float32)
+                   for hr in hrs[:eval_n]])
 
-    fwd = jax.jit(lambda p, v: model._fwd_jit(p, v))
+    @jax.jit
+    def fwd_psnr(p, v, t):
+        return jnp.mean(metrics.psnr_rgb_jax(model._fwd_jit(p, v), t))
+
+    ts_dev = jax.device_put(ts)
 
     def evaluate(params):
-        out = np.asarray(fwd(params, xs))
-        return float(np.mean([
-            metrics.psnr_rgb(metrics.image_to_uint8(out[i]),
-                             metrics.image_to_uint8(ts[i]))
-            for i in range(len(ts))]))
+        return float(fwd_psnr(params, xs, ts_dev))
 
     return evaluate
 
