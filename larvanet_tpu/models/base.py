@@ -90,6 +90,30 @@ def qat_requested(model) -> bool:
     return bool(getattr(getattr(model, "args", None), "qat", 0))
 
 
+def add_lr_domain_flag(parser, default=1):
+    """--lr_domain_loss for families whose training outputs end in a
+    PixelShuffle: compute the mean-L1 loss PRE-SHUFFLE against
+    pixel-unshuffled targets. pixel_shuffle is a pure permutation and
+    mean-L1 is permutation-invariant, so per-element grads are IDENTICAL
+    and the loss scalar equals the HR-domain loss up to f32 summation
+    order (tests/test_lr_domain.py) — but the output depth-to-space
+    transpose leaves the training step's fwd AND bwd (the largest
+    non-conv cost in the round-3 train anatomy, BASELINE.md)."""
+    parser.add_argument("--lr_domain_loss", type=int, default=default,
+                        help="With --packed_trunk: compute the training L1 "
+                             "loss PRE-SHUFFLE in the LR domain (targets "
+                             "pixel-unshuffled instead; identical per-element "
+                             "grads — mean-L1 is permutation-invariant). "
+                             "0 = HR-domain loss (bitwise-historical).")
+
+
+def lr_domain_requested(model) -> bool:
+    """True when training should route through the LR-domain loss
+    (--lr_domain_loss 1 with --packed_trunk on)."""
+    a = getattr(model, "args", None)
+    return bool(getattr(a, "packed_trunk", 0) and getattr(a, "lr_domain_loss", 0))
+
+
 def chw_list_to_nhwc(images) -> jnp.ndarray:
     """Host image batch -> NHWC float32 device array.
 

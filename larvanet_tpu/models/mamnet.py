@@ -113,6 +113,12 @@ class MAMNet(SRModel):
                                  "loss/grad-equivalent, removes the 256-ch PixelShuffle "
                                  "transposes from fwd+bwd; ops/packed_trunk.py). "
                                  "0 = plain module graph.")
+        parser.add_argument("--lr_domain_loss", type=int, default=1,
+                            help="With --collapsed_tail_train: compute the training "
+                                 "L1 loss PRE-SHUFFLE in the LR domain (targets "
+                                 "pixel-unshuffled instead; identical per-element "
+                                 "grads — mean-L1 is permutation-invariant). "
+                                 "0 = HR-domain loss (bitwise-historical).")
         parser.add_argument("--qat", type=int, default=0,
                             help="UNSUPPORTED for mamnet (declared so the flag "
                                  "errors instead of vanishing as a leftover): "
@@ -156,11 +162,17 @@ class MAMNet(SRModel):
                 self._packed_train = make_packed_collapsed_mamnet_train_forward(self)
             return self.loss(self._packed_train(params, inputs), targets)
         if getattr(self.args, "collapsed_tail_train", 0):
+            lr_dom = bool(getattr(self.args, "lr_domain_loss", 0))
             if getattr(self, "_collapsed_train", None) is None:
                 from larvanet_tpu.ops.packed_trunk import (
                     make_collapsed_mamnet_train_forward)
 
-                self._collapsed_train = make_collapsed_mamnet_train_forward(self)
+                self._collapsed_train = make_collapsed_mamnet_train_forward(
+                    self, lr_domain=lr_dom)
+            if lr_dom:
+                from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
+
+                targets = pixel_unshuffle(targets, self.scale)
             return self.loss(self._collapsed_train(params, inputs), targets)
         return super()._compute_loss(params, inputs, targets)
 

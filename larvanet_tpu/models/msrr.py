@@ -163,22 +163,34 @@ class _PackedTrunkMixin:
     --packed_trunk (default 1). Exact reparametrization (ops/
     packed_trunk.py); depthwise configs fall back to the plain graph."""
 
-    def _packed_fwd(self, qat=False):
-        attr = "_qat_cache" if qat else "_packed_cache"
+    def _packed_fwd(self, qat=False, lr_domain=False):
+        attr = ("_qat_cache" if qat else "_packed_cache") + (
+            "_lr" if lr_domain else "")
         if getattr(self, attr, None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_msrr_forward
 
             try:
                 from larvanet_tpu.models.base import serving_compute_dtype
                 setattr(self, attr, make_packed_msrr_forward(
-                    self, dtype=serving_compute_dtype(self), qat=qat))
+                    self, dtype=serving_compute_dtype(self), qat=qat,
+                    lr_domain=lr_domain))
             except ValueError:
                 setattr(self, attr, False)
         return getattr(self, attr) or None
 
+    def _lr_domain_ok(self) -> bool:
+        """LR-domain loss needs a TRAILING shuffle: MSRRReducedModule only
+        (msrr / msrr_test run HR convs after their shuffles)."""
+        from larvanet_tpu.models.base import lr_domain_requested
+
+        return (lr_domain_requested(self)
+                and type(self.module).__name__ == "MSRRReducedModule")
+
     def prepare(self, is_training, scales, global_step=0, seed=0):
         self._packed_cache = None
         self._qat_cache = None
+        self._packed_cache_lr = None
+        self._qat_cache_lr = None
         super().prepare(is_training, scales, global_step=global_step, seed=seed)
 
     def _forward_impl(self, params, x):
@@ -193,15 +205,22 @@ class _PackedTrunkMixin:
 
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
-            fwd = self._packed_fwd(qat=qat_requested(self))
+            lr_dom = self._lr_domain_ok()
+            fwd = self._packed_fwd(qat=qat_requested(self), lr_domain=lr_dom)
             if fwd is None and (qat_requested(self)
                                 or getattr(self.args, "remat", 0)):
                 raise ValueError("--qat/--remat are unsupported for depthwise "
                                  "configs (they run the plain graph — no "
                                  "packed conv pairs to wrap)")
             if fwd is not None:
+                if lr_dom:
+                    from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
+
+                    targets_used = pixel_unshuffle(targets, self.scale)
+                else:
+                    targets_used = targets
                 try:
-                    return self.loss(fwd(params, inputs), targets)
+                    return self.loss(fwd(params, inputs), targets_used)
                 except ValueError:
                     if qat_requested(self):
                         raise  # even-width requirement must not be masked
@@ -210,9 +229,12 @@ class _PackedTrunkMixin:
 
 
 def _add_packed_trunk_flag(parser):
+    from larvanet_tpu.models.base import add_lr_domain_flag
+
     parser.add_argument("--packed_trunk", type=int, default=1,
                         help="Width-packed trunk (exact reparametrization, ~2x per "
                              "conv on TPU; ops/packed_trunk.py). 0 = plain graph.")
+    add_lr_domain_flag(parser)
     add_qat_flag(parser)
 
 

@@ -25,7 +25,8 @@ from flax import linen as nn
 
 from larvanet_tpu.core.config import parse_known
 from larvanet_tpu.core.registry import register_model
-from larvanet_tpu.models.base import SRModel, add_qat_flag, l1_loss, qat_requested
+from larvanet_tpu.models.base import (
+    SRModel, add_lr_domain_flag, add_qat_flag, l1_loss, qat_requested)
 from larvanet_tpu.models.layers import (
     MeanShift,
     conv3x3,
@@ -130,16 +131,20 @@ class _REGOPackedMixin:
     def prepare(self, is_training, scales, global_step=0, seed=0):
         self._packed_cache = None
         self._qat_cache = None
+        self._packed_cache_lr = None
+        self._qat_cache_lr = None
         super().prepare(is_training, scales, global_step=global_step, seed=seed)
 
-    def _packed_fwd(self, qat=False):
-        attr = "_qat_cache" if qat else "_packed_cache"
+    def _packed_fwd(self, qat=False, lr_domain=False):
+        attr = ("_qat_cache" if qat else "_packed_cache") + (
+            "_lr" if lr_domain else "")
         if getattr(self, attr, None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_rego_forward
 
             from larvanet_tpu.models.base import serving_compute_dtype
             setattr(self, attr, make_packed_rego_forward(
-                self, dtype=serving_compute_dtype(self), qat=qat))
+                self, dtype=serving_compute_dtype(self), qat=qat,
+                lr_domain=lr_domain))
         return getattr(self, attr)
 
     def _forward_impl(self, params, x):
@@ -149,7 +154,14 @@ class _REGOPackedMixin:
 
     def _compute_loss(self, params, inputs, targets):
         if getattr(self.args, "packed_trunk", 0):
-            fwd = self._packed_fwd(qat=qat_requested(self))
+            from larvanet_tpu.models.base import lr_domain_requested
+
+            lr_dom = lr_domain_requested(self)
+            fwd = self._packed_fwd(qat=qat_requested(self), lr_domain=lr_dom)
+            if lr_dom:
+                from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
+
+                targets = pixel_unshuffle(targets, self.scale)
             return self.loss(fwd(params, inputs), targets)
         return super()._compute_loss(params, inputs, targets)
 
@@ -177,6 +189,7 @@ class REGONet(_REGOPackedMixin, SRModel):
         parser.add_argument("--packed_trunk", type=int, default=1,
                             help="Width-packed trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
         add_qat_flag(parser)
+        add_lr_domain_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -223,6 +236,7 @@ class REGOSerial(REGONet):
         parser.add_argument("--packed_trunk", type=int, default=1,
                             help="Width-packed trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
         add_qat_flag(parser)
+        add_lr_domain_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 

@@ -23,7 +23,9 @@ from flax import linen as nn
 
 from larvanet_tpu.core.config import parse_known
 from larvanet_tpu.core.registry import register_model
-from larvanet_tpu.models.base import SRModel, add_qat_flag, chw_list_to_nhwc, l1_loss, qat_requested
+from larvanet_tpu.models.base import (
+    SRModel, add_lr_domain_flag, add_qat_flag, chw_list_to_nhwc, l1_loss,
+    qat_requested)
 from larvanet_tpu.models.layers import (
     ResBlock,
     conv3x3,
@@ -107,6 +109,7 @@ class TreeNet(SRModel):
         parser.add_argument("--packed_trunk", type=int, default=1,
                             help="Width-packed trunk (exact; ops/packed_trunk.py). 0 = plain graph.")
         add_qat_flag(parser)
+        add_lr_domain_flag(parser)
         self.args, remaining = parse_known(parser, args)
         return self.args, remaining
 
@@ -126,6 +129,8 @@ class TreeNet(SRModel):
     def prepare(self, is_training, scales, global_step=0, seed=0):
         self._packed_cache = None
         self._qat_cache = None
+        self._packed_cache_lr = None
+        self._qat_cache_lr = None
         super().prepare(is_training, scales, global_step=global_step, seed=seed)
         if is_training:
             from larvanet_tpu.train.schedules import StepLR
@@ -138,14 +143,17 @@ class TreeNet(SRModel):
     def get_learning_rate(self):
         return self.scheduler.get_lr() if self.scheduler is not None else self.args.lr
 
-    def _packed_fwd(self, qat=False):
+    def _packed_fwd(self, qat=False, lr_domain=False):
         attr = "_qat_cache" if qat else "_packed_cache"
+        if lr_domain:
+            attr += "_lr"
         if getattr(self, attr, None) is None:
             from larvanet_tpu.ops.packed_trunk import make_packed_treenet_forward
 
             from larvanet_tpu.models.base import serving_compute_dtype
             setattr(self, attr, make_packed_treenet_forward(
-                self, dtype=serving_compute_dtype(self), qat=qat))
+                self, dtype=serving_compute_dtype(self), qat=qat,
+                lr_domain=lr_domain))
         return getattr(self, attr)
 
     def _forward_impl(self, params, x):
@@ -154,9 +162,16 @@ class TreeNet(SRModel):
         return super()._forward_impl(params, x)
 
     def _compute_loss(self, params, inputs, targets):
+        from larvanet_tpu.models.base import lr_domain_requested
+
         if getattr(self.args, "packed_trunk", 0):
-            fwd = self._packed_fwd(qat=qat_requested(self))
+            lr_dom = lr_domain_requested(self)
+            fwd = self._packed_fwd(qat=qat_requested(self), lr_domain=lr_dom)
             outs = fwd(params, inputs, branches="all")
+            if lr_dom:
+                from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
+
+                targets = pixel_unshuffle(targets, self.scale)
         else:
             outs = self.module.apply({"params": params}, inputs, branches="all")
         losses = [l1_loss(o, targets) for o in outs]

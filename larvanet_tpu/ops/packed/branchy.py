@@ -15,16 +15,22 @@ from larvanet_tpu.ops.packed.pairs import (
     _make_int8, _remat_requested, _training_pair)
 
 
-def _treenet_walk(model, dtype):
+def _treenet_walk(model, dtype, lr_domain=False):
     """The ONE TreeNet topology walk (reference models/TreeNet.py:226-256):
     packed shared 48ch trunk + per-branch ResBlock runs. Returns
     walk(params, x, pair, branches=0|int|'all') — pair indices are
     common blocks then the selected branch's blocks (the int8 path only
-    ever runs branch 0, the reference's inference branch)."""
+    ever runs branch 0, the reference's inference branch).
+
+    lr_domain=True (training use): every branch returns PRE-SHUFFLE
+    (3s² torch-ordered channels) with the interpolated base unshuffled
+    ONCE — mean-L1 against pixel_unshuffle(targets) has identical
+    per-element grads (pixel_shuffle is a permutation; the EDSR /
+    LarvaNet --lr_domain_loss analog, BASELINE.md round-3 anatomy)."""
     from flax import serialization
 
     from larvanet_tpu.models.layers import get_activation, interpolated_base
-    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 
     mod = model.module
     lrelu = get_activation("leaky_relu", 0.1)
@@ -43,6 +49,7 @@ def _treenet_walk(model, dtype):
                        res_weight=mod.res_weight, mask0=mask0)
 
         base = interpolated_base(x, mod.scale, mod.interpolate)
+        base_out = pixel_unshuffle(base, mod.scale) if lr_domain else base
 
         def run_branch(b):
             h = fea
@@ -51,7 +58,9 @@ def _treenet_walk(model, dtype):
                 h = pair(nc + i, h, blk["conv1"], blk["conv2"], mask1,
                          res_weight=mod.res_weight, mask0=mask0)
             h = packed_exit(h, odd, ww)
-            return pixel_shuffle(h, mod.scale) + base
+            if lr_domain:
+                return h + base_out
+            return pixel_shuffle(h, mod.scale) + base_out
 
         if branches == "all":
             return [run_branch(b) for b in range(mod.num_branches)]
@@ -60,13 +69,15 @@ def _treenet_walk(model, dtype):
     return walk
 
 
-def make_packed_treenet_forward(model, dtype=jnp.float32, qat=False):
+def make_packed_treenet_forward(model, dtype=jnp.float32, qat=False,
+                                lr_domain=False):
     """Width-packed TreeNet forward (topology in _treenet_walk). Returns
     forward(params, x, branches=0 | int | 'all') mirroring the module's
     signature (validate_tree sweeps branches; training uses 'all').
     Differentiable — used for training too; qat=True fake-quantizes the
-    conv pairs with the int8 serving scheme (qat_pair)."""
-    walk = _treenet_walk(model, dtype)
+    conv pairs with the int8 serving scheme (qat_pair); lr_domain=True
+    (training use) returns pre-shuffle LR-domain branch outputs."""
+    walk = _treenet_walk(model, dtype, lr_domain=lr_domain)
     pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x, branches=0):
@@ -164,7 +175,7 @@ def make_int8_hrsr_forward(model, calib_batch, dtype=jnp.bfloat16):
          for i in range(model.module.num_lr_blocks)])
 
 
-def _rego_walk(model, dtype):
+def _rego_walk(model, dtype, lr_domain=False):
     """The ONE REGO-Net / REGO-serial topology walk (reference
     models/REGO-Net.py, REGO-serial.py): the triangular RESBlock
     wavefront runs packed ('both'-kind pairs — blocks return
@@ -172,11 +183,13 @@ def _rego_walk(model, dtype):
     with the fusion convs' kernels input-permuted (concat_packed_perm).
     Only the 3-channel head and the final shuffle/base are unpacked.
     Returns walk(params, x, pair); also exposes walk.pair_order, the
-    fixed wavefront visit order used for stable int8 pair indices."""
+    fixed wavefront visit order used for stable int8 pair indices.
+    lr_domain=True (training use): pre-shuffle output + unshuffled base
+    (see _treenet_walk)."""
     from flax import serialization
 
     from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
-    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 
     mod = model.module
     F = mod.features
@@ -233,19 +246,24 @@ def _rego_walk(model, dtype):
                 fea = fused_conv(sp["conv_%d" % k], srcs)
 
         sr = fused_conv(sp["SRrecon"], srcs)
-        sr = pixel_shuffle(packed_exit(sr, odd, ww), mod.scale)
-        return sr + interpolated_base(x, mod.scale, mod.interpolate)
+        sr = packed_exit(sr, odd, ww)
+        base = interpolated_base(x, mod.scale, mod.interpolate)
+        if lr_domain:
+            return sr + pixel_unshuffle(base, mod.scale)
+        return pixel_shuffle(sr, mod.scale) + base
 
     walk.pair_order = order
     return walk
 
 
-def make_packed_rego_forward(model, dtype=jnp.float32, qat=False):
+def make_packed_rego_forward(model, dtype=jnp.float32, qat=False,
+                             lr_domain=False):
     """Width-packed REGO-Net / REGO-serial forward (topology in
     _rego_walk). Differentiable — used for training too; qat=True
     fake-quantizes the wavefront pairs with the int8 serving scheme
-    (qat_pair)."""
-    walk = _rego_walk(model, dtype)
+    (qat_pair); lr_domain=True (training use) returns the pre-shuffle
+    LR-domain output."""
+    walk = _rego_walk(model, dtype, lr_domain=lr_domain)
     pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):
@@ -268,18 +286,20 @@ def make_int8_rego_forward(model, calib_batch, dtype=jnp.bfloat16):
         [(sp0[n]["conv1"], sp0[n]["conv2"]) for n in walk.pair_order])
 
 
-def _ebrn_rm_walk(model, dtype):
+def _ebrn_rm_walk(model, dtype, lr_domain=False):
     """The ONE ebrn_rm / ebrn_rm_BLI topology walk (reference
     models/ebrn_rm.py): BRM conv pairs ('both' kind — the residual
     stream feeds the next BRM), single-conv fusion cascade
     (grid0->grid0), concat recon conv (input-permuted). Returns
     walk(params, x, pair). The full EBRN (strided ConvTranspose
     back-projection) stays on the plain graph — strides do not fit the
-    column-pair grids."""
+    column-pair grids. lr_domain=True (training use): pre-shuffle output
+    with the base unshuffled / the RGB mean as a per-channel LR constant
+    (see _treenet_walk)."""
     from flax import serialization
 
     from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
-    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 
     mod = model.module
     if type(mod).__name__ != "EBRNRMModule":
@@ -313,7 +333,18 @@ def _ebrn_rm_walk(model, dtype):
         cat = jnp.concatenate(out_prime_list, axis=-1)
         up = single_same(cat, sp["upsample_conv"], dtype,
                          perm_channels=[F] * mod.num_brms)
-        sr = pixel_shuffle(packed_exit(up, odd, ww), mod.scale)
+        sr = packed_exit(up, odd, ww)
+        if lr_domain:
+            if mod.bilinear_base:
+                return sr + pixel_unshuffle(
+                    interpolated_base(x, mod.scale, "bilinear"), mod.scale)
+            # the per-RGB mean is spatially constant, so its unshuffled
+            # field is a (1,1,1,3s²) per-channel constant
+            mean_lr = pixel_unshuffle(jnp.broadcast_to(
+                jnp.asarray(DIV2K_RGB_MEAN, dtype),
+                (1, mod.scale, mod.scale, 3)), mod.scale)
+            return sr - mean_lr
+        sr = pixel_shuffle(sr, mod.scale)
         if mod.bilinear_base:
             return sr + interpolated_base(x, mod.scale, "bilinear")
         return sr - jnp.asarray(DIV2K_RGB_MEAN, dtype)
@@ -321,13 +352,15 @@ def _ebrn_rm_walk(model, dtype):
     return walk
 
 
-def make_packed_ebrn_rm_forward(model, dtype=jnp.float32, qat=False):
+def make_packed_ebrn_rm_forward(model, dtype=jnp.float32, qat=False,
+                                lr_domain=False):
     """Width-packed ebrn_rm / ebrn_rm_BLI forward (topology in
     _ebrn_rm_walk); only the 3-channel head and the final shuffle are
     unpacked. Differentiable — used for training too; qat=True
     fake-quantizes the BRM pairs with the int8 serving scheme
-    (qat_pair)."""
-    walk = _ebrn_rm_walk(model, dtype)
+    (qat_pair); lr_domain=True (training use) returns the pre-shuffle
+    LR-domain output."""
+    walk = _ebrn_rm_walk(model, dtype, lr_domain=lr_domain)
     pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):

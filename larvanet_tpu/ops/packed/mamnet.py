@@ -189,7 +189,8 @@ def make_packed_collapsed_mamnet_train_forward(model, dtype=jnp.float32):
     return forward
 
 
-def make_collapsed_mamnet_train_forward(model, dtype=jnp.float32):
+def make_collapsed_mamnet_train_forward(model, dtype=jnp.float32,
+                                        lr_domain=False):
     """Differentiable MAMNet forward: PLAIN trunk + LIVE collapsed tail.
 
     The fully packed training graph (make_packed_collapsed_mamnet_
@@ -199,7 +200,9 @@ def make_collapsed_mamnet_train_forward(model, dtype=jnp.float32):
     tail collapse is orthogonal and keeps its win, so training defaults
     to this variant: trunk exactly as module.apply, upsample chain
     collapsed from live weights (see make_packed_collapsed_edsr_
-    train_forward).
+    train_forward). lr_domain=True returns the pre-shuffle LR-domain
+    output (apply_collapsed_tail's lr_domain branch — the EDSR
+    --lr_domain_loss analog).
     """
     from flax import serialization
 
@@ -245,6 +248,7 @@ def make_collapsed_mamnet_train_forward(model, dtype=jnp.float32):
         res = conv(res, sp["after_res_conv"])
         h = h + res
         kernel, bias_tile, tail_fn = live_collapsed_edsr_tail(sp, scale, dtype)
-        return apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale)
+        return apply_collapsed_tail(h, kernel, bias_tile, tail_fn, scale,
+                                    lr_domain=lr_domain)
 
     return forward

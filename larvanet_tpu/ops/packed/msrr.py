@@ -14,7 +14,7 @@ from larvanet_tpu.ops.packed.pairs import (
     _make_int8, _remat_requested, _training_pair)
 
 
-def _msrr_walk(model, dtype):
+def _msrr_walk(model, dtype, lr_domain=False):
     """The ONE MSRR-family topology walk (reference models/msrr.py:214-248,
     msrr_reduced*.py, msrr_test.py): packed head + N ResBlock pairs +
     per-kind tail. Returns walk(params, x, pair) — the exact forward,
@@ -23,16 +23,24 @@ def _msrr_walk(model, dtype):
     raise ValueError and fall back to the plain graph: the packed
     decomposition (packed_dw_resblock) is exact but MEASURED 4.4x SLOWER
     on v5e (BASELINE.md).
+
+    lr_domain=True (training use, MSRRReducedModule only — the other
+    kinds run HR convs AFTER their shuffles, so there is no trailing
+    permutation to commute): pre-shuffle output with base/mean handled
+    in the LR domain (see ops/packed/branchy._treenet_walk).
     """
     from flax import serialization
 
     from larvanet_tpu.models.layers import DIV2K_RGB_MEAN, get_activation, interpolated_base
-    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle
+    from larvanet_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 
     mod = model.module
     kind = type(mod).__name__
     if kind == "MSRRReducedModule" and mod.depthwise:
         raise ValueError("depthwise blocks do not pack profitably")
+    if lr_domain and kind != "MSRRReducedModule":
+        raise ValueError("lr_domain requires a trailing shuffle "
+                         "(MSRRReducedModule only)")
     scale = mod.scale
     res_weight = float(mod.res_weight)
     lrelu = get_activation("leaky_relu", 0.1)
@@ -67,6 +75,16 @@ def _msrr_walk(model, dtype):
         out = packed_exit(h0, odd, ww)
 
         if kind == "MSRRReducedModule":
+            if lr_domain:
+                if mod.base == "meanshift":
+                    mean_lr = pixel_unshuffle(jnp.broadcast_to(
+                        jnp.asarray(DIV2K_RGB_MEAN, dtype),
+                        (1, scale, scale, 3)), scale)
+                    return out - mean_lr
+                if mod.base is not None:
+                    return out + pixel_unshuffle(
+                        interpolated_base(x, scale, mod.base), scale)
+                return out
             out = pixel_shuffle(out, scale)
             if mod.base == "meanshift":
                 return out - jnp.asarray(DIV2K_RGB_MEAN, dtype)
@@ -96,16 +114,18 @@ def _msrr_walk(model, dtype):
     return walk
 
 
-def make_packed_msrr_forward(model, dtype=jnp.float32, qat=False):
+def make_packed_msrr_forward(model, dtype=jnp.float32, qat=False,
+                             lr_domain=False):
     """Width-packed forward for the MSRR family (differentiable; used for
     both inference and training). Covers MSRRModule (64ch trunk,
     reference models/msrr.py:214-248), MSRRReducedModule non-depthwise
     (48ch trunk, models/msrr_reduced*.py) and MSRRTestModule (64ch,
     models/msrr_test.py); topology in _msrr_walk. qat=True
     fake-quantizes the trunk pairs with the int8 serving scheme
-    (qat_pair).
+    (qat_pair); lr_domain=True (training use, MSRRReducedModule only)
+    returns the pre-shuffle LR-domain output.
     """
-    walk = _msrr_walk(model, dtype)
+    walk = _msrr_walk(model, dtype, lr_domain=lr_domain)
     pair = _training_pair(qat, dtype, remat=_remat_requested(model))
 
     def forward(params, x):
