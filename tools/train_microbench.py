@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from larvanet_tpu.cli.common import enable_compile_cache  # noqa: F401  (side effect)
+
 
 def main():
     parser = argparse.ArgumentParser()
