@@ -103,6 +103,9 @@ def main(argv=None):
     print("begin training")
     if args.device_pipeline > 0:
         _train_device_pipeline(args, dataloader, model, scale_list[0])
+        # The async writer thread is a daemon: returning without this
+        # would drop a final --async_checkpoint save submitted mid-write.
+        model.wait_for_checkpoints()
         for w in summary_writers.values():
             w.close()
         return
@@ -146,7 +149,11 @@ def _train_device_pipeline(args, dataloader, model, scale):
 
     ds = dataloader.dataset
     lr_imgs = [ds.input_u8(scale, i) for i in range(len(ds))]
-    hr_imgs = [ds.truth_u8(i) for i in range(len(ds))]
+    # Trim truth to LR*scale: datasets may carry a few extra HR rows/cols
+    # (the reference eval protocol crops truth to output size,
+    # validate.py:20-21); training patches never sample past LR*scale.
+    hr_imgs = [ds.truth_u8(i)[: l.shape[0] * scale, : l.shape[1] * scale]
+               for i, l in enumerate(lr_imgs)]
     if len({a.shape[:2] for a in lr_imgs}) > 1:
         from larvanet_tpu.data.device_pipeline import BucketedDevicePipeline
 
@@ -170,9 +177,12 @@ def _train_device_pipeline(args, dataloader, model, scale):
         lr = model.get_learning_rate()
         model.params, model.opt_state, loss = chunk(model.params, model.opt_state, lr, sub)
         model.global_step += args.device_pipeline
+        # realize the loss BEFORE timing: the dispatch is async, so the
+        # chunk's wall time is paid in this readback, not in the call
+        loss_val = float(loss)
         dt = _time.time() - t0
         print("step %d, lr %f, mean loss %.6f (%.1f steps/s)"
-              % (model.global_step, lr, float(loss), args.device_pipeline / dt))
+              % (model.global_step, lr, loss_val, args.device_pipeline / dt))
         if args.save_freq and model.global_step % args.save_freq < args.device_pipeline:
             model.save(base_path=args.train_path)
             print("saved a model checkpoint at step %d" % (model.global_step,))

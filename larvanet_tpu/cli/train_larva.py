@@ -132,6 +132,9 @@ def main(argv=None):
     if args.device_pipeline > 0:
         _train_larva_device(args, dataloader, val_loader, model, scale,
                             threaded, summary)
+        # The async writer thread is a daemon: returning without this
+        # would drop a final --async_checkpoint save submitted mid-write.
+        model.wait_for_checkpoints()
         summary.close()
         return
 
@@ -185,7 +188,11 @@ def _train_larva_device(args, dataloader, val_loader, model, scale, threaded, su
         dataloader.stop_queue_runners()
     ds = dataloader.dataset
     lr_imgs = [ds.input_u8(scale, i) for i in range(len(ds))]
-    hr_imgs = [ds.truth_u8(i) for i in range(len(ds))]
+    # Trim truth to LR*scale: datasets may carry a few extra HR rows/cols
+    # (the reference eval protocol crops truth to output size,
+    # validate.py:20-21); training patches never sample past LR*scale.
+    hr_imgs = [ds.truth_u8(i)[: l.shape[0] * scale, : l.shape[1] * scale]
+               for i, l in enumerate(lr_imgs)]
     if len({a.shape[:2] for a in lr_imgs}) > 1:
         from larvanet_tpu.data.device_pipeline import BucketedDevicePipeline
 
@@ -217,9 +224,12 @@ def _train_larva_device(args, dataloader, val_loader, model, scale, threaded, su
         model.params, model.opt_state, loss = run_chunk(n, sub, model.get_learning_rate())
         model.global_step += n
         model.temp_volume += n * model.volume_per_step
+        # realize the loss BEFORE timing: the dispatch is async, so the
+        # chunk's wall time is paid in this readback, not in the call
+        loss_val = float(loss)
         dt = time.time() - t0
         print("step %d, mean loss %.6f, lr %.8f (%.1f steps/s)"
-              % (model.global_step, float(loss), model.get_learning_rate(), n / dt))
+              % (model.global_step, loss_val, model.get_learning_rate(), n / dt))
 
         if model.temp_volume >= model.args.val_volume:
             model.total_volume += model.temp_volume
