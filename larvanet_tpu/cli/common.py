@@ -17,6 +17,20 @@ import numpy as np
 from larvanet_tpu.core.config import parse_scale_list
 from larvanet_tpu.core import registry
 
+# $LVT_PLATFORM: force the JAX platform for CLI SUBPROCESSES. The axon
+# TPU plugin ignores the JAX_PLATFORMS env var (CLAUDE.md), so tools
+# that spawn the CLIs (tools/paper_table.py contract tests, CI on
+# TPU-attached hosts) have no env-level way to pin them to CPU;
+# jax.config before backend init is the only reliable override. cli/
+# common is the first import of every CLI, so this runs early enough.
+if os.environ.get("LVT_PLATFORM"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", os.environ["LVT_PLATFORM"])
+    except RuntimeError:
+        pass  # backend already up (in-process main() under a test)
+
 
 def enable_compile_cache() -> Optional[str]:
     """Persistent XLA compilation cache, ON by default for every CLI.

@@ -25,6 +25,24 @@ from larvanet_tpu.data import io
 from larvanet_tpu.eval import metrics
 
 
+def _calib_from_dir(lr_dir: str, num_images: int) -> np.ndarray:
+    """int8 calibration batch from a benchmark LR tree: the first N
+    images centre-cropped to their common (even-aligned) size, stacked
+    NHWC float32 (mirrors cli/common.int8_calib_batch, which needs a
+    loader; cli/test walks dataset dirs directly)."""
+    names = [f for f in sorted(os.listdir(lr_dir)) if f.lower().endswith(".png")]
+    imgs = [io.load_image_u8(os.path.join(lr_dir, f)).astype(np.float32)
+            for f in names[: max(1, int(num_images))]]
+    hh = min(im.shape[0] for im in imgs) // 2 * 2
+    ww = min(im.shape[1] for im in imgs) // 2 * 2
+    out = []
+    for im in imgs:
+        top = (im.shape[0] - hh) // 2
+        left = (im.shape[1] - ww) // 2
+        out.append(im[top: top + hh, left: left + ww])
+    return np.stack(out)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, default="edsr", help="Name of the model.")
@@ -53,6 +71,13 @@ def main(argv=None):
                              "(used by tools/protocol_parity.py).")
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
+    parser.add_argument("--int8_trunk", type=int, default=0,
+                        help="int8 (W8A8) trunk serving path (opt-in; NOT float-exact "
+                             "— measure with validate --int8_report first). Calibrates "
+                             "activation scales on the first dataset's LR images.")
+    parser.add_argument("--int8_calib_images", type=int, default=4,
+                        help="LR images (first dataset, centre-cropped to a common "
+                             "size) in the int8 activation-scale calibration batch.")
     common.add_serving_dtype_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
@@ -65,6 +90,9 @@ def main(argv=None):
     common.apply_serving_dtype(model, args)
     print("restored the model")
     common.maybe_collapse_tail(model, args)
+    common.maybe_int8_trunk(model, args, lambda: _calib_from_dir(
+        os.path.join(args.input_root_path, args.datasets.split(",")[0]),
+        args.int8_calib_images))
 
     output_root = os.path.join(args.output_root_path, args.model)
     os.makedirs(output_root, exist_ok=True)
