@@ -395,11 +395,57 @@ FULL_FAMILIES = {
     },
 }
 
+# --realistic (VERDICT r3 next#2): every protocol on >=3 full-size
+# families at the ~320x480-HR geometry, where border shares and
+# chop/shave interactions differ from the tiny fixture.
+REALISTIC_FAMILIES = {
+    # 'test' only where the reference model defines test() (LarvaNet
+    # family, msrr, msrr_test — reference test.py's own constraint)
+    "edsr": {"flags": [], "validate": True, "chop": True, "test": False},
+    "LarvaNet": {"flags": ["--num_modules", "2", "--num_blocks", "8,8"],
+                 "validate": True, "chop": True, "test": True},
+    "msrr_reduced": {"flags": [], "validate": True, "chop": True, "test": False},
+    "msrr": {"flags": [], "validate": True, "chop": True, "test": True},
+    "msrr_test": {"flags": [], "validate": False, "chop": False, "test": True},
+}
+
+
+def build_subset(src_root: str, dst_root: str, scale: int, n: int,
+                 datasets: Sequence[str]) -> str:
+    """First-n-images subset of a fixture tree (x{s}/ + test trees) —
+    bounds the torch-CPU runtime at realistic geometry (the round-3
+    PARITY_REAL used an ad-hoc /tmp subset; this makes it reproducible)."""
+    import shutil
+
+    names = sorted(os.listdir(os.path.join(src_root, "x%d" % scale, "input")))[:n]
+    for sub in ("input", "truth"):
+        os.makedirs(os.path.join(dst_root, "x%d" % scale, sub), exist_ok=True)
+        for f in names:
+            shutil.copy(os.path.join(src_root, "x%d" % scale, sub, f),
+                        os.path.join(dst_root, "x%d" % scale, sub, f))
+    for ds in datasets:
+        hr_dir = os.path.join(src_root, "test_HR", ds)
+        if not os.path.isdir(hr_dir):
+            continue
+        os.makedirs(os.path.join(dst_root, "test_HR", ds), exist_ok=True)
+        os.makedirs(os.path.join(dst_root, "test_LR", ds), exist_ok=True)
+        for f in names:
+            if not os.path.exists(os.path.join(hr_dir, f)):
+                continue
+            stem = os.path.splitext(f)[0]
+            lr_name = stem + ("x%d" % scale if ds == "DIV2K_val" else "") + ".png"
+            shutil.copy(os.path.join(hr_dir, f),
+                        os.path.join(dst_root, "test_HR", ds, f))
+            shutil.copy(os.path.join(src_root, "test_LR", ds, lr_name),
+                        os.path.join(dst_root, "test_LR", ds, lr_name))
+    return dst_root
+
 
 def run_family(model_name: str, model_flags: Sequence[str], fixture_root: str,
                workdir: str, scale: int = 4, do_validate: bool = True,
                do_chop: bool = False, do_test: bool = False, chop_overlap: int = 20,
-               our_extra_flags: Sequence[str] = (), seed: int = 0) -> Dict:
+               our_extra_flags: Sequence[str] = (), seed: int = 0,
+               test_datasets: Sequence[str] = ("SynSet", "DIV2K_val")) -> Dict:
     setup_reference()
     wrapper = make_reference_model(model_name, model_flags, scale, seed=seed)
     pth = save_reference_checkpoint(wrapper, os.path.join(workdir, model_name + ".pth"))
@@ -427,7 +473,7 @@ def run_family(model_name: str, model_flags: Sequence[str], fixture_root: str,
             **delta_stats(ref["per_image"], ours["per_image"]),
         }
     if do_test:
-        datasets = ("SynSet", "DIV2K_val")
+        datasets = tuple(test_datasets)
         lr_root = os.path.join(fixture_root, "test_LR")
         hr_root = os.path.join(fixture_root, "test_HR")
         ref = reference_test(wrapper, model_name, lr_root, hr_root, datasets, scale=scale)
@@ -449,26 +495,51 @@ def run_family(model_name: str, model_flags: Sequence[str], fixture_root: str,
 
 def main(argv: Optional[List[str]] = None):
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    parser.add_argument("--fixture", default="data/fixture",
-                        help="Fixture root (generated/verified via data/fixture.py).")
-    parser.add_argument("--families", default=",".join(FULL_FAMILIES),
-                        help="Comma-separated family names to run.")
-    parser.add_argument("--out", default="PARITY.json", help="Report path.")
+    parser.add_argument("--fixture", default=None,
+                        help="Fixture root (default data/fixture, or "
+                             "data/fixture_real with --realistic).")
+    parser.add_argument("--families", default="",
+                        help="Comma-separated family names to run "
+                             "(default: the full matrix for the tier).")
+    parser.add_argument("--realistic", action="store_true",
+                        help="Realistic-geometry tier (~320x480 HR): fixture "
+                             "data/fixture_real, every protocol x >=3 "
+                             "families, report PARITY_REAL.json; "
+                             "--max_images bounds the torch-CPU runtime.")
+    parser.add_argument("--max_images", type=int, default=0,
+                        help="Score only the first N fixture images "
+                             "(0 = all; --realistic defaults to 6).")
+    parser.add_argument("--out", default=None, help="Report path.")
     parser.add_argument("--scale", type=int, default=4)
     args = parser.parse_args(argv)
 
     from larvanet_tpu.data import fixture as fx
 
-    fx.ensure(args.fixture)
+    families_cfg = REALISTIC_FAMILIES if args.realistic else FULL_FAMILIES
+    fixture_root = args.fixture or (
+        "data/fixture_real" if args.realistic else "data/fixture")
+    out_path = args.out or ("PARITY_REAL.json" if args.realistic
+                            else "PARITY.json")
+    test_datasets = (("SynSetReal", "DIV2K_val") if args.realistic
+                     else ("SynSet", "DIV2K_val"))
+    max_images = args.max_images or (6 if args.realistic else 0)
+    (fx.ensure_realistic if args.realistic else fx.ensure)(fixture_root)
 
     reports = []
+    src_fixture = fixture_root
     with tempfile.TemporaryDirectory() as workdir:
-        for name in args.families.split(","):
-            cfg = FULL_FAMILIES[name]
+        if max_images:
+            fixture_root = build_subset(
+                fixture_root, os.path.join(workdir, "subset"),
+                args.scale, max_images, test_datasets)
+        names = [f for f in args.families.split(",") if f] or list(families_cfg)
+        for name in names:
+            cfg = families_cfg[name]
             print("=== %s ===" % name)
             rep = run_family(
-                name, cfg["flags"], args.fixture, workdir, scale=args.scale,
-                do_validate=cfg["validate"], do_chop=cfg["chop"], do_test=cfg["test"])
+                name, cfg["flags"], fixture_root, workdir, scale=args.scale,
+                do_validate=cfg["validate"], do_chop=cfg["chop"], do_test=cfg["test"],
+                test_datasets=test_datasets)
             reports.append(rep)
             for proto in ("validate", "validate_chop"):
                 if proto in rep:
@@ -482,9 +553,12 @@ def main(argv: Optional[List[str]] = None):
                           % (name, ds, r["ref_mean_psnr"], r["ours_mean_psnr"],
                              r["psnr"]["max_abs_delta"], r["ssim"]["max_abs_delta"]))
 
-    with open(args.out, "w") as f:
-        json.dump({"fixture": args.fixture, "reports": reports}, f, indent=1, sort_keys=True)
-    print("wrote %s" % args.out)
+    with open(out_path, "w") as f:
+        json.dump({"fixture": src_fixture, "realistic": bool(args.realistic),
+                   "max_images": max_images, "reports": reports},
+                  f, indent=1, sort_keys=True)
+        f.write("\n")
+    print("wrote %s" % out_path)
     return reports
 
 
