@@ -67,9 +67,15 @@ class DevicePipeline:
             # reference: randint(dim - patch), requires dim > patch
             y0 = jax.random.randint(k_y, (), 0, h - patch)
             x0 = jax.random.randint(k_x, (), 0, w - patch)
-            lp = jax.lax.dynamic_slice(self.lr[idx], (y0, x0, 0), (patch, patch, 3))
+            # slice the STACKED array with the image index as the leading
+            # start: `stack[idx]` first would gather the full padded image
+            # per vmapped sample (~9 MB/step of HR at batch 16) just to
+            # cut a patch — measured 1.26x on the full fused train chunk
+            # (tools/sampler_bench.py, bitwise-identical batches)
+            lp = jax.lax.dynamic_slice(
+                self.lr, (idx, y0, x0, 0), (1, patch, patch, 3))[0]
             hq = jax.lax.dynamic_slice(
-                self.hr[idx], (y0 * s, x0 * s, 0), (hp, hp, 3))
+                self.hr, (idx, y0 * s, x0 * s, 0), (1, hp, hp, 3))[0]
             kk = jax.random.randint(k_rot, (), 1, 5)  # rot90 k in 1..4
             flip = jax.random.bernoulli(k_flip)
 
