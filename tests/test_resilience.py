@@ -97,3 +97,25 @@ def test_lr_staircase_records_transitions_only():
     chunks = [{"step": s, "lr": 1e-4 if s <= 200 else 5e-5} for s in (100, 200, 300, 400)]
     stair = _lr_staircase(chunks)
     assert stair == [{"step": 100, "lr": 1e-4}, {"step": 300, "lr": 5e-5}]
+
+
+def test_partial_sweep_merges_into_existing_report(tmp_path, monkeypatch):
+    """--families re-capture must not clobber other families' rows (ADVICE r3)."""
+    from tools import lr_domain_sweep as sweep
+
+    out = tmp_path / "LR_DOMAIN_SWEEP.json"
+    out.write_text(json.dumps(
+        {"TreeNet": {"shipped_default": 1, "speedup": 1.05,
+                     "lr_domain_0": {"ok": True}, "lr_domain_1": {"ok": True},
+                     "recommend_default": 1}}))
+
+    monkeypatch.setattr(
+        sweep, "run_arm",
+        lambda family, extra, arm, timeout, retries=1:
+            {"ok": True, "attempts": 1, "steps_s": 100.0 + arm,
+             "ms_step": 10.0, "lr_mps": 1.0})
+    results = sweep.main(["--families", "REGO-Net", "--out", str(out)])
+    assert set(results) == {"TreeNet", "REGO-Net"}
+    on_disk = json.loads(out.read_text())
+    assert on_disk["TreeNet"]["speedup"] == 1.05  # preserved
+    assert on_disk["REGO-Net"]["lr_domain_1"]["ok"] is True

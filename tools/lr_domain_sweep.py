@@ -100,7 +100,16 @@ def main(argv=None):
     want = [f.strip() for f in args.families.split(",") if f.strip()]
     configs = [(f, e) for f, e in CONFIGS if not want or f in want]
 
+    # Partial runs (--families) merge into the existing report instead of
+    # clobbering the other families' measured rows (ADVICE r3: re-capturing
+    # one datapoint must not discard the rest of the artifact).
     results = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except (ValueError, OSError):
+            results = {}
     for family, extra in configs:
         row = {"shipped_default": shipped_default(family)}
         for arm in (0, 1):
