@@ -40,7 +40,11 @@ def main():
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--halo", type=int, default=16)
     parser.add_argument("--model", default="LarvaNet")
-    parser.add_argument("--num_blocks", default="4,4")
+    parser.add_argument(
+        "--num_blocks", default="4,4",
+        help="TOY demo default (fast compile). Flagship serving configs are "
+        "'16,16' (LarvaNet) and '9,9' (--model LarvaNet_w64) — measured 8K "
+        "rows in BASELINE.md use those, not this default.")
     parser.add_argument("--ensemble", type=int, default=1,
                         help="average N differently-seeded checkpoints on device")
     parser.add_argument("--int8", type=int, default=0,
