@@ -28,6 +28,115 @@ import numpy as np
 
 
 # ---------------------------------------------------------------------------
+# Device-resident batched strips (single chip)
+# ---------------------------------------------------------------------------
+
+def make_strip_batched_forward(
+    apply_fn: Callable,
+    scale: int,
+    n_strips: int,
+    halo: int,
+    height: int,
+    width: int,
+    chunk: int = 1,
+) -> Callable:
+    """Full-frame SR as ONE jittable call over a batch of height strips.
+
+    The single-device analog of parallel/halo.spatial_sharded_forward's
+    windowed scheme (same uniform-window math, batch dim instead of mesh
+    shards): the (N, H, W, 3) frame is cut into `n_strips` uniform
+    windows of `H/n_strips + 2*halo` rows — shifted to stay inside the
+    image, so the outer windows' SAME-conv padding falls on the TRUE
+    frame boundary — pushed through `apply_fn` as one batch, and the
+    owned rows are re-concatenated. Everything is static slicing: no
+    host round-trips, no dynamic shapes, one XLA compile per frame size.
+
+    Why: a full-frame forward keeps ~H*W-sized activations live through
+    every conv, which measures several times slower per pixel than the
+    batched-patch shapes the packed kernels were tuned on (BASELINE.md
+    round-4 8K table); strip batching restores patch-like working sets
+    while the frame stays resident in HBM.
+
+    Exactness: bit-identical to the full-frame forward when `halo >=
+    the model's receptive radius` (same argument as parallel/halo.py —
+    every owned row is >= halo real rows from any non-true window edge).
+    Smaller halos are the standard tiled-SR boundary approximation (the
+    class the reference's own chop_forward, utils/image_utils.py:7-27,
+    accepts); measure the delta on your eval set (tools/tile8k_bench.py
+    reports it vs the full-frame graph on a trained checkpoint).
+
+    Memory: strips are processed `chunk` at a time under `lax.scan`, so
+    only one chunk's activations are ever live — batching ALL strips at
+    once holds (1 + 2*halo*n/H)x the full frame's activations and
+    measured an HBM compile OOM at the flagship 1080p geometry.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if height % n_strips:
+        raise ValueError("height %d not divisible by n_strips %d"
+                         % (height, n_strips))
+    if n_strips % chunk:
+        raise ValueError("n_strips %d not divisible by chunk %d"
+                         % (n_strips, chunk))
+    sh = height // n_strips
+    win = sh + 2 * halo
+    if win > height:
+        raise ValueError("strip window %d exceeds frame height %d — fewer "
+                         "strips or a smaller halo" % (win, height))
+    starts = [min(max(i * sh - halo, 0), height - win) for i in range(n_strips)]
+    offs = [i * sh - starts[i] for i in range(n_strips)]  # owned offset in window
+    n_chunks = n_strips // chunk
+
+    def forward(params, x):
+        n_frames = x.shape[0]
+        if x.shape[1] != height or x.shape[2] != width:
+            raise ValueError("frame shape %s does not match the traced "
+                             "(%d, %d) geometry" % (x.shape[1:3], height, width))
+        starts_c = jnp.asarray(starts, jnp.int32).reshape(n_chunks, chunk)
+        offs_c = jnp.asarray(offs, jnp.int32).reshape(n_chunks, chunk)
+        out_shape = (n_frames, height * scale, width * scale, 3)
+
+        def one_strip(s, o):
+            wnd = jax.lax.dynamic_slice(
+                x, (0, s, 0, 0), (n_frames, win, width, 3))
+            out = apply_fn(params, wnd)
+            return jax.lax.dynamic_slice(
+                out, (0, o * scale, 0, 0),
+                (n_frames, sh * scale, width * scale, 3))
+
+        def body(carry, idx):
+            s_vec, o_vec, row = idx
+            # (chunk, n_frames, sh*scale, W*scale, 3) owned slabs; strips
+            # in a chunk are consecutive, so their owned rows concatenate
+            # into one contiguous slab written with a single update.
+            if chunk == 1:
+                owned = one_strip(s_vec[0], o_vec[0])[None]
+            else:
+                wnds = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                    x, (0, s, 0, 0), (n_frames, win, width, 3)))(s_vec)
+                outs = apply_fn(params, wnds.reshape(
+                    chunk * n_frames, win, width, 3)).reshape(
+                    chunk, n_frames, win * scale, width * scale, 3)
+                owned = jax.vmap(lambda out, o: jax.lax.dynamic_slice(
+                    out, (0, o * scale, 0, 0),
+                    (n_frames, sh * scale, width * scale, 3)))(outs, o_vec)
+            slab = jnp.moveaxis(owned, 0, 1).reshape(
+                n_frames, chunk * sh * scale, width * scale, 3)
+            carry = jax.lax.dynamic_update_slice(
+                carry, slab.astype(carry.dtype), (0, row, 0, 0))
+            return carry, None
+
+        rows = jnp.arange(n_chunks, dtype=jnp.int32) * (chunk * sh * scale)
+        probe = jax.eval_shape(lambda: one_strip(0, 0))
+        init = jnp.zeros(out_shape, probe.dtype)
+        out, _ = jax.lax.scan(init=init, xs=(starts_c, offs_c, rows), f=body)
+        return out
+
+    return forward
+
+
+# ---------------------------------------------------------------------------
 # Reference-parity chop forward (2x2 + overlap)
 # ---------------------------------------------------------------------------
 

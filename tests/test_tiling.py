@@ -85,3 +85,64 @@ def test_tiled_upscaler_chw_wrapper(rng):
 def test_overlap_must_be_smaller_than_tile():
     with pytest.raises(ValueError):
         TiledUpscaler(lambda b: b, scale=4, tile_size=16, overlap=16)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident batched strips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("chunk", [1, 2, 4])
+def test_strip_batched_forward_exact_vs_full_frame(rng, chunk):
+    """halo >= receptive radius => bit-level (float-tolerance) parity
+    with the full-frame forward, including the outer image borders
+    (outer windows put SAME padding on the true frame edge) — at every
+    chunking (1 = sequential scan, 4 = fully batched)."""
+    import jax
+    from larvanet_tpu.eval.tiling import make_strip_batched_forward
+
+    m = _small_edsr()  # receptive radius 7 (see above); halo 8 covers it
+    fwd = make_strip_batched_forward(
+        m._forward_impl, scale=4, n_strips=4, halo=8, height=48, width=36,
+        chunk=chunk)
+    x = rng.uniform(0, 255, (2, 48, 36, 3)).astype(np.float32)
+    got = np.asarray(jax.jit(fwd)(m.params, x))
+    full = np.asarray(jax.jit(m._forward_impl)(m.params, x))
+    assert got.shape == full.shape == (2, 192, 144, 3)
+    np.testing.assert_allclose(got, full, atol=2e-3)
+
+
+def test_strip_batched_forward_under_halo_is_bounded_approximation(rng):
+    """halo < receptive radius: interior rows far from strip seams are
+    still exact; only rows within (radius - halo) of a seam may differ
+    (the documented tiled-SR approximation)."""
+    import jax
+    from larvanet_tpu.eval.tiling import make_strip_batched_forward
+
+    m = _small_edsr()
+    fwd = make_strip_batched_forward(
+        m._forward_impl, scale=4, n_strips=2, halo=4, height=48, width=36)
+    x = rng.uniform(0, 255, (1, 48, 36, 3)).astype(np.float32)
+    got = np.asarray(jax.jit(fwd)(m.params, x))
+    full = np.asarray(jax.jit(m._forward_impl)(m.params, x))
+    # seam at LR row 24; rows >= (7-4)=3 LR rows away from it are exact
+    sl = np.s_[:, : (24 - 4) * 4], np.s_[:, (24 + 4) * 4:]
+    for region in sl:
+        np.testing.assert_allclose(got[region], full[region], atol=2e-3)
+
+
+def test_strip_batched_forward_validates_geometry():
+    from larvanet_tpu.eval.tiling import make_strip_batched_forward
+
+    with pytest.raises(ValueError):  # height not divisible
+        make_strip_batched_forward(lambda p, x: x, 4, n_strips=5, halo=4,
+                                   height=48, width=36)
+    with pytest.raises(ValueError):  # window exceeds frame
+        make_strip_batched_forward(lambda p, x: x, 4, n_strips=2, halo=16,
+                                   height=48, width=36)
+    with pytest.raises(ValueError):  # chunk must divide n_strips
+        make_strip_batched_forward(lambda p, x: x, 4, n_strips=4, halo=4,
+                                   height=48, width=36, chunk=3)
+    fwd = make_strip_batched_forward(lambda p, x: x, 1, n_strips=2, halo=4,
+                                     height=48, width=36)
+    with pytest.raises(ValueError):  # frame mismatch at call time
+        fwd(None, np.zeros((1, 40, 36, 3), np.float32))

@@ -51,7 +51,27 @@ def main():
                         help="W8A8 quantized trunk (opt-in, NOT float-exact; ops/packed_trunk.py). "
                              "NOTE: measured SLOWER than bf16 at batch-1 full-frame (0.300 vs "
                              "0.265 s/frame) — the f32 dequant intermediates dominate without "
-                             "batch amortization; int8 wins at batched-tile inference.")
+                             "batch amortization; int8 wins at batched-tile inference and in "
+                             "--strips mode (BASELINE.md round-4 strips table).")
+    parser.add_argument("--strips", type=int, default=0,
+                        help="Device-resident strip batching (eval/tiling."
+                             "make_strip_batched_forward): cut the frame into N "
+                             "uniform halo windows and run them as ONE batch on "
+                             "one chip — restores batched-patch working sets "
+                             "(measured ~3x the full-frame fps at the flagship, "
+                             "BASELINE.md). Bit-exact when --strip_halo >= the "
+                             "model's receptive radius; smaller halos are the "
+                             "standard tiled-SR seam approximation (measured in "
+                             "TILE8K_*.json). 0 = full-frame (exact).")
+    parser.add_argument("--strip_halo", type=int, default=32,
+                        help="context rows per strip side in --strips mode")
+    parser.add_argument("--strip_chunk", type=int, default=1,
+                        help="strips per scan step in --strips mode (1 = "
+                             "sequential, memory-bounded; must divide --strips)")
+    parser.add_argument("--serving_dtype", default="f32", choices=["f32", "bf16"],
+                        help="compute dtype of the packed graph in --strips mode "
+                             "(bf16 = the throughput configuration BASELINE.md "
+                             "measures; not bit-identical to f32)")
     args = parser.parse_args()
 
     import jax
@@ -97,14 +117,37 @@ def main():
         apply_fn = model._forward_impl
         params = model.params
 
-    fwd = spatial_sharded_forward(apply_fn, mesh, halo=args.halo, scale=scale,
-                                  axis_name="spatial", spatial_axis=1)
-    sharding = NamedSharding(mesh, P(None, "spatial", None, None))
+    if args.strips:
+        # single-chip strip batching (eval/tiling.py); overrides the mesh
+        # path — compose with --devices via per-shard strip counts if both
+        # are ever needed (the mesh path alone covers multi-chip today).
+        import jax.numpy as jnp
 
-    h = args.height - args.height % n  # shardable height
+        from larvanet_tpu.eval.tiling import make_strip_batched_forward
+        from larvanet_tpu.ops.fastpath import build_fast_forward
+
+        dtype = jnp.bfloat16 if args.serving_dtype == "bf16" else jnp.float32
+        if not (args.int8 or args.ensemble > 1):
+            fast, desc = build_fast_forward(model, dtype)
+            if fast is not None:
+                apply_fn, params = fast, model.params
+                print("strips fast path:", desc, args.serving_dtype)
+        n = 1
+        h = args.height - args.height % args.strips
+        fwd = jax.jit(make_strip_batched_forward(
+            apply_fn, scale, args.strips, args.strip_halo, h, args.width,
+            chunk=args.strip_chunk))
+        sharding = None
+        print("strips: %d x (%d + 2*%d) rows" % (args.strips, h // args.strips,
+                                                 args.strip_halo))
+    else:
+        fwd = spatial_sharded_forward(apply_fn, mesh, halo=args.halo, scale=scale,
+                                      axis_name="spatial", spatial_axis=1)
+        sharding = NamedSharding(mesh, P(None, "spatial", None, None))
+        h = args.height - args.height % n  # shardable height
     rng = np.random.default_rng(0)
     frame = rng.uniform(0, 255, (1, h, args.width, 3)).astype(np.float32)
-    x = jax.device_put(frame, sharding)
+    x = jax.device_put(frame, sharding) if sharding is not None else jax.device_put(frame)
 
     t0 = time.perf_counter()
     out = fwd(params, x)
