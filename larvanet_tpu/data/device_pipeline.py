@@ -70,8 +70,9 @@ class DevicePipeline:
             # slice the STACKED array with the image index as the leading
             # start: `stack[idx]` first would gather the full padded image
             # per vmapped sample (~9 MB/step of HR at batch 16) just to
-            # cut a patch — measured 1.26x on the full fused train chunk
-            # (tools/sampler_bench.py, bitwise-identical batches)
+            # cut a patch — measured 1.09x on the full fused train chunk
+            # on the v5e (3.2x on the sampler alone; SAMPLER_BENCH.json,
+            # tools/sampler_bench.py, bitwise-identical batches)
             lp = jax.lax.dynamic_slice(
                 self.lr, (idx, y0, x0, 0), (1, patch, patch, 3))[0]
             hq = jax.lax.dynamic_slice(

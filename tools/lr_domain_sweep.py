@@ -128,10 +128,12 @@ def main(argv=None):
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
             f.write("\n")
+    # rows merged from a pre-round-4 report may lack "ok" keys — .get()
+    # so a legacy row can't KeyError the summary after all arms measured
     summary = {f: (r.get("speedup") if "speedup" in r
                    else "ERROR(arm %s)" % ",".join(
                        str(i) for i in (0, 1)
-                       if not r["lr_domain_%d" % i]["ok"]))
+                       if not r.get("lr_domain_%d" % i, {}).get("ok")))
                for f, r in results.items()}
     print(json.dumps(summary))
     return results

@@ -140,12 +140,13 @@ def main(argv=None):
     import optax
     from flax import serialization
 
-    from larvanet_tpu.cli.common import enable_compile_cache  # noqa: F401
+    from larvanet_tpu.cli.common import enable_compile_cache
     from larvanet_tpu.core.registry import get_model
     from larvanet_tpu.ops.packed.edsr import _edsr_walk
     from larvanet_tpu.ops.pixel_shuffle import pixel_unshuffle
     from larvanet_tpu.train.losses import l1_loss
 
+    enable_compile_cache()
     model = get_model("edsr")
     model.parse_args(list(remaining))
     model.prepare(is_training=True, scales=[args.scale])
@@ -170,7 +171,6 @@ def main(argv=None):
     pair = _prepacked_pair(dtype)
     sd = serialization.to_state_dict(model.params)
     packed_params = _prepack(sd, dtype)
-    t_unshuf = pixel_unshuffle(t, args.scale)
 
     def loss_b(pp, xx, tt_unshuf):
         return l1_loss(walk(pp, xx, pair), tt_unshuf)
@@ -179,7 +179,10 @@ def main(argv=None):
     opt_b = tx.init(packed_params)
 
     def step_b(pp, oo, lr_, xx, tt):
-        loss, grads = jax.value_and_grad(loss_b)(pp, xx, t_unshuf)
+        # unshuffle the PASSED target inside the timed graph — arm A's
+        # lr_domain loss pays the same per-step unshuffle, so hoisting it
+        # out (the round-4 review finding) would bias arm B's bound
+        loss, grads = jax.value_and_grad(loss_b)(pp, xx, pixel_unshuffle(tt, args.scale))
         oo.hyperparams["learning_rate"] = jnp.asarray(lr_, jnp.float32)
         updates, oo = tx.update(grads, oo, pp)
         return optax.apply_updates(pp, updates), oo, loss
@@ -189,8 +192,9 @@ def main(argv=None):
     print("arm B (packed-domain params, timing upper bound): %.3f ms/step "
           "(%.1f steps/s)" % (ms_b, 1e3 / ms_b), flush=True)
 
-    # first-step losses must agree (same function of the same weights
-    # before any update diverges the trajectories)
+    # NOT an equality check: la1/lb1 are losses after n1 optimizer steps
+    # of two arms whose trajectories legitimately diverge (arm B trains
+    # the structural-zero slots) — recorded only as a sanity magnitude
     report = {
         "geometry": {"batch": args.batch_size, "patch": p, "scale": args.scale},
         "arm_a_default": {"ms_step": round(ms_a, 4),
@@ -201,7 +205,10 @@ def main(argv=None):
                                         "slots trainable; exact variant needs "
                                         "extra grad re-symmetrization"},
         "speedup_bound": round(ms_a / ms_b, 4),
-        "loss_check": {"arm_a_n1": la1, "arm_b_n1": lb1},
+        "loss_after_n1_steps": {"arm_a": la1, "arm_b": lb1,
+                                "note": "trajectories diverge by design "
+                                        "(arm B trains zero slots); "
+                                        "magnitude sanity only"},
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)

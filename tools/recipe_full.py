@@ -77,11 +77,19 @@ def ensure_uniform_val(src_root=FIXTURE, out_root=VAL_DIR, n=16,
     in_dir = os.path.join(out_root, "input")
     tr_dir = os.path.join(out_root, "truth")
     names = sorted(os.listdir(os.path.join(src_root, "x%d" % scale, "input")))[:n]
+    # idempotence must cover the crop GEOMETRY, not just the file names —
+    # a reuse after lh/lw/scale changed would validate against stale
+    # wrong-geometry crops with no error (round-4 review finding)
+    geom_path = os.path.join(out_root, "geometry.json")
+    geom = {"n": n, "lh": lh, "lw": lw, "scale": scale, "names": names}
     if (os.path.isdir(in_dir)
             and sorted(os.listdir(in_dir)) == names
             and os.path.isdir(tr_dir)
-            and sorted(os.listdir(tr_dir)) == names):
-        return out_root
+            and sorted(os.listdir(tr_dir)) == names
+            and os.path.isfile(geom_path)):
+        with open(geom_path) as f:
+            if json.load(f) == geom:
+                return out_root
     os.makedirs(in_dir, exist_ok=True)
     os.makedirs(tr_dir, exist_ok=True)
     for f in names:
@@ -90,6 +98,8 @@ def ensure_uniform_val(src_root=FIXTURE, out_root=VAL_DIR, n=16,
         assert lr.shape[0] >= lh and lr.shape[1] >= lw, (f, lr.shape)
         io.save_image_hwc(lr[:lh, :lw], os.path.join(in_dir, f))
         io.save_image_hwc(hr[: lh * scale, : lw * scale], os.path.join(tr_dir, f))
+    with open(geom_path, "w") as f:
+        json.dump(geom, f)
     return out_root
 
 
@@ -116,9 +126,36 @@ def stream_cli(argv, log_path, kill_at_step=None, stop_when=None,
     except OSError as exc:
         return {"ok": False, "error": "spawn failed: %s" % exc, **events}
     deadline = t0 + timeout
+
+    # read stdout on a side thread so the deadline is enforced even when
+    # the CLI wedges SILENTLY (hung remote AOT compile / tunnel outage):
+    # a plain `for line in proc.stdout` blocks on readline and would never
+    # reach a time check (round-4 review finding)
+    import queue as _queue
+    import threading
+
+    lines: _queue.Queue = _queue.Queue()
+
+    def _reader():
+        for ln in proc.stdout:
+            lines.put(ln)
+        lines.put(None)
+
+    threading.Thread(target=_reader, daemon=True).start()
+
+    def _iter_lines():
+        while True:
+            try:
+                ln = lines.get(timeout=max(0.1, deadline - time.time()))
+            except _queue.Empty:
+                return  # deadline passed with no output
+            if ln is None:
+                return
+            yield ln
+
     with open(log_path, "a") as log:
         log.write("=== %s ===\n" % " ".join(argv))
-        for line in proc.stdout:
+        for line in _iter_lines():
             log.write(line)
             log.flush()
             line = line.rstrip("\n")
@@ -155,6 +192,12 @@ def stream_cli(argv, log_path, kill_at_step=None, stop_when=None,
                 events["killed_at"] = step
                 proc.kill()
                 break
+    if proc.poll() is None and time.time() > deadline:
+        # silent wedge: the reader saw no output past the deadline
+        proc.kill()
+        proc.wait()
+        return {"ok": False, "error": "timeout after %.0fs (no output)" % timeout,
+                "wall_seconds": round(time.time() - t0, 1), **events}
     proc.wait()
     out = {"wall_seconds": round(time.time() - t0, 1), **events}
     expected_death = events["killed_at"] is not None or events["stopped_early"]

@@ -155,7 +155,7 @@ def main(argv=None):
 
     import jax
 
-    from larvanet_tpu.cli.common import enable_compile_cache  # noqa: F401
+    from larvanet_tpu.cli.common import enable_compile_cache
     from larvanet_tpu.core.registry import get_model
     from larvanet_tpu.data import fixture, io
     from larvanet_tpu.data.device_pipeline import BucketedDevicePipeline
@@ -195,6 +195,7 @@ def main(argv=None):
     ms_v2 = _time_sampler(v2, key, bsz, patch, args.n1, args.n2, args.reps)
     print("sampler alone: v1 %.3f ms  v2 %.3f ms" % (ms_v1, ms_v2), flush=True)
 
+    enable_compile_cache()
     model = get_model("edsr")
     model.parse_args(list(remaining))
     model.prepare(is_training=True, scales=[4])

@@ -122,11 +122,15 @@ class Server:
         self.error = None
         deadline = time.time() + startup_timeout
         log_read = open(log_path, "r")
+        banner = ""  # accumulate: the banner line can split across read()s
         while time.time() < deadline and self.port is None:
             if self.proc.poll() is not None:
                 self.error = "server exited rc=%d during startup" % self.proc.returncode
                 return
-            m = re.search(r"serving .* on http://[^:]+:(\d+)", log_read.read())
+            banner += log_read.read()
+            # require the trailing newline so a mid-line read can't parse
+            # a truncated port number
+            m = re.search(r"serving .* on http://[^:]+:(\d+)[^\n]*\n", banner)
             if m:
                 self.port = int(m.group(1))
                 break
@@ -264,16 +268,21 @@ def run_config(name, model, model_flags, server_flags, frame, n_requests,
     try:
         for c in levels:
             lvl = drive_level(srv, png, c, n_requests)
+            # NOTE: /info's sliding window is cumulative across levels —
+            # each level's percentiles include earlier levels' samples.
             lvl["info_after"] = {
                 k: v for k, v in srv.info().items()
                 if k in ("device_seconds", "queue_wait_seconds",
                          "mean_device_seconds", "num_requests",
                          "num_rejected", "mode", "max_queue")}
             out["levels"].append(lvl)
+            # a dropped /info must not void the client percentiles already
+            # collected for this config (round-4 review finding)
+            dev_p50 = lvl["info_after"].get(
+                "device_seconds", {}).get("p50", "n/a")
             print("  %s c=%d: ok=%d 503=%d e2e_p50=%s dev_p50=%s"
                   % (name, c, lvl["ok"], lvl["shed_503"],
-                     lvl["client_e2e_seconds"]["p50"],
-                     lvl["info_after"]["device_seconds"]["p50"]), flush=True)
+                     lvl["client_e2e_seconds"]["p50"], dev_p50), flush=True)
     finally:
         srv.stop()
     return out

@@ -51,18 +51,24 @@ def main():
                         help="W8A8 quantized trunk (opt-in, NOT float-exact; ops/packed_trunk.py). "
                              "NOTE: measured SLOWER than bf16 at batch-1 full-frame (0.300 vs "
                              "0.265 s/frame) — the f32 dequant intermediates dominate without "
-                             "batch amortization; int8 wins at batched-tile inference and in "
-                             "--strips mode (BASELINE.md round-4 strips table).")
+                             "batch amortization; int8 wins at batched-tile inference. In "
+                             "--strips mode int8 also measured slower than bf16 strips "
+                             "(TILE8K_flagship.json).")
     parser.add_argument("--strips", type=int, default=0,
-                        help="Device-resident strip batching (eval/tiling."
+                        help="Device-resident strip processing (eval/tiling."
                              "make_strip_batched_forward): cut the frame into N "
-                             "uniform halo windows and run them as ONE batch on "
-                             "one chip — restores batched-patch working sets "
-                             "(measured ~3x the full-frame fps at the flagship, "
-                             "BASELINE.md). Bit-exact when --strip_halo >= the "
-                             "model's receptive radius; smaller halos are the "
-                             "standard tiled-SR seam approximation (measured in "
-                             "TILE8K_*.json). 0 = full-frame (exact).")
+                             "uniform halo windows scanned chunk-at-a-time on "
+                             "one chip. MEASURED SLOWER than the plain "
+                             "full-frame forward at 1080p flagship/w64 (best "
+                             "strips arm 2.0 vs 2.14 fps bf16 — the halo "
+                             "duplication eats the per-pixel gain; "
+                             "TILE8K_*.json, BASELINE.md round-4): a documented "
+                             "negative result kept for frames too tall for "
+                             "HBM. Bit-exact when --strip_halo >= the model's "
+                             "receptive radius; smaller halos are the standard "
+                             "tiled-SR seam approximation (dB measured on a "
+                             "trained flagship in TILE8K_flagship.json). "
+                             "0 = full-frame (default, fastest).")
     parser.add_argument("--strip_halo", type=int, default=32,
                         help="context rows per strip side in --strips mode")
     parser.add_argument("--strip_chunk", type=int, default=1,
