@@ -249,6 +249,57 @@ def apply_serving_dtype(model, args) -> None:
               "not bit-identical to f32)")
 
 
+def add_plain_frame_flag(parser) -> None:
+    parser.add_argument(
+        "--plain_frame_px", type=int, default=-1,
+        help="Route frames with >= this many LR pixels through the PLAIN "
+             "module graph instead of the packed fast path (both compute "
+             "the exact model function; they differ only in float "
+             "summation order). At monolithic full-frame shapes XLA "
+             "stops fusing the packed pairs' elementwise epilogues and "
+             "the plain graph measures ~1.5x FASTER for trunks that "
+             "underfill the 128-lane packed tile (v5e flagship 1080p "
+             "5.7 vs 8.9 LR-MP/s, XOVER_BENCH.json / BASELINE.md "
+             "round-4); patch and tile batches stay packed. -1 (default) "
+             "= the family-aware measured crossover (full-tile trunks "
+             "like LarvaNet_w64 never route — their packed graph "
+             "measured faster at every size); 0 disables.")
+
+
+def maybe_plain_full_frame(model, args) -> None:
+    """Install a frame-size dispatch over the model's jitted forward:
+    inputs with >= --plain_frame_px LR pixels run the plain module graph
+    (the measured monolithic-frame winner — see add_plain_frame_flag),
+    smaller ones keep whatever fast path earlier routing installed.
+    Call LAST in the routing chain (after maybe_collapse_tail /
+    maybe_int8_trunk); no-op under --spatial_shard, whose sharded
+    forward owns full frames."""
+    import jax
+
+    from larvanet_tpu.ops.fastpath import (make_plain_forward,
+                                           plain_frame_crossover_px)
+
+    threshold = int(getattr(args, "plain_frame_px", 0) or 0)
+    if threshold < 0:  # -1 = auto: the family-aware measured crossover
+        threshold = plain_frame_crossover_px(model)
+    if threshold <= 0 or int(getattr(args, "spatial_shard", 0) or 0) > 1:
+        return
+    from larvanet_tpu.models.base import serving_compute_dtype
+
+    fast = model._fwd_jit
+    plain_jit = jax.jit(make_plain_forward(model, serving_compute_dtype(model)))
+
+    def dispatch(params, x):
+        if x.shape[1] * x.shape[2] >= threshold:
+            return plain_jit(params, x)
+        return fast(params, x)
+
+    model._fwd_jit = dispatch
+    print("full-frame routing: frames >= %d LR px run the plain module "
+          "graph (measured faster than the packed path at monolithic "
+          "shapes; BASELINE.md round-4)" % threshold)
+
+
 def maybe_collapse_tail(model, args) -> None:
     """Route the model's jitted forward through the collapsed linear tail
     — and, when --packed_trunk (default on), the width-packed trunk —

@@ -58,6 +58,7 @@ def main(argv=None):
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
     common.add_serving_dtype_flag(parser)
+    common.add_plain_frame_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -76,6 +77,7 @@ def main(argv=None):
     image_names = io.list_pngs(args.input_path)
     common.maybe_int8_trunk(model, args, lambda: io.load_image_chw(
         os.path.join(args.input_path, image_names[0] + ".png")).transpose(1, 2, 0)[None])
+    common.maybe_plain_full_frame(model, args)
     common.maybe_spatial_shard(model, args, scale_list[0])
     if args.dp_devices > 1:
         import jax

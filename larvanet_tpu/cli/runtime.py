@@ -47,6 +47,7 @@ def main(argv=None):
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
     common.add_serving_dtype_flag(parser)
+    common.add_plain_frame_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -75,6 +76,7 @@ def main(argv=None):
             import numpy as _np
             common.maybe_int8_trunk(model, args, lambda: _np.random.default_rng(0).uniform(
                 0, 255, (1, args.input_height, args.input_width, 3)).astype(_np.float32))
+    common.maybe_plain_full_frame(model, args)
 
     scale = scale_list[0]
     durations = []

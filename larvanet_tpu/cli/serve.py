@@ -325,6 +325,7 @@ def build_service(args, remaining) -> SRService:
             common.maybe_int8_trunk(
                 model, args,
                 lambda: rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32))
+    common.maybe_plain_full_frame(model, args)
     common.maybe_spatial_shard(model, args, scale)
 
     if args.dp_devices > 1:
@@ -392,6 +393,7 @@ def main(argv=None):
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
     common.add_serving_dtype_flag(parser)
+    common.add_plain_frame_flag(parser)
     args, remaining = parser.parse_known_args(argv)
 
     if args.artifact:

@@ -1,6 +1,6 @@
 """Tiled full-frame inference.
 
-Two engines:
+Three device-resident/batched engines + the reference-parity chop:
 
 1. `upscale_with_chop_forward` — exact reference semantics (reference
    utils/image_utils.py:7-65): split the CHW image into 2x2 quadrants,
@@ -131,6 +131,114 @@ def make_strip_batched_forward(
         probe = jax.eval_shape(lambda: one_strip(0, 0))
         init = jnp.zeros(out_shape, probe.dtype)
         out, _ = jax.lax.scan(init=init, xs=(starts_c, offs_c, rows), f=body)
+        return out
+
+    return forward
+
+
+# ---------------------------------------------------------------------------
+# Device-resident 2-D tile scan (single chip)
+# ---------------------------------------------------------------------------
+
+def make_tile_scan_forward(
+    apply_fn: Callable,
+    scale: int,
+    tile_h: int,
+    tile_w: int,
+    halo: int,
+    height: int,
+    width: int,
+) -> Callable:
+    """Full-frame SR as a `lax.scan` over TILE-ROWS of patch-shaped
+    halo windows, frame resident in HBM.
+
+    Why a third engine: the full-frame forward's convs run near patch
+    rate, but ~65% of its device time is UNFUSED elementwise/layout
+    passes — XLA materializes the packed trunk's mask-multiply /
+    residual-add / relu epilogues (ops/packed/core.py) as standalone
+    ~200 MB memory passes at monolithic 1080p shapes, while at the
+    batched-patch serving shapes (16x192²) the same ops fuse into the
+    conv to 95% conv-fusion occupancy (trace anatomy in BASELINE.md
+    round-4). Height-only strips kept W monolithic and measured
+    NEGATIVE (TILE8K_*.json); 2-D tiles restore the exact shape class
+    the fusion evidence comes from.
+
+    Scheme: the (N, H, W, 3) frame is cut into a (H/tile_h, W/tile_w)
+    grid. Each tile's window is extended by `halo` on every side and
+    SHIFTED to stay inside the frame (parallel/halo.py's edge-window
+    scheme on both axes: outer windows put SAME padding on the TRUE
+    frame boundary). One scan step processes one tile-row — the row's
+    windows stacked on the batch axis through `apply_fn` — and writes
+    the row's owned pixels as one contiguous slab into the carried
+    output buffer. Column geometry is static per step; only the row
+    start rides the scan xs.
+
+    Exactness: identical-taps to the full-frame forward when `halo >=
+    the model's receptive radius` (every owned pixel is >= halo real
+    pixels from any non-true window edge; same argument as
+    parallel/halo.py / make_strip_batched_forward — bf16 deltas at the
+    1e-2 pixel level remain from shape-dependent conv tiling). Smaller
+    halos are the standard tiled-SR seam approximation (the class the
+    reference's own chop_forward, utils/image_utils.py:7-27, accepts);
+    tools/tile8k_bench.py measures the dB on a trained checkpoint.
+
+    Constraints: tile_h | height, tile_w | width, and window sides must
+    not exceed the frame. Packed trunks need an even window width:
+    keep tile_w and halo even.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if height % tile_h:
+        raise ValueError("height %d not divisible by tile_h %d" % (height, tile_h))
+    if width % tile_w:
+        raise ValueError("width %d not divisible by tile_w %d" % (width, tile_w))
+    gh, gw = height // tile_h, width // tile_w
+    # clamp windows to the frame: a clamped window only GAINS context
+    # (its non-owned side reaches the true frame edge), so exactness is
+    # preserved — and the gh==1 / gw==1 degenerate grids just work
+    wh, ww = min(tile_h + 2 * halo, height), min(tile_w + 2 * halo, width)
+    # edge-shifted window starts + owned offset inside each window
+    rstarts = [min(max(i * tile_h - halo, 0), height - wh) for i in range(gh)]
+    roffs = [i * tile_h - rstarts[i] for i in range(gh)]
+    cstarts = [min(max(j * tile_w - halo, 0), width - ww) for j in range(gw)]
+    coffs = [j * tile_w - cstarts[j] for j in range(gw)]  # static per column
+
+    def forward(params, x):
+        n_frames = x.shape[0]
+        if x.shape[1] != height or x.shape[2] != width:
+            raise ValueError("frame shape %s does not match the traced "
+                             "(%d, %d) geometry" % (x.shape[1:3], height, width))
+        out_shape = (n_frames, height * scale, width * scale, 3)
+
+        def body(carry, idx):
+            rs, ro, orow = idx  # row window start, owned offset, out row
+            # (gw*n, wh, ww, 3) batch: the row's windows; column starts
+            # are STATIC python ints, only rs is traced
+            wnds = jnp.concatenate([
+                jax.lax.dynamic_slice(x, (0, rs, 0, 0), (n_frames, wh, width, 3))
+                [:, :, cs:cs + ww, :]
+                for cs in cstarts], axis=0)
+            outs = apply_fn(params, wnds)
+            # owned pixels: rows via the traced ro, cols static per tile
+            owned = jax.lax.dynamic_slice(
+                outs, (0, ro * scale, 0, 0),
+                (gw * n_frames, tile_h * scale, ww * scale, 3))
+            slab = jnp.concatenate([
+                owned[j * n_frames:(j + 1) * n_frames,
+                      :, co * scale:(co + tile_w) * scale, :]
+                for j, co in enumerate(coffs)], axis=2)
+            carry = jax.lax.dynamic_update_slice(
+                carry, slab.astype(carry.dtype), (0, orow, 0, 0))
+            return carry, None
+
+        xs = (jnp.asarray(rstarts, jnp.int32),
+              jnp.asarray(roffs, jnp.int32),
+              jnp.arange(gh, dtype=jnp.int32) * (tile_h * scale))
+        probe = jax.eval_shape(
+            lambda: apply_fn(params, jnp.zeros((1, wh, ww, 3), x.dtype)))
+        init = jnp.zeros(out_shape, probe.dtype)
+        out, _ = jax.lax.scan(init=init, xs=xs, f=body)
         return out
 
     return forward

@@ -17,6 +17,53 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+# LR pixels/frame above which the PLAIN module graph beats the packed
+# trunk on the v5e for trunks that UNDERFILL the 128-lane packed tile
+# (measured crossover, BASELINE.md round-4 "full-frame routing" /
+# XOVER_BENCH.json: at monolithic frame shapes XLA stops fusing the
+# packed pairs' mask/residual/relu epilogues — each becomes a
+# standalone frame-sized memory pass — while the plain graph's
+# epilogues fuse at every shape; the 48ch flagship measures packed
+# 16.2 vs plain 11.2 LR-MP/s at 0.13 MP but 5.7 vs 8.9 at 1080p, tie
+# at 704x396 = 0.28 MP). Patch/tile serving stays packed.
+PLAIN_FRAME_CROSSOVER_PX = 704 * 396  # the measured tie point
+
+
+def plain_frame_crossover_px(model) -> int:
+    """Family-aware default for the full-frame plain-graph dispatch
+    (cli/common.maybe_plain_full_frame): the measured crossover for
+    trunks that underfill the packed 128-lane MXU tile (2*features <
+    128 — the flagship's 48ch trunk packs to 96 lanes), 0 (= never
+    route) for full-tile trunks: LarvaNet_w64's packed graph measured
+    faster-or-tied at EVERY frame size up to 1080p (15.25 vs 15.02
+    LR-MP/s there — XOVER_BENCH.json), so plain routing has nothing to
+    offer it."""
+    feats = getattr(getattr(model, "module", None), "features", None)
+    if feats is not None and int(feats) * 2 >= 128:
+        return 0
+    return PLAIN_FRAME_CROSSOVER_PX
+
+
+def make_plain_forward(model, dtype):
+    """The UNPACKED module graph in the serving dtype — the measured
+    winner at monolithic full-frame shapes (>= PLAIN_FRAME_CROSSOVER_PX
+    LR pixels). Honors --leg early exits like the model's own
+    _forward_impl (models/larvanet.py)."""
+    import jax
+
+    module = model.module
+    exits = (getattr(model.args, "leg", None)
+             if getattr(model, "has_early_exit", False) else None)
+
+    def fwd(params, x):
+        p = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
+        xd = x.astype(dtype)
+        if exits is not None:
+            return module.apply({"params": p}, xd, exits=int(exits))
+        return module.apply({"params": p}, xd)
+
+    return fwd
+
 
 def build_fast_forward(model, dtype, packed_trunk: bool = True,
                        collapsed_tail: bool = True, int8_trunk: bool = False,

@@ -86,6 +86,99 @@ def test_packed_larvanet_w64_smoke_matches_module(rng):
                                atol=0.1, rtol=1e-4)
 
 
+def test_make_plain_forward_matches_module(rng):
+    from larvanet_tpu.ops.fastpath import make_plain_forward
+
+    m = _model("LarvaNet", ["--num_blocks", "1,1"])
+    fwd = make_plain_forward(m, jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 10, 12, 3)).astype(np.float32))
+    ref = m.module.apply({"params": m.params}, x)
+    np.testing.assert_allclose(np.asarray(fwd(m.params, x)), np.asarray(ref),
+                               atol=1e-4, rtol=1e-6)
+
+
+def test_make_plain_forward_honors_leg(rng):
+    """--leg early exits route through the plain graph's exits arg just
+    like _forward_impl (models/larvanet.py)."""
+    from larvanet_tpu.ops.fastpath import make_plain_forward
+
+    m = _model("LarvaNet", ["--num_blocks", "1,1", "--leg", "0"])
+    m.args.packed_trunk = 0  # compare against the plain early-exit path
+    fwd = make_plain_forward(m, jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 10, 12, 3)).astype(np.float32))
+    ref = m._forward_impl(m.params, x)
+    np.testing.assert_allclose(np.asarray(fwd(m.params, x)), np.asarray(ref),
+                               atol=1e-4, rtol=1e-6)
+
+
+def test_plain_full_frame_dispatch_routes_by_pixels(rng):
+    """cli/common.maybe_plain_full_frame: frames >= the threshold run the
+    plain module graph; smaller inputs keep the installed fast path."""
+    import argparse
+
+    from larvanet_tpu.cli import common
+
+    m = _model("LarvaNet", ["--num_blocks", "1,1"])
+    calls = []
+    real_fast = m._fwd_jit
+
+    def sentinel_fast(params, x):
+        calls.append("fast")
+        return real_fast(params, x)
+
+    m._fwd_jit = sentinel_fast
+    args = argparse.Namespace(plain_frame_px=10 * 12, spatial_shard=0)
+    common.maybe_plain_full_frame(m, args)
+
+    small = jnp.asarray(rng.uniform(0, 255, (1, 8, 10, 3)).astype(np.float32))
+    large = jnp.asarray(rng.uniform(0, 255, (1, 10, 12, 3)).astype(np.float32))
+    m._fwd_jit(m.params, small)
+    assert calls == ["fast"]
+    out = m._fwd_jit(m.params, large)  # >= threshold: plain graph
+    assert calls == ["fast"]
+    ref = m.module.apply({"params": m.params}, large)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-6)
+
+
+def test_plain_frame_crossover_is_family_aware():
+    """Underfilled trunks (flagship 48ch -> 96 packed lanes) get the
+    measured crossover; full-tile trunks (w64 -> 128 lanes) never route
+    — their packed graph measured faster at every frame size
+    (XOVER_BENCH.json)."""
+    from larvanet_tpu.ops.fastpath import (PLAIN_FRAME_CROSSOVER_PX,
+                                           plain_frame_crossover_px)
+
+    m48 = _model("LarvaNet", ["--num_blocks", "1,1"])
+    assert plain_frame_crossover_px(m48) == PLAIN_FRAME_CROSSOVER_PX
+    m64 = _model("LarvaNet_w64", ["--num_blocks", "1,1"])
+    assert plain_frame_crossover_px(m64) == 0
+
+
+def test_plain_full_frame_dispatch_auto_skips_full_tile_trunks():
+    import argparse
+
+    from larvanet_tpu.cli import common
+
+    m = _model("LarvaNet_w64", ["--num_blocks", "1,1"])
+    before = m._fwd_jit
+    args = argparse.Namespace(plain_frame_px=-1, spatial_shard=0)
+    common.maybe_plain_full_frame(m, args)
+    assert m._fwd_jit is before  # w64: packed wins at every size
+
+
+def test_plain_full_frame_dispatch_skips_under_spatial_shard():
+    import argparse
+
+    from larvanet_tpu.cli import common
+
+    m = _model("LarvaNet", ["--num_blocks", "1,1"])
+    before = m._fwd_jit
+    args = argparse.Namespace(plain_frame_px=1, spatial_shard=2)
+    common.maybe_plain_full_frame(m, args)
+    assert m._fwd_jit is before  # sharded forward owns full frames
+
+
 def test_int8_edsr_smoke_close_to_exact(rng):
     m = _model("edsr", ["--edsr_conv_features", "8", "--edsr_res_blocks", "1"])
     calib = rng.uniform(0, 255, (2, 12, 12, 3)).astype(np.float32)

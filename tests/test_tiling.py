@@ -146,3 +146,80 @@ def test_strip_batched_forward_validates_geometry():
                                      height=48, width=36)
     with pytest.raises(ValueError):  # frame mismatch at call time
         fwd(None, np.zeros((1, 40, 36, 3), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Device-resident 2-D tile scan
+# ---------------------------------------------------------------------------
+
+def test_tile_scan_forward_exact_vs_full_frame(rng):
+    """halo >= receptive radius => float-tolerance parity with the
+    full-frame forward on a grid that exercises edge-shifted windows on
+    BOTH axes (outer windows put SAME padding on the true frame edge)."""
+    import jax
+    from larvanet_tpu.eval.tiling import make_tile_scan_forward
+
+    m = _small_edsr()  # receptive radius 7; halo 8 covers it
+    fwd = make_tile_scan_forward(
+        m._forward_impl, scale=4, tile_h=16, tile_w=12, halo=8,
+        height=48, width=36)
+    x = rng.uniform(0, 255, (2, 48, 36, 3)).astype(np.float32)
+    got = np.asarray(jax.jit(fwd)(m.params, x))
+    full = np.asarray(jax.jit(m._forward_impl)(m.params, x))
+    assert got.shape == full.shape == (2, 192, 144, 3)
+    np.testing.assert_allclose(got, full, atol=2e-3)
+
+
+def test_tile_scan_forward_single_row_and_column(rng):
+    """Degenerate grids (1 tile-row / 1 tile-column) still cover the
+    frame exactly."""
+    import jax
+    from larvanet_tpu.eval.tiling import make_tile_scan_forward
+
+    m = _small_edsr()
+    for th, tw in ((48, 12), (16, 36)):
+        fwd = make_tile_scan_forward(
+            m._forward_impl, scale=4, tile_h=th, tile_w=tw, halo=8,
+            height=48, width=36)
+        x = rng.uniform(0, 255, (1, 48, 36, 3)).astype(np.float32)
+        got = np.asarray(jax.jit(fwd)(m.params, x))
+        full = np.asarray(jax.jit(m._forward_impl)(m.params, x))
+        np.testing.assert_allclose(got, full, atol=2e-3)
+
+
+def test_tile_scan_forward_under_halo_seam_locality(rng):
+    """halo < receptive radius: pixels >= (radius - halo) from every
+    tile seam are still exact (the documented tiled-SR approximation)."""
+    import jax
+    from larvanet_tpu.eval.tiling import make_tile_scan_forward
+
+    m = _small_edsr()
+    fwd = make_tile_scan_forward(
+        m._forward_impl, scale=4, tile_h=24, tile_w=18, halo=4,
+        height=48, width=36)
+    x = rng.uniform(0, 255, (1, 48, 36, 3)).astype(np.float32)
+    got = np.asarray(jax.jit(fwd)(m.params, x))
+    full = np.asarray(jax.jit(m._forward_impl)(m.params, x))
+    # seams at LR row 24 / col 18; margin (7-4)=3 LR px
+    r0, r1 = (24 - 4) * 4, (24 + 4) * 4
+    c0, c1 = (18 - 4) * 4, (18 + 4) * 4
+    np.testing.assert_allclose(got[:, :r0, :c0], full[:, :r0, :c0], atol=2e-3)
+    np.testing.assert_allclose(got[:, r1:, c1:], full[:, r1:, c1:], atol=2e-3)
+
+
+def test_tile_scan_forward_validates_geometry():
+    from larvanet_tpu.eval.tiling import make_tile_scan_forward
+
+    with pytest.raises(ValueError):  # height not divisible
+        make_tile_scan_forward(lambda p, x: x, 4, tile_h=5, tile_w=12,
+                               halo=4, height=48, width=36)
+    with pytest.raises(ValueError):  # width not divisible
+        make_tile_scan_forward(lambda p, x: x, 4, tile_h=16, tile_w=5,
+                               halo=4, height=48, width=36)
+    # oversized windows CLAMP to the frame (more context, still exact)
+    make_tile_scan_forward(lambda p, x: x, 4, tile_h=16, tile_w=36,
+                           halo=16, height=48, width=36)
+    fwd = make_tile_scan_forward(lambda p, x: x, 1, tile_h=16, tile_w=12,
+                                 halo=4, height=48, width=36)
+    with pytest.raises(ValueError):  # frame mismatch at call time
+        fwd(None, np.zeros((1, 40, 36, 3), np.float32))

@@ -61,14 +61,22 @@ def bench_spec(name, mode, frame_hw, scale, iters, base_iters, repeats):
     dtype = jnp.bfloat16
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), model.params)
     calib = None
-    if mode == "int8":
-        calib = np.random.default_rng(1).uniform(
-            0, 255, (4, 192, 192, 3)).astype(np.float32)
-    fast, desc = build_fast_forward(
-        model, dtype, packed_trunk=True, collapsed_tail=True,
-        int8_trunk=(mode == "int8"), calib=calib)
-    if fast is None:
-        raise RuntimeError("no fast path for %s/%s" % (name, mode))
+    if mode == "plain":
+        # the UNPACKED module graph in bf16 — the measured winner at
+        # monolithic full-frame shapes (BASELINE.md round-4 full-frame
+        # routing); this arm locates the packed<->plain crossover
+        from larvanet_tpu.ops.fastpath import make_plain_forward
+
+        fast, desc = make_plain_forward(model, dtype), "plain module graph"
+    else:
+        if mode == "int8":
+            calib = np.random.default_rng(1).uniform(
+                0, 255, (4, 192, 192, 3)).astype(np.float32)
+        fast, desc = build_fast_forward(
+            model, dtype, packed_trunk=True, collapsed_tail=True,
+            int8_trunk=(mode == "int8"), calib=calib)
+        if fast is None:
+            raise RuntimeError("no fast path for %s/%s" % (name, mode))
     print("  %s %s %dx%d: %s" % (name, mode, w, h, desc), file=sys.stderr)
 
     def chained(p, x, n):
@@ -125,7 +133,8 @@ def main():
                         default="edsr:bf16,edsr:int8,LarvaNet:bf16,"
                                 "LarvaNet_w64:bf16,LarvaNet_w64:int8",
                         help="comma-separated model:dtype entries "
-                             "(dtype bf16 | int8)")
+                             "(dtype bf16 | int8 | plain = unpacked module "
+                             "graph in bf16, the monolithic-frame winner)")
     parser.add_argument("--scale", type=int, default=4)
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--base_iters", type=int, default=4)

@@ -75,9 +75,22 @@ def main():
                         help="strips per scan step in --strips mode (1 = "
                              "sequential, memory-bounded; must divide --strips)")
     parser.add_argument("--serving_dtype", default="f32", choices=["f32", "bf16"],
-                        help="compute dtype of the packed graph in --strips mode "
+                        help="compute dtype of the serving graph "
                              "(bf16 = the throughput configuration BASELINE.md "
                              "measures; not bit-identical to f32)")
+    parser.add_argument("--graph", default="auto",
+                        choices=["auto", "packed", "plain"],
+                        help="single-chip full-frame graph: 'plain' = the "
+                             "unpacked module graph — the MEASURED winner at "
+                             "monolithic frame shapes (~1.5x the packed trunk "
+                             "at 1080p flagship: XLA stops fusing the packed "
+                             "pairs' elementwise epilogues there; TILE8K_"
+                             "flagship_v2.json, BASELINE.md round-4); 'packed' "
+                             "= the batched-patch fast path; 'auto' picks "
+                             "plain at >= the family-aware measured crossover "
+                             "(ops/fastpath.plain_frame_crossover_px; full-"
+                             "tile trunks like LarvaNet_w64 stay packed — "
+                             "measured faster at every size).")
     args = parser.parse_args()
 
     import jax
@@ -120,7 +133,23 @@ def main():
         params = model.params
         print("int8 (W8A8) trunk enabled (not float-exact)")
     else:
-        apply_fn = model._forward_impl
+        import jax.numpy as jnp
+
+        from larvanet_tpu.ops.fastpath import (make_plain_forward,
+                                               plain_frame_crossover_px)
+
+        model.serving_dtype = args.serving_dtype  # packed + plain honor it
+        crossover = plain_frame_crossover_px(model)
+        use_plain = args.graph == "plain" or (
+            args.graph == "auto" and crossover
+            and args.height * args.width >= crossover)
+        if use_plain:
+            dtype = jnp.bfloat16 if args.serving_dtype == "bf16" else jnp.float32
+            apply_fn = make_plain_forward(model, dtype)
+            print("plain module graph (monolithic-frame winner, "
+                  "BASELINE.md round-4)")
+        else:
+            apply_fn = model._forward_impl
         params = model.params
 
     if args.strips:
@@ -146,6 +175,14 @@ def main():
         sharding = None
         print("strips: %d x (%d + 2*%d) rows" % (args.strips, h // args.strips,
                                                  args.strip_halo))
+    elif n == 1:
+        # no shard_map wrapper on one chip: it measurably slows the
+        # monolithic forward (BASELINE.md round-4 notes tile8k_bench's
+        # direct-jit numbers beating the old 8K-table rows for this
+        # reason)
+        fwd = jax.jit(apply_fn)
+        sharding = None
+        h = args.height
     else:
         fwd = spatial_sharded_forward(apply_fn, mesh, halo=args.halo, scale=scale,
                                       axis_name="spatial", spatial_axis=1)

@@ -76,7 +76,7 @@ def natural_frame(height: int, width: int, root: str = "data/fixture_real/test_H
 
 
 def build_forward(model, kind, dtype_name, calib):
-    """(jitted_forward, params) for one arm."""
+    """(forward, desc, params) for one arm."""
     import jax
     import jax.numpy as jnp
 
@@ -84,12 +84,22 @@ def build_forward(model, kind, dtype_name, calib):
 
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
              "int8": jnp.bfloat16}[dtype_name]
+    if kind in ("plain", "ptiles"):
+        # the UNPACKED module graph: at monolithic full-frame shapes XLA
+        # refuses to fuse the packed trunk's mask/add/relu epilogues
+        # (each becomes a ~200 MB memory pass — BASELINE.md round-4
+        # full-frame anatomy), so plain measures FASTER there
+        params = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                        model.params)
+        fwd = (lambda p, x: model.module.apply(
+            {"params": p}, x.astype(dtype)))
+        return fwd, "plain module graph (%s params)" % dtype_name, params
     fwd, desc = build_fast_forward(
         model, dtype, int8_trunk=(dtype_name == "int8"),
         calib=(calib if dtype_name == "int8" else None))
     if fwd is None:
         fwd, desc = model._forward_impl, "plain module graph"
-    return fwd, desc
+    return fwd, desc, model.params
 
 
 def time_forward(fwd_jit, params, x, iters):
@@ -120,7 +130,10 @@ def main(argv=None):
         "--arms",
         default="full:f32,full:bf16,strips:bf16:8:32,strips:bf16:8:64,"
                 "strips:bf16:8:32:2,strips:bf16:4:64,strips:int8:8:32",
-        help="comma list: full:DTYPE or strips:DTYPE:N:HALO[:CHUNK] "
+        help="comma list: full:DTYPE | plain:DTYPE (unpacked module "
+             "graph) | strips:DTYPE:N:HALO[:CHUNK] | "
+             "tiles:DTYPE:TH:TW:HALO (2-D tile scan over the packed "
+             "forward) | ptiles:DTYPE:TH:TW:HALO (over the plain graph) "
              "(DTYPE in f32|bf16|int8; CHUNK strips per scan step, "
              "default 1)")
     parser.add_argument("--out", default="TILE8K.json")
@@ -131,7 +144,8 @@ def main(argv=None):
 
     from larvanet_tpu.cli.common import enable_compile_cache
     from larvanet_tpu.core.registry import get_model
-    from larvanet_tpu.eval.tiling import make_strip_batched_forward
+    from larvanet_tpu.eval.tiling import (make_strip_batched_forward,
+                                          make_tile_scan_forward)
 
     enable_compile_cache()
     model = get_model(args.model)
@@ -159,16 +173,20 @@ def main(argv=None):
     for arm in args.arms.split(","):
         parts = arm.strip().split(":")
         kind, dtype_name = parts[0], parts[1]
-        fwd, desc = build_forward(model, kind, dtype_name, calib)
+        fwd, desc, params = build_forward(model, kind, dtype_name, calib)
         label = arm.strip()
         if kind == "strips":
             n, halo = int(parts[2]), int(parts[3])
             chunk = int(parts[4]) if len(parts) > 4 else 1
             fwd = make_strip_batched_forward(
                 fwd, scale, n, halo, args.height, args.width, chunk=chunk)
+        elif kind in ("tiles", "ptiles"):
+            th, tw, halo = int(parts[2]), int(parts[3]), int(parts[4])
+            fwd = make_tile_scan_forward(
+                fwd, scale, th, tw, halo, args.height, args.width)
         try:
             compile_s, per_frame, out = time_forward(
-                jax.jit(fwd), model.params, x, args.iters)
+                jax.jit(fwd), params, x, args.iters)
         except Exception as e:  # record, keep measuring other arms
             report["arms"][label] = {"error": "%s: %s" % (type(e).__name__, e)}
             print(label, "ERROR", e)
@@ -182,7 +200,7 @@ def main(argv=None):
         if kind == "full":
             full_outs[dtype_name] = out
         ref_key = dtype_name if dtype_name in full_outs else "bf16"
-        if kind == "strips" and ref_key in full_outs:
+        if kind != "full" and ref_key in full_outs:
             a = out.astype(jnp.float32)
             b = full_outs[ref_key].astype(jnp.float32)
             mse = float(jnp.mean((a - b) ** 2))

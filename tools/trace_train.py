@@ -83,6 +83,11 @@ def main():
     parser.add_argument("--scale", type=int, default=4)
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--input_patch_size", type=int, default=48)
+    parser.add_argument("--input_height", type=int, default=0,
+                        help="non-square input rows (0 = --input_patch_size); "
+                             "for full-frame anatomy, e.g. 1080x1920")
+    parser.add_argument("--input_width", type=int, default=0,
+                        help="non-square input cols (0 = --input_patch_size)")
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--out", type=str, default="/tmp/lvt_trace")
     parser.add_argument("--top", type=int, default=25)
@@ -94,6 +99,10 @@ def main():
     parser.add_argument("--int8", action="store_true",
                         help="With --infer: trace the int8 (W8A8) serving forward "
                              "(random-calibrated) instead of the exact packed one.")
+    parser.add_argument("--plain", action="store_true",
+                        help="With --infer: bypass the fast-path routing and trace "
+                             "the plain module graph — the monolithic-frame winner "
+                             "(BASELINE.md round-4 full-frame anatomy).")
     args, remaining = parser.parse_known_args()
     if remaining and remaining[0] == "--":
         remaining = remaining[1:]
@@ -108,8 +117,10 @@ def main():
     model.prepare(is_training=not args.infer, scales=[args.scale])
 
     p = args.input_patch_size
+    ih = args.input_height or p
+    iw = args.input_width or p
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 255, (args.batch_size, p, p, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(0, 255, (args.batch_size, ih, iw, 3)).astype(np.float32))
 
     if args.infer:
         # bench.py's fast path, via the SHARED routing table
@@ -119,14 +130,21 @@ def main():
         from larvanet_tpu.ops.fastpath import build_fast_forward
 
         calib = None
-        if args.int8:
-            calib = rng.uniform(0, 255, (4, p, p, 3)).astype(np.float32)
-        fwd, desc = build_fast_forward(model, dtype, int8_trunk=args.int8,
-                                      calib=calib)
+        if args.plain:
+            from larvanet_tpu.ops.fastpath import make_plain_forward
+
+            fwd, desc = make_plain_forward(model, dtype), "plain module graph"
+        else:
+            if args.int8:
+                calib = rng.uniform(0, 255, (4, p, p, 3)).astype(np.float32)
+            fwd, desc = build_fast_forward(model, dtype, int8_trunk=args.int8,
+                                           calib=calib)
         if fwd is None:
             fwd = model._forward_impl
             print("TRACING the PLAIN module graph (no fast path routes for "
                   "%r — this is also what bench.py measures)" % (args.model,))
+        elif args.plain:
+            print("TRACING the plain module graph (--plain)")
         else:
             print("TRACING the %s forward (bench.py's fast path)" % (desc,))
         xd = x.astype(dtype)
@@ -145,7 +163,7 @@ def main():
             float(run(params))
     else:
         t = jnp.asarray(rng.uniform(
-            0, 255, (args.batch_size, p * args.scale, p * args.scale, 3)
+            0, 255, (args.batch_size, ih * args.scale, iw * args.scale, 3)
         ).astype(np.float32))
         lr = jnp.asarray(model.get_learning_rate(), jnp.float32)
 
