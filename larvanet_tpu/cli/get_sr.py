@@ -57,6 +57,11 @@ def main(argv=None):
                              "use with --tile_forward; 0 = off).")
     parser.add_argument("--ema", type=int, default=0,
                         help="Serve the EMA weights from a --ema_decay checkpoint.")
+    parser.add_argument("--device_uint8", type=int, default=1,
+                        help="Quantize SR frames to uint8 ON DEVICE before the "
+                             "device->host pull (direct mode): 4x less transfer, "
+                             "byte-exact vs host quantization (the PNG writer "
+                             "quantizes identically). 0 pulls f32 frames.")
     common.add_serving_dtype_flag(parser)
     common.add_plain_frame_flag(parser)
     args, remaining = parser.parse_known_args(argv)
@@ -108,6 +113,8 @@ def main(argv=None):
             output = upscale_with_chop_forward(model, input_image, scale, args.chop_overlap_size)
         elif tiler is not None:
             output = tiler.upscale_chw(input_image)
+        elif args.device_uint8:
+            output = model.upscale_uint8(input_list=[input_image], scale=scale)[0]
         else:
             output = model.upscale(input_list=[input_image], scale=scale)[0]
         duration = time.perf_counter() - start_time

@@ -25,7 +25,10 @@ queue, because every queued frame waits a full device pass. /info
 reports p50/p95/p99 device and queue-wait latencies over a sliding
 window (docs/SERVING.md "Concurrency and tail latency"). Large or
 variable frame sizes should use --tile_forward so every request reuses
-the single compiled tile shape.
+the single compiled tile shape. --dynamic_batch N coalesces queued
+same-geometry requests into one batched forward (direct mode): under
+load the device queue becomes MXU batch dimension instead of serial
+launches, with zero added latency when idle.
 """
 
 from __future__ import annotations
@@ -73,18 +76,35 @@ class SRService:
 
     def __init__(self, model, scale: int, mode: str, tiler=None,
                  chop_overlap: int = 20, max_queue: int = 32,
-                 latency_window: int = 1024):
+                 latency_window: int = 1024, dynamic_batch: int = 1,
+                 device_uint8: bool = True):
         self.model = model
         self.scale = scale
         self.mode = mode  # "direct" | "tile" | "chop"
+        # quantize to uint8 ON DEVICE before the D2H pull (4x less SR
+        # transfer; byte-exact vs host quantization — base.upscale_uint8)
+        self.device_uint8 = bool(device_uint8) and mode == "direct" \
+            and hasattr(model, "upscale_uint8")
         self.tiler = tiler
         self.chop_overlap = chop_overlap
         self.max_queue = int(max_queue)
+        self.dynamic_batch = max(1, int(dynamic_batch))
+        # batch-size buckets bound the compile count: a coalesced batch is
+        # padded up to the next bucket, so at most len(buckets) graphs
+        # exist per LR geometry (powers of two up to --dynamic_batch)
+        self._buckets = []
+        b = 1
+        while b < self.dynamic_batch:
+            self._buckets.append(b)
+            b *= 2
+        self._buckets.append(self.dynamic_batch)
+        self._pending = []                    # coalescing queue (under _stats)
         self._lock = threading.Lock()         # serializes the device
         self._stats = threading.Lock()        # guards counters + window
         self._waiting = 0
         self.num_requests = 0
         self.num_rejected = 0
+        self.num_forwards = 0
         self.total_device_s = 0.0
         self._lat_device = collections.deque(maxlen=latency_window)
         self._lat_wait = collections.deque(maxlen=latency_window)
@@ -96,9 +116,14 @@ class SRService:
                 self.model, img_chw, self.scale, self.chop_overlap)
         if self.mode == "tile":
             return self.tiler.upscale_chw(img_chw)
+        if self.device_uint8:
+            return self.model.upscale_uint8(
+                input_list=[img_chw], scale=self.scale)[0]
         return self.model.upscale(input_list=[img_chw], scale=self.scale)[0]
 
     def upscale_chw(self, img_chw: np.ndarray) -> np.ndarray:
+        if self.dynamic_batch > 1 and self.mode == "direct":
+            return self._upscale_coalesced(img_chw)
         with self._stats:
             if self._waiting >= self.max_queue:
                 self.num_rejected += 1
@@ -116,6 +141,7 @@ class SRService:
             with self._stats:
                 self.total_device_s += dev_s
                 self.num_requests += 1
+                self.num_forwards += 1
                 self._lat_device.append(dev_s)
                 self._lat_wait.append(wait_s)
             return out
@@ -123,13 +149,107 @@ class SRService:
             with self._stats:
                 self._waiting -= 1
 
+    # ---- dynamic request batching (direct mode) ----------------------------
+    #
+    # A loaded single-accelerator SR server spends most of each small-frame
+    # pass on per-call launch overhead, not MXU time; coalescing the
+    # requests that pile up behind the device lock into ONE batched forward
+    # (model.upscale already stacks same-shape frames into a single NHWC
+    # batch) converts that queue into MXU batch dimension. Leader/follower:
+    # every request enqueues an entry, then blocks on the device lock;
+    # whichever thread holds the lock first serves its own entry plus up to
+    # --dynamic_batch-1 same-geometry pending entries in one forward.
+    # Under no load a lone request runs immediately at batch 1 — coalescing
+    # adds no linger latency; batches only form while the device is busy.
+
+    def _forward_batched(self, imgs):
+        """One batched forward, padded up to the next batch bucket so the
+        number of compiled graphs per LR geometry stays bounded."""
+        n = len(imgs)
+        bucket = next(b for b in self._buckets if b >= n)
+        if bucket > n:
+            imgs = list(imgs) + [imgs[0]] * (bucket - n)
+        if self.device_uint8:
+            outs = self.model.upscale_uint8(input_list=imgs, scale=self.scale)
+        else:
+            outs = self.model.upscale(input_list=imgs, scale=self.scale)
+        return outs[:n]
+
+    def _upscale_coalesced(self, img_chw: np.ndarray) -> np.ndarray:
+        entry = {"img": img_chw, "shape": tuple(img_chw.shape),
+                 "event": threading.Event(), "t_q": time.perf_counter(),
+                 "out": None, "err": None}
+        with self._stats:
+            if self._waiting >= self.max_queue:
+                self.num_rejected += 1
+                raise ServerBusy(
+                    "%d requests already queued on the device (--max_queue)"
+                    % self._waiting)
+            self._waiting += 1
+            self._pending.append(entry)
+        try:
+            with self._lock:
+                if not entry["event"].is_set():
+                    # leader: take our entry + same-geometry pending ones
+                    # (identity-based list surgery: entries hold numpy
+                    # arrays, so == comparisons are ill-defined on them)
+                    with self._stats:
+                        cand = [e for e in self._pending
+                                if e["shape"] == entry["shape"]]
+                        # largest bucket <= queue depth: never pad a batch
+                        # (padded frames cost full compute + D2H; the
+                        # remainder is served by its own leader next)
+                        k = max(b for b in self._buckets if b <= len(cand))
+                        batch = cand[:k]
+                        if not any(e is entry for e in batch):
+                            batch = cand[: k - 1] + [entry]
+                        taken = set(map(id, batch))
+                        self._pending = [e for e in self._pending
+                                         if id(e) not in taken]
+                    t0 = time.perf_counter()
+                    try:
+                        outs = self._forward_batched(
+                            [e["img"] for e in batch])
+                    except Exception as exc:
+                        for e in batch:
+                            e["err"] = exc
+                            e["event"].set()
+                    else:
+                        dev_s = time.perf_counter() - t0
+                        with self._stats:
+                            for e in batch:
+                                self.total_device_s += dev_s
+                                self.num_requests += 1
+                                self._lat_device.append(dev_s)
+                                self._lat_wait.append(t0 - e["t_q"])
+                            self.num_forwards += 1
+                        for e, o in zip(batch, outs):
+                            e["out"] = o
+                            e["event"].set()
+            entry["event"].wait()
+            if entry["err"] is not None:
+                raise entry["err"]
+            return entry["out"]
+        finally:
+            with self._stats:
+                self._waiting -= 1
+                if any(e is entry for e in self._pending):  # unreachable; safe
+                    self._pending = [e for e in self._pending if e is not entry]
+
     def warmup(self, height: int, width: int) -> None:
         """Pay the XLA compile before accepting traffic."""
         dummy = np.zeros((3, height, width), np.float32)
         self.upscale_chw(dummy)
+        if self.dynamic_batch > 1 and self.mode == "direct":
+            # precompile every batch bucket at the warmup geometry so a
+            # traffic burst never pays a compile mid-request (through the
+            # same routed forward the live batches use, incl. uint8)
+            for b in self._buckets[1:]:
+                self._forward_batched([dummy] * b)
         with self._stats:
             self.num_requests = 0
             self.num_rejected = 0
+            self.num_forwards = 0
             self.total_device_s = 0.0
             self._lat_device.clear()
             self._lat_wait.clear()
@@ -138,6 +258,7 @@ class SRService:
     def info(self) -> dict:
         with self._stats:
             n = self.num_requests
+            fwd = self.num_forwards
             mean_s = self.total_device_s / n if n else 0.0
             dev = _percentiles(self._lat_device)
             wait = _percentiles(self._lat_wait)
@@ -152,6 +273,10 @@ class SRService:
             "num_rejected": rejected,
             "queue_depth": waiting,
             "max_queue": self.max_queue,
+            "dynamic_batch": self.dynamic_batch,
+            "device_uint8": self.device_uint8,
+            "num_forwards": fwd,
+            "mean_batch_size": round(n / fwd, 3) if fwd else 0.0,
             "mean_device_seconds": round(mean_s, 6),
             "device_seconds": dev,
             "queue_wait_seconds": wait,
@@ -219,20 +344,29 @@ def png_to_chw(data: bytes) -> np.ndarray:
     return arr.transpose(2, 0, 1)
 
 
-def chw_to_png(img_chw: np.ndarray) -> bytes:
+def chw_to_png(img_chw: np.ndarray, compress_level: int = 6) -> bytes:
+    """PNG-encode a CHW frame. compress_level follows zlib (0-9):
+    responses default to the server's --png_level (1 = ~3-4x faster
+    encode than PIL's default 6 at a modestly larger payload — encode
+    time is client-visible latency, not device throughput)."""
     from PIL import Image
 
-    arr = np.clip(np.round(img_chw.transpose(1, 2, 0)), 0, 255).astype(np.uint8)
+    if img_chw.dtype == np.uint8:  # already quantized on device
+        arr = img_chw.transpose(1, 2, 0)
+    else:
+        arr = np.clip(np.round(img_chw.transpose(1, 2, 0)),
+                      0, 255).astype(np.uint8)
     buf = _stdio.BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG")
+    Image.fromarray(arr).save(buf, format="PNG", compress_level=compress_level)
     return buf.getvalue()
 
 
 def make_server(service: SRService, host: str, port: int,
-                max_body_mb: int = 64):
+                max_body_mb: int = 64, png_level: int = 1):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     max_body = int(max_body_mb) * 1024 * 1024
+    png_level = int(png_level)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str):
@@ -272,7 +406,7 @@ def make_server(service: SRService, host: str, port: int,
             try:
                 img = png_to_chw(self.rfile.read(length))
                 out = service.upscale_chw(img)
-                self._send(200, chw_to_png(out), "image/png")
+                self._send(200, chw_to_png(out, png_level), "image/png")
             except ServerBusy:
                 # shed load instead of stretching the tail: the client
                 # should back off and retry (docs/SERVING.md)
@@ -349,9 +483,18 @@ def build_service(args, remaining) -> SRService:
             scale=scale, tile_size=args.tile_size, overlap=args.tile_overlap,
             min_batch=max(1, args.dp_devices),
         )
+    dyn = int(getattr(args, "dynamic_batch", 1) or 1)
+    if dyn > 1 and mode != "direct":
+        raise SystemExit("--dynamic_batch coalesces same-geometry direct "
+                         "forwards; it does not compose with --%s_forward "
+                         "(the tiler already batches tiles within a request)"
+                         % mode)
     return SRService(model, scale, mode, tiler=tiler,
                      chop_overlap=args.chop_overlap_size,
-                     max_queue=getattr(args, "max_queue", 32))
+                     max_queue=getattr(args, "max_queue", 32),
+                     dynamic_batch=dyn,
+                     device_uint8=bool(int(
+                         getattr(args, "device_uint8", 1) or 0)))
 
 
 def main(argv=None):
@@ -371,9 +514,23 @@ def main(argv=None):
                         help="0 picks an ephemeral port (printed at startup).")
     parser.add_argument("--max_body_mb", type=int, default=64,
                         help="Reject request bodies above this size with 413.")
+    parser.add_argument("--png_level", type=int, default=1,
+                        help="zlib compress level for response PNGs (0-9). "
+                             "1 (default) encodes ~3-4x faster than PIL's 6 "
+                             "at a modestly larger payload; pixels identical.")
     parser.add_argument("--max_queue", type=int, default=32,
                         help="Max requests waiting on the device before new "
                              "ones get an immediate 503 (load shedding).")
+    parser.add_argument("--device_uint8", type=int, default=1,
+                        help="Quantize SR frames to uint8 ON DEVICE before "
+                             "the device->host pull (direct mode): 4x less "
+                             "transfer, byte-exact vs host quantization. "
+                             "0 pulls the f32 contract frames.")
+    parser.add_argument("--dynamic_batch", type=int, default=1,
+                        help="Coalesce up to N queued same-geometry requests "
+                             "into one batched forward (direct mode). Batches "
+                             "form only while the device is busy — a lone "
+                             "request still runs immediately at batch 1.")
     parser.add_argument("--warmup_size", type=str, default="128x128",
                         help="WxH compiled + executed before serving traffic.")
     parser.add_argument("--chop_forward", action="store_true")
@@ -397,6 +554,10 @@ def main(argv=None):
     args, remaining = parser.parse_known_args(argv)
 
     if args.artifact:
+        if args.dynamic_batch > 1:
+            raise SystemExit("--dynamic_batch does not apply to --artifact "
+                             "serving (the batch dimension was baked at "
+                             "export — re-export with a larger batch)")
         for flag in ("chop_forward", "int8_trunk", "spatial_shard",
                      "dp_devices", "ema"):
             if getattr(args, flag, 0):
@@ -427,7 +588,8 @@ def main(argv=None):
     print("ready")
 
     httpd = make_server(service, args.host, args.port,
-                        max_body_mb=args.max_body_mb)
+                        max_body_mb=args.max_body_mb,
+                        png_level=args.png_level)
     print("serving %s on http://%s:%d" % (
         service.info().get("model") or args.model,
         httpd.server_address[0], httpd.server_address[1]))

@@ -493,6 +493,31 @@ class SRModel:
         out = self._fwd_jit(self.params, x)
         return nhwc_to_chw_numpy(out)
 
+    def upscale_uint8(self, input_list, scale):
+        """SR + challenge-protocol uint8 quantization ON DEVICE -> CHW
+        uint8 numpy.
+
+        The serving path (cli/serve.py, cli/get_sr.py) immediately does
+        clip(round(out), 0, 255).astype(uint8) on the host to PNG-encode
+        (reference validate.py:17-18 semantics); doing that on device
+        before the transfer moves 4x less data across the device->host
+        link — the dominant cost of a full-frame SR pass on any host,
+        PCIe or tunnel. Exact: jnp.round and np.round are both
+        half-to-even, so the bytes equal the host-quantized f32 contract
+        path's.
+
+        The quantizer is jitted SEPARATELY and composed on the routed
+        forward's device output (never re-traces self._fwd_jit — the
+        packed/collapsed/int8/plain-frame routings would otherwise pay
+        their multi-minute AOT compile a second time per geometry).
+        """
+        if getattr(self, "_quant_u8_jit", None) is None:
+            self._quant_u8_jit = jax.jit(lambda o: jnp.clip(
+                jnp.round(o), 0, 255).astype(jnp.uint8))
+        x = chw_list_to_nhwc(input_list)
+        out = self._quant_u8_jit(self._fwd_jit(self.params, x))
+        return nhwc_to_chw_numpy(out)
+
     def test(self, input_list):
         """Forward returning the device batch (reference models/LarvaNet.py:173-181)."""
         x = chw_list_to_nhwc(input_list)

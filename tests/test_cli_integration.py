@@ -64,6 +64,33 @@ def test_train_validate_get_sr_roundtrip(tree):
     assert len(trend) == 2
 
 
+def test_get_sr_device_uint8_byte_exact(tree):
+    """--device_uint8 (default on) must write byte-identical PNGs to the
+    f32-pull path — the quantization moved on device, not changed."""
+    lr, _, root = tree
+    from larvanet_tpu.cli import get_sr
+    from larvanet_tpu.core.registry import get_model
+
+    m = get_model("edsr")
+    m.parse_args(list(TINY_EDSR))
+    m.prepare(is_training=True, scales=[4])
+    m.global_step = 1
+    ckpt = m.save(os.path.join(root, "u8ckpt"))
+
+    for flag, sub in (("1", "sr_u8"), ("0", "sr_f32")):
+        get_sr.main([
+            "--model", "edsr", "--input_path", os.path.join(lr, "X4"),
+            "--output_path", os.path.join(root, sub),
+            "--restore_path", ckpt, "--device_uint8", flag, *TINY_EDSR,
+        ])
+    for name in sorted(os.listdir(os.path.join(root, "sr_u8"))):
+        with open(os.path.join(root, "sr_u8", name), "rb") as f:
+            a = f.read()
+        with open(os.path.join(root, "sr_f32", name), "rb") as f:
+            b = f.read()
+        assert a == b, name
+
+
 def test_train_larva_volume_flow(tree):
     lr, hr, root = tree
     from larvanet_tpu.cli import train_larva

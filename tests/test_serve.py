@@ -263,6 +263,208 @@ def test_load_shedding_503():
         httpd.server_close()
 
 
+def test_device_uint8_byte_exact(tmp_path):
+    """--device_uint8 (default on) quantizes SR frames on device before
+    the D2H pull; bytes must equal the host-quantized f32 contract path,
+    including through the PNG encoder."""
+    _, ckpt = _ckpt(tmp_path)
+    svc_u8 = serve.build_service(_args(ckpt), list(TINY))
+    svc_f32 = serve.build_service(_args(ckpt, device_uint8=0), list(TINY))
+    assert svc_u8.device_uint8 and not svc_f32.device_uint8
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 255, (3, 11, 9)).astype(np.float32)
+    a = svc_u8.upscale_chw(img)
+    b = svc_f32.upscale_chw(img)
+    assert a.dtype == np.uint8
+    np.testing.assert_array_equal(
+        a, np.clip(np.round(b), 0, 255).astype(np.uint8))
+    assert serve.chw_to_png(a) == serve.chw_to_png(b)
+    assert svc_u8.info()["device_uint8"] is True
+
+
+# ---------------------------------------------------------------------------
+# dynamic request batching (--dynamic_batch): queue -> MXU batch dimension
+# ---------------------------------------------------------------------------
+
+class _RecordingModel:
+    """Duck-typed SRModel whose upscale records every batch size and
+    holds the device long enough that concurrent requests pile up on the
+    lock (so coalescing is deterministic, like _SlowModel for shedding)."""
+
+    registry_name = "recorder"
+
+    def __init__(self, hold_s=0.15):
+        self.hold_s = hold_s
+        self.batch_sizes = []
+        self.fail_on_value = None
+
+    def upscale(self, input_list, scale):
+        import time as _t
+
+        _t.sleep(self.hold_s)
+        self.batch_sizes.append(len(input_list))
+        if self.fail_on_value is not None and any(
+                float(im.flat[0]) == self.fail_on_value for im in input_list):
+            raise ValueError("poisoned frame")
+        return [np.repeat(np.repeat(im, scale, 1), scale, 2)
+                for im in input_list]
+
+
+def _spin_server(service):
+    httpd = serve.make_server(service, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, "http://127.0.0.1:%d" % httpd.server_address[1]
+
+
+def test_dynamic_batch_coalesces_under_load():
+    """12 concurrent same-geometry requests against a slow device with
+    --dynamic_batch 4: fewer forwards than requests, batch sizes drawn
+    from the {1,2,4} buckets, every client gets ITS OWN frame back."""
+    model = _RecordingModel()
+    service = serve.SRService(model, 4, "direct", dynamic_batch=4)
+    service.ready = True
+    httpd, url = _spin_server(service)
+    try:
+        results = {}
+
+        def client(i):
+            img = np.full((3, 5, 7), float(i), np.float32)
+            results[i] = (_post(url + "/upscale", serve.chw_to_png(img)), img)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i, ((code, body), img) in results.items():
+            assert code == 200, (i, code)
+            out = serve.png_to_chw(body)
+            np.testing.assert_array_equal(
+                out, np.repeat(np.repeat(img, 4, 1), 4, 2))
+        info = service.info()
+        assert info["num_requests"] == 12
+        assert info["num_forwards"] == len(model.batch_sizes)
+        assert info["num_forwards"] < 12, model.batch_sizes
+        assert info["mean_batch_size"] > 1.0
+        assert set(model.batch_sizes) <= {1, 2, 4}, model.batch_sizes
+        assert max(model.batch_sizes) > 1, model.batch_sizes
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_dynamic_batch_keeps_geometries_separate():
+    """Mixed frame sizes under load: a batch only ever contains one
+    geometry, and every response still matches its request."""
+    model = _RecordingModel(hold_s=0.1)
+    service = serve.SRService(model, 4, "direct", dynamic_batch=4)
+    service.ready = True
+    httpd, url = _spin_server(service)
+    try:
+        shapes = [(3, 5, 7), (3, 6, 6)]
+        results = {}
+
+        def client(i):
+            img = np.full(shapes[i % 2], float(i), np.float32)
+            results[i] = (_post(url + "/upscale", serve.chw_to_png(img)), img)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, ((code, body), img) in results.items():
+            assert code == 200
+            np.testing.assert_array_equal(
+                serve.png_to_chw(body),
+                np.repeat(np.repeat(img, 4, 1), 4, 2))
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_dynamic_batch_matches_real_model(tmp_path):
+    """Against the real EDSR service: concurrent batched responses are
+    bitwise-equal to the single-request path's answers."""
+    model, ckpt = _ckpt(tmp_path)
+    service = serve.build_service(_args(ckpt, dynamic_batch=4), list(TINY))
+    service.warmup(8, 8)
+    httpd, url = _spin_server(service)
+    try:
+        rng = np.random.default_rng(3)
+        imgs = [rng.uniform(0, 255, (3, 8, 8)).astype(np.float32)
+                for _ in range(3)]
+        pngs = [serve.chw_to_png(im) for im in imgs]
+        expect = [np.clip(np.round(
+            model.upscale([serve.png_to_chw(p)], scale=4)[0]), 0, 255)
+            for p in pngs]
+
+        results = {}
+
+        def client(i):
+            results[i] = _post(url + "/upscale", pngs[i % 3])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(9)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (code, body) in results.items():
+            assert code == 200
+            np.testing.assert_array_equal(
+                serve.png_to_chw(body), expect[i % 3])
+        assert service.info()["dynamic_batch"] == 4
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_dynamic_batch_error_propagates_and_survives():
+    """A forward failure inside a coalesced batch must 400 every request
+    in that batch and leave the server serving."""
+    model = _RecordingModel(hold_s=0.1)
+    model.fail_on_value = 1.0
+    service = serve.SRService(model, 4, "direct", dynamic_batch=4)
+    service.ready = True
+    httpd, url = _spin_server(service)
+    try:
+        results = {}
+
+        def client(i):
+            img = np.full((3, 4, 4), float(i % 2), np.float32)
+            results[i] = _post(url + "/upscale", serve.chw_to_png(img))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        codes = sorted(code for code, _ in results.values())
+        assert 400 in codes, codes        # poisoned batches failed
+        assert _get(url + "/healthz")[0] == 200
+        model.fail_on_value = None
+        ok = _post(url + "/upscale",
+                   serve.chw_to_png(np.full((3, 4, 4), 7.0, np.float32)))
+        assert ok[0] == 200               # still serving after the failure
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_dynamic_batch_rejects_non_direct_modes(tmp_path):
+    _, ckpt = _ckpt(tmp_path)
+    with pytest.raises(SystemExit, match="dynamic_batch"):
+        serve.build_service(
+            _args(ckpt, tile_forward=True, dynamic_batch=4), list(TINY))
+    with pytest.raises(SystemExit, match="dynamic_batch"):
+        serve.main(["--artifact", "x.lvt", "--dynamic_batch", "4"])
+
+
 # ---------------------------------------------------------------------------
 # artifact serving (--artifact): no model zoo, no restore
 # ---------------------------------------------------------------------------
@@ -331,8 +533,10 @@ def test_serving_dtype_bf16_cli(tmp_path):
     model, ckpt = _ckpt(tmp_path)
     outs = {}
     for d in ("f32", "bf16"):
+        # compare the raw f32 contract frames: device_uint8 quantization
+        # would (correctly) round both dtypes to the same bytes here
         service = serve.build_service(
-            _args(ckpt, serving_dtype=d), list(TINY))
+            _args(ckpt, serving_dtype=d, device_uint8=0), list(TINY))
         img = np.linspace(0, 255, 3 * 16 * 16, dtype=np.float32).reshape(3, 16, 16)
         outs[d] = service.upscale_chw(img)
     diff = float(np.max(np.abs(outs["f32"] - outs["bf16"])))

@@ -60,6 +60,18 @@ CONFIGS = [
      "1080p", 4, (1, 2)),
     ("w64_direct_270p", "LarvaNet_w64",
      ["--num_blocks", "9,9"], [], "270p", 12, (1, 2, 4)),
+    # round-4 serving optimizations, isolated:
+    #  - f32pull: --device_uint8 0 == the round-3 behavior (f32 D2H pull);
+    #    the direct arms above now default to the uint8 device pull
+    #  - batch8: --dynamic_batch coalesces queued same-geometry requests
+    #    into one batched forward; wins show at offered concurrency > 1
+    ("edsr_f32pull_270p", "edsr", [], ["--device_uint8", "0"],
+     "270p", 12, (1, 2, 4)),
+    ("edsr_direct_1080p", "edsr", [], [], "1080p", 6, (1, 2)),
+    ("edsr_batch8_270p", "edsr", [], ["--dynamic_batch", "8"],
+     "270p", 16, (1, 4, 8)),
+    ("w64_batch8_270p", "LarvaNet_w64", ["--num_blocks", "9,9"],
+     ["--dynamic_batch", "8"], "270p", 16, (1, 4, 8)),
     # shedding onset: a tiny queue bound + offered load past it
     ("edsr_shed_270p", "edsr", [], ["--max_queue", "2"], "270p", 16,
      (2, 4, 8)),
@@ -113,7 +125,9 @@ class Server:
     """cli/serve.py subprocess: spawn, await health, query, kill."""
 
     def __init__(self, argv, log_path, startup_timeout=900.0):
-        self.log = open(log_path, "ab")
+        # truncate: the banner scan below reads from offset 0, and a
+        # stale banner from a previous run would yield a dead port
+        self.log = open(log_path, "wb")
         env = dict(os.environ, PYTHONUNBUFFERED="1")
         self.proc = subprocess.Popen(
             [sys.executable, "-u", "-m", "larvanet_tpu.cli.serve"] + argv,
@@ -274,7 +288,9 @@ def run_config(name, model, model_flags, server_flags, frame, n_requests,
                 k: v for k, v in srv.info().items()
                 if k in ("device_seconds", "queue_wait_seconds",
                          "mean_device_seconds", "num_requests",
-                         "num_rejected", "mode", "max_queue")}
+                         "num_rejected", "mode", "max_queue",
+                         "dynamic_batch", "device_uint8",
+                         "num_forwards", "mean_batch_size")}
             out["levels"].append(lvl)
             # a dropped /info must not void the client percentiles already
             # collected for this config (round-4 review finding)
