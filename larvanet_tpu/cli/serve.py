@@ -109,6 +109,7 @@ class SRService:
         self._lat_device = collections.deque(maxlen=latency_window)
         self._lat_wait = collections.deque(maxlen=latency_window)
         self.ready = False
+        self.draining = False
 
     def _forward(self, img_chw: np.ndarray) -> np.ndarray:
         if self.mode == "chop":
@@ -236,6 +237,20 @@ class SRService:
                 if any(e is entry for e in self._pending):  # unreachable; safe
                     self._pending = [e for e in self._pending if e is not entry]
 
+    def drain(self, timeout=None, poll_s=0.05) -> bool:
+        """Graceful shutdown: stop admitting requests (the HTTP layer
+        sheds with 503 once self.draining is set) and wait for in-flight
+        ones to finish. Returns False if they didn't within `timeout`."""
+        self.draining = True
+        t0 = time.perf_counter()
+        while True:
+            with self._stats:
+                if self._waiting == 0:
+                    return True
+            if timeout is not None and time.perf_counter() - t0 > timeout:
+                return False
+            time.sleep(poll_s)
+
     def warmup(self, height: int, width: int) -> None:
         """Pay the XLA compile before accepting traffic."""
         dummy = np.zeros((3, height, width), np.float32)
@@ -269,6 +284,7 @@ class SRService:
             "scale": self.scale,
             "mode": self.mode,
             "ready": self.ready,
+            "draining": self.draining,
             "num_requests": n,
             "num_rejected": rejected,
             "queue_depth": waiting,
@@ -369,6 +385,12 @@ def make_server(service: SRService, host: str, port: int,
     png_level = int(png_level)
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every response carries Content-Length, so
+        # persistent connections are safe — clients skip a TCP handshake
+        # per frame (HTTP/1.0, the BaseHTTPRequestHandler default, closes
+        # the connection after every request)
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, body: bytes, ctype: str):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
@@ -378,7 +400,9 @@ def make_server(service: SRService, host: str, port: int,
 
         def do_GET(self):
             if self.path == "/healthz":
-                if service.ready:
+                if getattr(service, "draining", False):
+                    self._send(503, b"draining", "text/plain")
+                elif service.ready:
                     self._send(200, b"ok", "text/plain")
                 else:
                     self._send(503, b"warming up", "text/plain")
@@ -391,6 +415,17 @@ def make_server(service: SRService, host: str, port: int,
         def do_POST(self):
             if self.path.rstrip("/") != "/upscale":
                 self._send(404, b"not found", "text/plain")
+                return
+            if getattr(service, "draining", False):
+                # graceful shutdown in progress: shed so the LB retries
+                # elsewhere; in-flight requests still finish
+                self.send_response(503)
+                body = b"server draining, retry elsewhere"
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -514,6 +549,10 @@ def main(argv=None):
                         help="0 picks an ephemeral port (printed at startup).")
     parser.add_argument("--max_body_mb", type=int, default=64,
                         help="Reject request bodies above this size with 413.")
+    parser.add_argument("--drain_timeout", type=float, default=30.0,
+                        help="On SIGTERM: stop admitting requests (healthz "
+                             "503s, POSTs shed) and wait up to this many "
+                             "seconds for in-flight ones before exiting.")
     parser.add_argument("--png_level", type=int, default=1,
                         help="zlib compress level for response PNGs (0-9). "
                              "1 (default) encodes ~3-4x faster than PIL's 6 "
@@ -590,6 +629,28 @@ def main(argv=None):
     httpd = make_server(service, args.host, args.port,
                         max_body_mb=args.max_body_mb,
                         png_level=args.png_level)
+
+    # SIGTERM = graceful rollout (what an orchestrator sends): flip to
+    # draining (healthz 503 pulls us from the LB, new POSTs shed), let
+    # in-flight frames finish, then stop. SIGINT/Ctrl-C stays immediate.
+    import signal
+
+    def _graceful(signum, _frame):
+        print("serve: SIGTERM — draining (up to %.0fs)..." % args.drain_timeout)
+
+        def _stop():
+            clean = service.drain(timeout=args.drain_timeout)
+            print("serve: drained" if clean
+                  else "serve: drain timed out with requests in flight")
+            httpd.shutdown()
+
+        threading.Thread(target=_stop, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _graceful)
+    except ValueError:
+        pass  # not the main thread (embedded use); skip the handler
+
     print("serving %s on http://%s:%d" % (
         service.info().get("model") or args.model,
         httpd.server_address[0], httpd.server_address[1]))

@@ -466,6 +466,122 @@ def test_dynamic_batch_rejects_non_direct_modes(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# graceful drain + HTTP/1.1 keep-alive
+# ---------------------------------------------------------------------------
+
+def test_graceful_drain_finishes_inflight_and_sheds_new():
+    """drain(): in-flight requests complete (200), new ones shed with a
+    'draining' 503, healthz flips to 503 (LB removal), drain returns
+    True once the device is idle."""
+    service = serve.SRService(_SlowModel(hold_s=0.6), 4, "direct")
+    service.ready = True
+    httpd = serve.make_server(service, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = "http://127.0.0.1:%d" % httpd.server_address[1]
+    png = serve.chw_to_png(np.zeros((3, 4, 4), np.float32))
+    try:
+        inflight = {}
+
+        def client():
+            inflight["r"] = _post(url + "/upscale", png)
+
+        t = threading.Thread(target=client)
+        t.start()
+        import time
+        time.sleep(0.15)           # let it reach the device section
+
+        drained = {}
+        dt = threading.Thread(
+            target=lambda: drained.setdefault("ok", service.drain(timeout=5)))
+        dt.start()
+        time.sleep(0.05)           # drain flag set, device still busy
+        assert service.draining
+        code, body = _post(url + "/upscale", png)
+        assert code == 503 and b"draining" in body
+        assert _get(url + "/healthz") == (503, b"draining")
+        t.join()
+        dt.join()
+        assert inflight["r"][0] == 200   # in-flight request finished
+        assert drained["ok"] is True
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+@pytest.mark.slow
+def test_sigterm_graceful_exit(tmp_path):
+    """cli/serve.py main(): SIGTERM drains and the process exits 0 with
+    the drain banner (the orchestrator-rollout path, end to end)."""
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    _, ckpt = _ckpt(tmp_path)
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from larvanet_tpu.cli import serve\n"
+        "serve.main(%r)\n"
+        % (["--model", "edsr", "--restore_path", ckpt, "--port", "0",
+            "--warmup_size", "8x8", "--drain_timeout", "10"] + list(TINY)))
+    proc = subprocess.Popen([sys.executable, "-u", "-c", code],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    try:
+        port, banner = None, ""
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            banner += line
+            m = re.search(r"on http://[^:]+:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+        assert port, banner
+        with urllib.request.urlopen(
+                "http://127.0.0.1:%d/healthz" % port, timeout=10) as r:
+            assert r.status == 200
+        proc.send_signal(signal.SIGTERM)
+        out = proc.stdout.read()
+        assert proc.wait(timeout=30) == 0, out
+        assert "draining" in out and "drained" in out, out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
+def test_http11_keepalive_reuses_connection():
+    """Two requests over ONE persistent connection: the server speaks
+    HTTP/1.1 with Content-Length, so the socket stays open."""
+    import http.client
+
+    service = serve.SRService(_SlowModel(hold_s=0.01), 4, "direct")
+    service.ready = True
+    httpd = serve.make_server(service, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    png = serve.chw_to_png(np.zeros((3, 4, 4), np.float32))
+    conn = http.client.HTTPConnection("127.0.0.1", httpd.server_address[1])
+    try:
+        for _ in range(2):  # same socket both times
+            conn.request("POST", "/upscale", body=png,
+                         headers={"Content-Type": "image/png"})
+            r = conn.getresponse()
+            body = r.read()
+            assert r.status == 200 and body
+            assert r.headers.get("Connection", "").lower() != "close"
+    finally:
+        conn.close()
+        httpd.shutdown()
+        httpd.server_close()
+
+
+# ---------------------------------------------------------------------------
 # artifact serving (--artifact): no model zoo, no restore
 # ---------------------------------------------------------------------------
 
