@@ -77,7 +77,7 @@ class SRService:
     def __init__(self, model, scale: int, mode: str, tiler=None,
                  chop_overlap: int = 20, max_queue: int = 32,
                  latency_window: int = 1024, dynamic_batch: int = 1,
-                 device_uint8: bool = True):
+                 device_uint8: bool = True, batch_multiple: int = 1):
         self.model = model
         self.scale = scale
         self.mode = mode  # "direct" | "tile" | "chop"
@@ -88,16 +88,21 @@ class SRService:
         self.tiler = tiler
         self.chop_overlap = chop_overlap
         self.max_queue = int(max_queue)
-        self.dynamic_batch = max(1, int(dynamic_batch))
-        # batch-size buckets bound the compile count: a coalesced batch is
-        # padded up to the next bucket, so at most len(buckets) graphs
-        # exist per LR geometry (powers of two up to --dynamic_batch)
+        # batch_multiple = the dp-eval mesh axis size: every forwarded
+        # batch must divide it (parallel/mesh.use_data_parallel_eval), so
+        # buckets are multiples of it and short batches PAD up to it —
+        # wall-clock free, the pad frames ride otherwise-idle devices
+        self._multiple = max(1, int(batch_multiple))
+        self.dynamic_batch = max(self._multiple, int(dynamic_batch))
+        # batch-size buckets bound the compile count: at most
+        # len(buckets) graphs exist per LR geometry
+        cap = -(-self.dynamic_batch // self._multiple) * self._multiple
         self._buckets = []
-        b = 1
-        while b < self.dynamic_batch:
+        b = self._multiple
+        while b < cap:
             self._buckets.append(b)
             b *= 2
-        self._buckets.append(self.dynamic_batch)
+        self._buckets.append(cap)
         self._pending = []                    # coalescing queue (under _stats)
         self._lock = threading.Lock()         # serializes the device
         self._stats = threading.Lock()        # guards counters + window
@@ -123,7 +128,8 @@ class SRService:
         return self.model.upscale(input_list=[img_chw], scale=self.scale)[0]
 
     def upscale_chw(self, img_chw: np.ndarray) -> np.ndarray:
-        if self.dynamic_batch > 1 and self.mode == "direct":
+        if self.mode == "direct" and (self.dynamic_batch > 1
+                                      or self._multiple > 1):
             return self._upscale_coalesced(img_chw)
         with self._stats:
             if self._waiting >= self.max_queue:
@@ -199,8 +205,12 @@ class SRService:
                                 if e["shape"] == entry["shape"]]
                         # largest bucket <= queue depth: never pad a batch
                         # (padded frames cost full compute + D2H; the
-                        # remainder is served by its own leader next)
-                        k = max(b for b in self._buckets if b <= len(cand))
+                        # remainder is served by its own leader next).
+                        # Exception: under dp-eval fewer than batch_multiple
+                        # requests take everything and pad up to the mesh
+                        # axis — those pad frames are wall-clock free.
+                        fit = [b for b in self._buckets if b <= len(cand)]
+                        k = fit[-1] if fit else len(cand)
                         batch = cand[:k]
                         if not any(e is entry for e in batch):
                             batch = cand[: k - 1] + [entry]
@@ -290,6 +300,7 @@ class SRService:
             "queue_depth": waiting,
             "max_queue": self.max_queue,
             "dynamic_batch": self.dynamic_batch,
+            "batch_multiple": self._multiple,
             "device_uint8": self.device_uint8,
             "num_forwards": fwd,
             "mean_batch_size": round(n / fwd, 3) if fwd else 0.0,
@@ -524,10 +535,20 @@ def build_service(args, remaining) -> SRService:
                          "forwards; it does not compose with --%s_forward "
                          "(the tiler already batches tiles within a request)"
                          % mode)
+    multiple = 1
+    if args.dp_devices > 1 and mode == "direct":
+        # dp-eval forwards must divide the mesh axis: coalesce every
+        # request batch and pad up to a multiple of it (pad frames ride
+        # otherwise-idle devices — multi-chip direct serving)
+        multiple = int(args.dp_devices)
+        if dyn < multiple:
+            dyn = multiple
+            print("serving: --dynamic_batch raised to %d (= --dp_devices) "
+                  "so request batches shard across the mesh" % multiple)
     return SRService(model, scale, mode, tiler=tiler,
                      chop_overlap=args.chop_overlap_size,
                      max_queue=getattr(args, "max_queue", 32),
-                     dynamic_batch=dyn,
+                     dynamic_batch=dyn, batch_multiple=multiple,
                      device_uint8=bool(int(
                          getattr(args, "device_uint8", 1) or 0)))
 

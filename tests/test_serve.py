@@ -456,6 +456,54 @@ def test_dynamic_batch_error_propagates_and_survives():
         httpd.server_close()
 
 
+def test_dp_direct_serving_shards_request_batches(tmp_path):
+    """--dp_devices N + direct mode: every coalesced request batch pads
+    to a multiple of the mesh axis and shards across it (virtual
+    8-device CPU mesh). Single and concurrent requests must match the
+    single-device service byte-for-byte — multi-chip direct serving."""
+    model, ckpt = _ckpt(tmp_path)
+    plain = serve.build_service(_args(ckpt), list(TINY))
+    svc = serve.build_service(
+        _args(ckpt, dp_devices=4, dynamic_batch=1), list(TINY))
+    assert svc.dynamic_batch == 4 and svc._multiple == 4
+    assert svc._buckets == [4]
+    svc.warmup(8, 8)
+    httpd, url = _spin_server(svc)
+    try:
+        rng = np.random.default_rng(11)
+        imgs = [rng.uniform(0, 255, (3, 8, 8)).astype(np.float32)
+                for _ in range(6)]
+        pngs = [serve.chw_to_png(im) for im in imgs]
+        # pixel comparison: the server encodes at --png_level 1, so raw
+        # PNG bytes differ from a default-level client encode
+        expect = [plain.upscale_chw(serve.png_to_chw(p)) for p in pngs]
+
+        # single request: pads 1 -> 4 across the mesh, exact
+        code, body = _post(url + "/upscale", pngs[0])
+        assert code == 200
+        np.testing.assert_array_equal(serve.png_to_chw(body), expect[0])
+
+        # concurrent burst: coalesced into mesh-divisible batches
+        results = {}
+
+        def client(i):
+            results[i] = _post(url + "/upscale", pngs[i])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (code, body) in results.items():
+            assert code == 200
+            np.testing.assert_array_equal(serve.png_to_chw(body), expect[i])
+        assert svc.info()["batch_multiple"] == 4
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_dynamic_batch_rejects_non_direct_modes(tmp_path):
     _, ckpt = _ckpt(tmp_path)
     with pytest.raises(SystemExit, match="dynamic_batch"):
