@@ -363,6 +363,34 @@ class ArtifactService(SRService):
         return out
 
 
+def prometheus_metrics(info: dict) -> bytes:
+    """Render /info as Prometheus text exposition (counters + summary
+    quantiles) so a standard scraper can watch the server without a
+    custom exporter."""
+    lines = [
+        "# TYPE lvt_requests_total counter",
+        "lvt_requests_total %d" % info.get("num_requests", 0),
+        "# TYPE lvt_rejected_total counter",
+        "lvt_rejected_total %d" % info.get("num_rejected", 0),
+        "# TYPE lvt_forwards_total counter",
+        "lvt_forwards_total %d" % info.get("num_forwards", 0),
+        "# TYPE lvt_queue_depth gauge",
+        "lvt_queue_depth %d" % info.get("queue_depth", 0),
+        "# TYPE lvt_ready gauge",
+        "lvt_ready %d" % (1 if info.get("ready") else 0),
+        "# TYPE lvt_draining gauge",
+        "lvt_draining %d" % (1 if info.get("draining") else 0),
+        "# TYPE lvt_mean_batch_size gauge",
+        "lvt_mean_batch_size %s" % info.get("mean_batch_size", 0.0),
+    ]
+    for name, key in (("lvt_device_seconds", "device_seconds"),
+                      ("lvt_queue_wait_seconds", "queue_wait_seconds")):
+        lines.append("# TYPE %s summary" % name)
+        for q, v in sorted(info.get(key, {}).items()):
+            lines.append('%s{quantile="0.%s"} %s' % (name, q[1:], v))
+    return ("\n".join(lines) + "\n").encode()
+
+
 def png_to_chw(data: bytes) -> np.ndarray:
     from PIL import Image
 
@@ -420,6 +448,9 @@ def make_server(service: SRService, host: str, port: int,
             elif self.path == "/info":
                 self._send(200, json.dumps(service.info()).encode(),
                            "application/json")
+            elif self.path == "/metrics":
+                self._send(200, prometheus_metrics(service.info()),
+                           "text/plain; version=0.0.4")
             else:
                 self._send(404, b"not found", "text/plain")
 

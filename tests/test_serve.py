@@ -106,6 +106,23 @@ def test_info_counts_requests(server):
     assert info["num_requests"] == before
 
 
+def test_metrics_prometheus_exposition(server):
+    service, _, url, _ = server
+    service.ready or service.warmup(8, 8)
+    code, body = _get(url + "/metrics")
+    assert code == 200
+    text = body.decode()
+    assert "# TYPE lvt_requests_total counter" in text
+    assert "lvt_ready 1" in text
+    assert 'lvt_device_seconds{quantile="0.50"}' in text
+    # every sample line must be "name[{labels}] value"
+    for line in text.strip().splitlines():
+        if line.startswith("#"):
+            continue
+        name, val = line.rsplit(" ", 1)
+        float(val)
+
+
 def test_malformed_input_is_400_and_survives(server):
     service, _, url, _ = server
     code, body = _post(url + "/upscale", b"this is not a png")
