@@ -190,3 +190,26 @@ def test_int8_edsr_smoke_close_to_exact(rng):
     b = np.asarray(exact(m.params, x)).astype(np.float64)
     psnr = 10 * np.log10(255.0 ** 2 / max(np.mean((a - b) ** 2), 1e-12))
     assert psnr > 45.0, psnr  # quantized-vs-exact within the usual envelope
+
+
+def test_upscale_uint8_matches_host_quantization(rng):
+    """base.upscale_uint8 — the serving D2H path (cli/serve.py,
+    cli/get_sr.py --device_uint8) — must byte-match host
+    clip(round(.), 0, 255).astype(uint8) on the SAME routed forward,
+    across fast-path routings (collapsed EDSR, packed LarvaNet)."""
+    import argparse
+
+    from larvanet_tpu.cli import common
+
+    for name, flags in (
+            ("edsr", ["--edsr_conv_features", "8", "--edsr_res_blocks", "1"]),
+            ("LarvaNet", ["--num_blocks", "1,1"])):
+        m = _model(name, flags)
+        ns = argparse.Namespace(model=name, packed_trunk=1, collapsed_tail=1)
+        common.maybe_collapse_tail(m, ns)
+        img = rng.uniform(0, 255, (3, 10, 14)).astype(np.float32)
+        u8 = m.upscale_uint8([img], scale=4)[0]
+        f32 = m.upscale([img], scale=4)[0]
+        assert u8.dtype == np.uint8, name
+        np.testing.assert_array_equal(
+            u8, np.clip(np.round(f32), 0, 255).astype(np.uint8), err_msg=name)
