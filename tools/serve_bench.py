@@ -72,6 +72,8 @@ CONFIGS = [
      "270p", 16, (1, 4, 8)),
     ("w64_batch8_270p", "LarvaNet_w64", ["--num_blocks", "9,9"],
      ["--dynamic_batch", "8"], "270p", 16, (1, 4, 8)),
+    ("w64_int8_270p", "LarvaNet_w64", ["--num_blocks", "9,9"],
+     ["--int8_trunk", "1"], "270p", 12, (1, 2, 4)),
     # shedding onset: a tiny queue bound + offered load past it
     ("edsr_shed_270p", "edsr", [], ["--max_queue", "2"], "270p", 16,
      (2, 4, 8)),
