@@ -338,9 +338,15 @@ class ArtifactService(SRService):
                                   tile_size=h, overlap=tile_overlap,
                                   max_batch=max(model.batch, 16))
         # ArtifactModel duck-types the SRModel serving surface, so the
-        # lock/counters/request plumbing is SRService's, not a copy
+        # lock/counters/request plumbing is SRService's, not a copy.
+        # A batch-N artifact pays its full baked batch per call (the
+        # graph shape is frozen), so direct mode coalesces up to N
+        # queued requests into each execution — the padding that a lone
+        # request would burn becomes other clients' frames.
+        dyn = model.batch if (not tile and model.batch > 1) else 1
         super().__init__(model, model.scale, "tile" if tile else "direct",
-                         tiler=tiler, max_queue=max_queue)
+                         tiler=tiler, max_queue=max_queue,
+                         dynamic_batch=dyn, batch_multiple=dyn)
 
     def warmup(self, height: int, width: int) -> None:
         # warm with the exported geometry regardless of --warmup_size: the
@@ -647,8 +653,10 @@ def main(argv=None):
     if args.artifact:
         if args.dynamic_batch > 1:
             raise SystemExit("--dynamic_batch does not apply to --artifact "
-                             "serving (the batch dimension was baked at "
-                             "export — re-export with a larger batch)")
+                             "serving: the batch dimension was baked at "
+                             "export, and a batch-N artifact already "
+                             "coalesces up to N queued requests per "
+                             "execution automatically")
         for flag in ("chop_forward", "int8_trunk", "spatial_shard",
                      "dp_devices", "ema"):
             if getattr(args, flag, 0):

@@ -699,6 +699,50 @@ def test_artifact_service_tiled_any_size(tmp_path):
     assert np.isfinite(out).all()
 
 
+def test_artifact_batchN_coalesces_requests(tmp_path):
+    """A batch-4 artifact pays 4 frames of compute per execution no
+    matter what; direct serving must share that across queued clients:
+    fewer forwards than requests, every client gets its own frame."""
+    _, path = _export_artifact(tmp_path, shape=(4, 16, 16, 3))
+    service = serve.ArtifactService(path, tile=False)
+    assert service.dynamic_batch == 4 and service._multiple == 4
+    service.warmup(16, 16)
+    httpd, url = _spin_server(service)
+    try:
+        rng = np.random.default_rng(2)
+        imgs = [rng.uniform(0, 255, (3, 16, 16)).astype(np.float32)
+                for _ in range(8)]
+        pngs = [serve.chw_to_png(im) for im in imgs]
+        # expected = the same artifact graph, one request at a time
+        # (each lone request pads 1 -> 4 through the baked batch)
+        expect = [np.clip(np.round(service.upscale_chw(
+            serve.png_to_chw(p))), 0, 255) for p in pngs]
+        fwd_sequential = service.info()["num_forwards"]
+        assert fwd_sequential == 8
+
+        results = {}
+
+        def client(i):
+            results[i] = _post(url + "/upscale", pngs[i])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (code, body) in results.items():
+            assert code == 200
+            np.testing.assert_array_equal(serve.png_to_chw(body), expect[i])
+        info = service.info()
+        assert info["num_requests"] == 16
+        # concurrent executions are shared across clients under load
+        assert info["num_forwards"] - fwd_sequential <= 8
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_artifact_tiled_rejects_subtile_frames(tmp_path):
     _, path = _export_artifact(tmp_path, shape=(1, 16, 16, 3))
     service = serve.ArtifactService(path, tile=True, tile_overlap=4)
