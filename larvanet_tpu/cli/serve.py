@@ -77,7 +77,8 @@ class SRService:
     def __init__(self, model, scale: int, mode: str, tiler=None,
                  chop_overlap: int = 20, max_queue: int = 32,
                  latency_window: int = 1024, dynamic_batch: int = 1,
-                 device_uint8: bool = True, batch_multiple: int = 1):
+                 device_uint8: bool = True, batch_multiple: int = 1,
+                 pipeline_depth: int = 2):
         self.model = model
         self.scale = scale
         self.mode = mode  # "direct" | "tile" | "chop"
@@ -104,8 +105,15 @@ class SRService:
             b *= 2
         self._buckets.append(cap)
         self._pending = []                    # coalescing queue (under _stats)
-        self._lock = threading.Lock()         # serializes the device
+        self._lock = threading.Lock()         # serializes device DISPATCH
         self._stats = threading.Lock()        # guards counters + window
+        # transfer/compute pipeline: the device->host pull of a finished
+        # frame runs OUTSIDE the dispatch lock, so the next request's
+        # compute overlaps it (JAX dispatch is async). The semaphore
+        # bounds dispatched-but-unpulled outputs — the HBM backpressure.
+        self._pipeline = max(1, int(pipeline_depth)) \
+            if mode == "direct" and hasattr(model, "upscale_device") else 1
+        self._pull_sem = threading.Semaphore(self._pipeline)
         self._waiting = 0
         self.num_requests = 0
         self.num_rejected = 0
@@ -129,7 +137,8 @@ class SRService:
 
     def upscale_chw(self, img_chw: np.ndarray) -> np.ndarray:
         if self.mode == "direct" and (self.dynamic_batch > 1
-                                      or self._multiple > 1):
+                                      or self._multiple > 1
+                                      or self._pipeline > 1):
             return self._upscale_coalesced(img_chw)
         with self._stats:
             if self._waiting >= self.max_queue:
@@ -169,18 +178,32 @@ class SRService:
     # Under no load a lone request runs immediately at batch 1 — coalescing
     # adds no linger latency; batches only form while the device is busy.
 
-    def _forward_batched(self, imgs):
-        """One batched forward, padded up to the next batch bucket so the
-        number of compiled graphs per LR geometry stays bounded."""
+    def _dispatch_batch(self, imgs):
+        """Pad to the next batch bucket (bounded compile count), dispatch
+        the forward, and return a zero-arg `pull()` yielding the list of
+        CHW outputs. With upscale_device the dispatch is asynchronous —
+        pull() does the device->host transfer, padded frames sliced off
+        ON DEVICE; legacy duck-typed models (stubs, artifacts) run their
+        sync forward here and pull() is trivial."""
         n = len(imgs)
-        bucket = next(b for b in self._buckets if b >= n)
+        bucket = next((b for b in self._buckets if b >= n), n)
         if bucket > n:
             imgs = list(imgs) + [imgs[0]] * (bucket - n)
+        if hasattr(self.model, "upscale_device"):
+            dev = self.model.upscale_device(
+                imgs, self.scale, uint8=self.device_uint8, keep=n)
+
+            def pull():
+                arr = np.asarray(dev).transpose(0, 3, 1, 2)
+                return [arr[i] for i in range(n)]
+
+            return pull
         if self.device_uint8:
-            outs = self.model.upscale_uint8(input_list=imgs, scale=self.scale)
+            outs = self.model.upscale_uint8(
+                input_list=imgs, scale=self.scale)[:n]
         else:
-            outs = self.model.upscale(input_list=imgs, scale=self.scale)
-        return outs[:n]
+            outs = self.model.upscale(input_list=imgs, scale=self.scale)[:n]
+        return lambda: outs
 
     def _upscale_coalesced(self, img_chw: np.ndarray) -> np.ndarray:
         entry = {"img": img_chw, "shape": tuple(img_chw.shape),
@@ -195,49 +218,85 @@ class SRService:
             self._waiting += 1
             self._pending.append(entry)
         try:
-            with self._lock:
-                if not entry["event"].is_set():
-                    # leader: take our entry + same-geometry pending ones
-                    # (identity-based list surgery: entries hold numpy
-                    # arrays, so == comparisons are ill-defined on them)
+            while not entry["event"].is_set():
+                with self._stats:
+                    mine = any(e is entry for e in self._pending)
+                if not mine:
+                    # a leader took our entry; its event fires when the
+                    # batch's pull completes (or fails)
+                    entry["event"].wait()
+                    break
+                # leader-elect: a pull slot bounds dispatched-but-unpulled
+                # outputs (HBM backpressure); timed so we re-check whether
+                # another leader served us meanwhile
+                if not self._pull_sem.acquire(timeout=0.1):
+                    continue
+                batch = None
+                pull = None
+                err = None
+                with self._lock:
+                    # identity-based list surgery throughout: entries hold
+                    # numpy arrays, so == comparisons are ill-defined
                     with self._stats:
-                        cand = [e for e in self._pending
-                                if e["shape"] == entry["shape"]]
-                        # largest bucket <= queue depth: never pad a batch
-                        # (padded frames cost full compute + D2H; the
-                        # remainder is served by its own leader next).
-                        # Exception: under dp-eval fewer than batch_multiple
-                        # requests take everything and pad up to the mesh
-                        # axis — those pad frames are wall-clock free.
-                        fit = [b for b in self._buckets if b <= len(cand)]
-                        k = fit[-1] if fit else len(cand)
-                        batch = cand[:k]
-                        if not any(e is entry for e in batch):
-                            batch = cand[: k - 1] + [entry]
-                        taken = set(map(id, batch))
-                        self._pending = [e for e in self._pending
-                                         if id(e) not in taken]
-                    t0 = time.perf_counter()
-                    try:
-                        outs = self._forward_batched(
-                            [e["img"] for e in batch])
-                    except Exception as exc:
-                        for e in batch:
-                            e["err"] = exc
-                            e["event"].set()
-                    else:
-                        dev_s = time.perf_counter() - t0
-                        with self._stats:
-                            for e in batch:
-                                self.total_device_s += dev_s
-                                self.num_requests += 1
-                                self._lat_device.append(dev_s)
-                                self._lat_wait.append(t0 - e["t_q"])
-                            self.num_forwards += 1
-                        for e, o in zip(batch, outs):
-                            e["out"] = o
-                            e["event"].set()
-            entry["event"].wait()
+                        if any(e is entry for e in self._pending):
+                            cand = [e for e in self._pending
+                                    if e["shape"] == entry["shape"]]
+                            # largest bucket <= queue depth: never pad
+                            # (padded frames cost full compute; remainder
+                            # gets its own leader next). Exception: under
+                            # a batch multiple (dp mesh / baked artifact
+                            # batch) short batches take everything and
+                            # pad up — those pad frames are free there.
+                            fit = [b for b in self._buckets
+                                   if b <= len(cand)]
+                            k = fit[-1] if fit else len(cand)
+                            batch = cand[:k]
+                            if not any(e is entry for e in batch):
+                                batch = cand[: k - 1] + [entry]
+                            taken = set(map(id, batch))
+                            self._pending = [e for e in self._pending
+                                             if id(e) not in taken]
+                    if batch is not None:
+                        t0 = time.perf_counter()
+                        try:
+                            pull = self._dispatch_batch(
+                                [e["img"] for e in batch])
+                        except Exception as exc:
+                            err = exc
+                if batch is None:
+                    # someone served us between the pending check and the
+                    # lock; loop back — the not-mine branch will wait
+                    self._pull_sem.release()
+                    continue
+                if err is not None:
+                    self._pull_sem.release()
+                    for e in batch:
+                        e["err"] = err
+                        e["event"].set()
+                    break
+                # the pull runs OUTSIDE the dispatch lock: the next
+                # request's compute overlaps this transfer
+                try:
+                    outs = pull()
+                except Exception as exc:
+                    for e in batch:
+                        e["err"] = exc
+                        e["event"].set()
+                    break
+                finally:
+                    self._pull_sem.release()
+                dev_s = time.perf_counter() - t0
+                with self._stats:
+                    for e in batch:
+                        self.total_device_s += dev_s
+                        self.num_requests += 1
+                        self._lat_device.append(dev_s)
+                        self._lat_wait.append(t0 - e["t_q"])
+                    self.num_forwards += 1
+                for e, o in zip(batch, outs):
+                    e["out"] = o
+                    e["event"].set()
+                break
             if entry["err"] is not None:
                 raise entry["err"]
             return entry["out"]
@@ -270,7 +329,7 @@ class SRService:
             # traffic burst never pays a compile mid-request (through the
             # same routed forward the live batches use, incl. uint8)
             for b in self._buckets[1:]:
-                self._forward_batched([dummy] * b)
+                self._dispatch_batch([dummy] * b)()
         with self._stats:
             self.num_requests = 0
             self.num_rejected = 0
@@ -301,6 +360,7 @@ class SRService:
             "max_queue": self.max_queue,
             "dynamic_batch": self.dynamic_batch,
             "batch_multiple": self._multiple,
+            "pipeline_depth": self._pipeline,
             "device_uint8": self.device_uint8,
             "num_forwards": fwd,
             "mean_batch_size": round(n / fwd, 3) if fwd else 0.0,
@@ -586,6 +646,8 @@ def build_service(args, remaining) -> SRService:
                      chop_overlap=args.chop_overlap_size,
                      max_queue=getattr(args, "max_queue", 32),
                      dynamic_batch=dyn, batch_multiple=multiple,
+                     pipeline_depth=int(getattr(args, "pipeline_depth", 2)
+                                        or 1),
                      device_uint8=bool(int(
                          getattr(args, "device_uint8", 1) or 0)))
 
@@ -618,6 +680,11 @@ def main(argv=None):
     parser.add_argument("--max_queue", type=int, default=32,
                         help="Max requests waiting on the device before new "
                              "ones get an immediate 503 (load shedding).")
+    parser.add_argument("--pipeline_depth", type=int, default=2,
+                        help="Overlap the SR frame's device->host pull with "
+                             "the next request's compute: up to N forwards "
+                             "may be dispatched-but-unpulled (direct mode; "
+                             "1 = the pull holds the device lock).")
     parser.add_argument("--device_uint8", type=int, default=1,
                         help="Quantize SR frames to uint8 ON DEVICE before "
                              "the device->host pull (direct mode): 4x less "

@@ -511,12 +511,30 @@ class SRModel:
         packed/collapsed/int8/plain-frame routings would otherwise pay
         their multi-minute AOT compile a second time per geometry).
         """
+        out = self.upscale_device(input_list, scale, uint8=True)
+        return nhwc_to_chw_numpy(out)
+
+    def upscale_device(self, input_list, scale, uint8=True, keep=None):
+        """Dispatch the routed SR forward and return the DEVICE batch
+        (NHWC jax array) WITHOUT blocking on the device->host transfer.
+
+        JAX dispatch is asynchronous: the caller can release its device
+        serialization lock right after this returns and pull the bytes
+        (np.asarray) while the next request's compute runs — the
+        serving pipeline that overlaps transfer with compute
+        (cli/serve.py --pipeline_depth). `keep` trims the batch ON
+        DEVICE before the pull so padded frames (dp / artifact batch
+        alignment) never cross the link."""
         if getattr(self, "_quant_u8_jit", None) is None:
             self._quant_u8_jit = jax.jit(lambda o: jnp.clip(
                 jnp.round(o), 0, 255).astype(jnp.uint8))
         x = chw_list_to_nhwc(input_list)
-        out = self._quant_u8_jit(self._fwd_jit(self.params, x))
-        return nhwc_to_chw_numpy(out)
+        out = self._fwd_jit(self.params, x)
+        if uint8:
+            out = self._quant_u8_jit(out)
+        if keep is not None and keep < out.shape[0]:
+            out = out[:keep]
+        return out
 
     def test(self, input_list):
         """Forward returning the device batch (reference models/LarvaNet.py:173-181)."""

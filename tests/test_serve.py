@@ -521,6 +521,18 @@ def test_dp_direct_serving_shards_request_batches(tmp_path):
         httpd.server_close()
 
 
+def test_pipeline_depth_reported_and_clamped(tmp_path):
+    """Real models pipeline the D2H pull (depth from --pipeline_depth);
+    duck-typed models without upscale_device clamp to 1 (their forward
+    is synchronous under the dispatch lock)."""
+    _, ckpt = _ckpt(tmp_path)
+    svc = serve.build_service(_args(ckpt, pipeline_depth=3), list(TINY))
+    assert svc.info()["pipeline_depth"] == 3
+    stub = serve.SRService(_RecordingModel(hold_s=0.0), 4, "direct",
+                           pipeline_depth=4)
+    assert stub.info()["pipeline_depth"] == 1
+
+
 def test_dynamic_batch_rejects_non_direct_modes(tmp_path):
     _, ckpt = _ckpt(tmp_path)
     with pytest.raises(SystemExit, match="dynamic_batch"):

@@ -291,7 +291,7 @@ def run_config(name, model, model_flags, server_flags, frame, n_requests,
                 if k in ("device_seconds", "queue_wait_seconds",
                          "mean_device_seconds", "num_requests",
                          "num_rejected", "mode", "max_queue",
-                         "dynamic_batch", "device_uint8",
+                         "dynamic_batch", "device_uint8", "pipeline_depth",
                          "num_forwards", "mean_batch_size")}
             out["levels"].append(lvl)
             # a dropped /info must not void the client percentiles already
