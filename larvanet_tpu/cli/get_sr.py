@@ -105,9 +105,17 @@ def main(argv=None):
             min_batch=max(1, args.dp_devices),
         )
 
+    # direct device_uint8 mode pushes the LR frame as uint8 (1 byte/px
+    # H2D, f32 cast on device — exact, base._input_to_device); tiling/
+    # chop arithmetic keeps the f32 loader contract
+    direct_u8 = (args.device_uint8 and not args.chop_forward
+                 and tiler is None and hasattr(model, "upscale_device"))
+
     duration_list = []
     for i, name in enumerate(image_names):
-        input_image = io.load_image_chw(os.path.join(args.input_path, name + ".png"))
+        p = os.path.join(args.input_path, name + ".png")
+        input_image = (io.load_image_u8(p).transpose(2, 0, 1) if direct_u8
+                       else io.load_image_chw(p))
         start_time = time.perf_counter()
         if args.chop_forward:
             output = upscale_with_chop_forward(model, input_image, scale, args.chop_overlap_size)

@@ -78,7 +78,7 @@ class SRService:
                  chop_overlap: int = 20, max_queue: int = 32,
                  latency_window: int = 1024, dynamic_batch: int = 1,
                  device_uint8: bool = True, batch_multiple: int = 1,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, uint8_input: bool = True):
         self.model = model
         self.scale = scale
         self.mode = mode  # "direct" | "tile" | "chop"
@@ -86,6 +86,11 @@ class SRService:
         # transfer; byte-exact vs host quantization — base.upscale_uint8)
         self.device_uint8 = bool(device_uint8) and mode == "direct" \
             and hasattr(model, "upscale_uint8")
+        # push the LR frame as uint8 too (4x less H2D; PNG decodes ARE
+        # uint8, the device-side f32 cast is exact — base._input_to_device)
+        self.input_dtype = np.uint8 if (
+            bool(uint8_input) and mode == "direct"
+            and hasattr(model, "upscale_device")) else np.float32
         self.tiler = tiler
         self.chop_overlap = chop_overlap
         self.max_queue = int(max_queue)
@@ -322,7 +327,7 @@ class SRService:
 
     def warmup(self, height: int, width: int) -> None:
         """Pay the XLA compile before accepting traffic."""
-        dummy = np.zeros((3, height, width), np.float32)
+        dummy = np.zeros((3, height, width), self.input_dtype)
         self.upscale_chw(dummy)
         if self.dynamic_batch > 1 and self.mode == "direct":
             # precompile every batch bucket at the warmup geometry so a
@@ -362,6 +367,7 @@ class SRService:
             "batch_multiple": self._multiple,
             "pipeline_depth": self._pipeline,
             "device_uint8": self.device_uint8,
+            "uint8_input": self.input_dtype == np.uint8,
             "num_forwards": fwd,
             "mean_batch_size": round(n / fwd, 3) if fwd else 0.0,
             "mean_device_seconds": round(mean_s, 6),
@@ -457,11 +463,14 @@ def prometheus_metrics(info: dict) -> bytes:
     return ("\n".join(lines) + "\n").encode()
 
 
-def png_to_chw(data: bytes) -> np.ndarray:
+def png_to_chw(data: bytes, dtype=np.float32) -> np.ndarray:
+    """Decode a request PNG to CHW. dtype=np.uint8 skips the host f32
+    conversion so the frame crosses the host->device link at 1 byte/px
+    (direct-mode services with upscale_device cast on device — exact)."""
     from PIL import Image
 
     with Image.open(_stdio.BytesIO(data)) as im:
-        arr = np.asarray(im.convert("RGB"), np.float32)
+        arr = np.asarray(im.convert("RGB"), dtype)
     return arr.transpose(2, 0, 1)
 
 
@@ -547,7 +556,8 @@ def make_server(service: SRService, host: str, port: int,
                                  % max_body_mb).encode(), "text/plain")
                 return
             try:
-                img = png_to_chw(self.rfile.read(length))
+                img = png_to_chw(self.rfile.read(length),
+                                 service.input_dtype)
                 out = service.upscale_chw(img)
                 self._send(200, chw_to_png(out, png_level), "image/png")
             except ServerBusy:
@@ -649,7 +659,9 @@ def build_service(args, remaining) -> SRService:
                      pipeline_depth=int(getattr(args, "pipeline_depth", 2)
                                         or 1),
                      device_uint8=bool(int(
-                         getattr(args, "device_uint8", 1) or 0)))
+                         getattr(args, "device_uint8", 1) or 0)),
+                     uint8_input=bool(int(
+                         getattr(args, "uint8_input", 1) or 0)))
 
 
 def main(argv=None):
@@ -685,6 +697,11 @@ def main(argv=None):
                              "the next request's compute: up to N forwards "
                              "may be dispatched-but-unpulled (direct mode; "
                              "1 = the pull holds the device lock).")
+    parser.add_argument("--uint8_input", type=int, default=1,
+                        help="Push the LR request frame to the device as "
+                             "uint8 and cast to f32 there (direct mode): 4x "
+                             "less host->device traffic, exact (PNG decodes "
+                             "are uint8; every uint8 is f32-representable).")
     parser.add_argument("--device_uint8", type=int, default=1,
                         help="Quantize SR frames to uint8 ON DEVICE before "
                              "the device->host pull (direct mode): 4x less "

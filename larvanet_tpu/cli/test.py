@@ -66,6 +66,10 @@ def main(argv=None):
                         help="Comma-separated dataset subdirs; DIV2K_val uses RGB PSNR.")
     parser.add_argument("--chop_forward", action="store_true")
     parser.add_argument("--chop_overlap_size", type=int, default=20)
+    parser.add_argument("--device_uint8", type=int, default=1,
+                        help="Quantize SR frames to uint8 ON DEVICE before the "
+                             "device->host pull (byte-exact for the paper "
+                             "protocol, which quantizes before shave/Y-PSNR).")
     parser.add_argument("--report_json", type=str,
                         help="Write per-image and mean PSNR/SSIM to this JSON file "
                              "(used by tools/protocol_parity.py).")
@@ -126,6 +130,12 @@ def main(argv=None):
                 # [0,1]-range contract (reference test.py:132-146, tensor2uint :21-25)
                 out = np.asarray(model.test([input_image / 255.0]))[0]
                 output_image = np.uint8((np.clip(out, 0.0, 1.0) * 255.0).round())
+            elif args.device_uint8 and hasattr(model, "upscale_device"):
+                # paper protocol quantizes to uint8 before shave/Y-PSNR
+                # (reference test.py:152-157): on-device quantization
+                # before the D2H pull is byte-exact, 4x less transfer
+                output_image = np.asarray(model.upscale_device(
+                    [input_image], scale, uint8=True))[0]
             else:
                 out = np.asarray(model.test(input_list=[input_image]))[0]
                 output_image = metrics.image_to_uint8(out)

@@ -46,6 +46,10 @@ def main(argv=None):
                         help="LR tile overlap for --tile_forward; half of it should exceed the model's receptive radius for bit-exact results.")
     parser.add_argument("--self_ensemble", action="store_true",
                         help="x8 dihedral test-time augmentation, all orientations batched in one jit (new capability).")
+    parser.add_argument("--device_uint8", type=int, default=1,
+                        help="Quantize SR frames to uint8 ON DEVICE before the "
+                             "device->host pull in the direct path (the protocol "
+                             "quantizes first anyway — byte-exact, 4x less transfer).")
     parser.add_argument("--dp_devices", type=int, default=0,
                         help="Shard eval tile batches across N devices (data-parallel "
                              "serving; use with --tile_forward; 0 = off).")
@@ -201,6 +205,13 @@ def main(argv=None):
             elif args.self_ensemble:
                 x = np.asarray(input_image, np.float32).transpose(1, 2, 0)[None]
                 output_image = np.asarray(fwd(x))[0].transpose(2, 0, 1)
+            elif args.device_uint8 and hasattr(model, "upscale_uint8"):
+                # the protocol quantizes to uint8 FIRST (reference
+                # validate.py:17-18), so quantizing on device before the
+                # D2H pull is byte-exact and moves 4x less data — the
+                # transfer is the dominant cost of full-frame eval
+                output_image = model.upscale_uint8(
+                    input_list=[input_image], scale=scale)[0]
             else:
                 output_image = model.upscale(input_list=[input_image], scale=scale)[0]
             duration = time.perf_counter() - start_time

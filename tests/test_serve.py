@@ -521,6 +521,37 @@ def test_dp_direct_serving_shards_request_batches(tmp_path):
         httpd.server_close()
 
 
+def test_uint8_input_push_byte_equal(tmp_path):
+    """The uint8 LR push (default): frames decoded as uint8 cross H2D at
+    1 byte/px and cast to f32 ON DEVICE — responses must byte-match the
+    f32-decode service on identical pixels; /info reports the mode; non-
+    direct modes and models without upscale_device stay f32."""
+    _, ckpt = _ckpt(tmp_path)
+    svc_u8 = serve.build_service(_args(ckpt), list(TINY))
+    svc_f32 = serve.build_service(_args(ckpt, uint8_input=0), list(TINY))
+    assert svc_u8.input_dtype == np.uint8
+    assert svc_u8.info()["uint8_input"] is True
+    assert svc_f32.input_dtype == np.float32
+    rng = np.random.default_rng(3)
+    png = serve.chw_to_png(
+        rng.uniform(0, 255, (3, 10, 12)).astype(np.float32))
+    img_u8 = serve.png_to_chw(png, np.uint8)
+    img_f32 = serve.png_to_chw(png)
+    assert img_u8.dtype == np.uint8 and img_f32.dtype == np.float32
+    out_u8 = svc_u8.upscale_chw(img_u8)
+    out_f32 = svc_f32.upscale_chw(img_f32)
+    np.testing.assert_array_equal(
+        out_u8, np.clip(np.round(out_f32), 0, 255).astype(np.uint8)
+        if out_f32.dtype != np.uint8 else out_f32)
+    # chop mode keeps the f32 decode (tiling arithmetic contract)
+    svc_chop = serve.build_service(
+        _args(ckpt, chop_forward=True), list(TINY))
+    assert svc_chop.input_dtype == np.float32
+    # duck-typed models without upscale_device stay f32 too
+    stub = serve.SRService(_RecordingModel(hold_s=0.0), 4, "direct")
+    assert stub.input_dtype == np.float32
+
+
 def test_pipeline_depth_reported_and_clamped(tmp_path):
     """Real models pipeline the D2H pull (depth from --pipeline_depth);
     duck-typed models without upscale_device clamp to 1 (their forward

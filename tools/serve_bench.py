@@ -67,6 +67,10 @@ CONFIGS = [
     #    into one batched forward; wins show at offered concurrency > 1
     ("edsr_f32pull_270p", "edsr", [], ["--device_uint8", "0"],
      "270p", 12, (1, 2, 4)),
+    #  - f32push: --uint8_input 0 isolates the uint8 LR H2D push (the
+    #    direct arms above default to pushing the request frame as uint8)
+    ("edsr_f32push_270p", "edsr", [], ["--uint8_input", "0"],
+     "270p", 12, (1, 2, 4)),
     ("edsr_direct_1080p", "edsr", [], [], "1080p", 6, (1, 2)),
     ("edsr_batch8_270p", "edsr", [], ["--dynamic_batch", "8"],
      "270p", 16, (1, 4, 8)),
@@ -292,6 +296,7 @@ def run_config(name, model, model_flags, server_flags, frame, n_requests,
                          "mean_device_seconds", "num_requests",
                          "num_rejected", "mode", "max_queue",
                          "dynamic_batch", "device_uint8", "pipeline_depth",
+                         "uint8_input",
                          "num_forwards", "mean_batch_size")}
             out["levels"].append(lvl)
             # a dropped /info must not void the client percentiles already
