@@ -15,6 +15,7 @@ import numpy as np
 
 from larvanet_tpu.cli import common
 from larvanet_tpu.data import io
+from larvanet_tpu.eval.pipeline import pipelined_upscale
 from larvanet_tpu.eval.tiling import TiledUpscaler, upscale_with_chop_forward
 
 
@@ -62,6 +63,11 @@ def main(argv=None):
                              "device->host pull (direct mode): 4x less transfer, "
                              "byte-exact vs host quantization (the PNG writer "
                              "quantizes identically). 0 pulls f32 frames.")
+    parser.add_argument("--pipeline_depth", type=int, default=2,
+                        help="Dispatch-ahead in the direct loop: overlap each "
+                             "frame's device->host pull (and the next frame's "
+                             "PNG decode) with device compute; N bounds "
+                             "dispatched-but-unpulled frames (1 = serial).")
     common.add_serving_dtype_flag(parser)
     common.add_plain_frame_flag(parser)
     args, remaining = parser.parse_known_args(argv)
@@ -112,6 +118,22 @@ def main(argv=None):
                  and tiler is None and hasattr(model, "upscale_device"))
 
     duration_list = []
+    if direct_u8 and args.pipeline_depth > 1:
+        # dispatch-ahead: frame i's D2H pull (and i+1's PNG decode)
+        # overlap frame i+1's device compute (eval/pipeline.py)
+        def _frames():
+            for name in image_names:
+                p = os.path.join(args.input_path, name + ".png")
+                yield name, io.load_image_u8(p).transpose(2, 0, 1)
+
+        total = len(image_names)
+        for i, (name, output, duration) in enumerate(pipelined_upscale(
+                model, _frames(), scale, uint8=True,
+                depth=args.pipeline_depth)):
+            duration_list.append(duration)
+            io.save_image_chw(output, os.path.join(args.output_path, name + ".png"))
+            print("%d/%d, %s, duration=%.4f" % (i + 1, total, name, duration))
+        image_names = []  # handled
     for i, name in enumerate(image_names):
         p = os.path.join(args.input_path, name + ".png")
         input_image = (io.load_image_u8(p).transpose(2, 0, 1) if direct_u8
