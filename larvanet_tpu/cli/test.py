@@ -23,6 +23,7 @@ import numpy as np
 from larvanet_tpu.cli import common
 from larvanet_tpu.data import io
 from larvanet_tpu.eval import metrics
+from larvanet_tpu.eval.pipeline import pipelined_upscale
 
 
 def _calib_from_dir(lr_dir: str, num_images: int) -> np.ndarray:
@@ -70,6 +71,11 @@ def main(argv=None):
                         help="Quantize SR frames to uint8 ON DEVICE before the "
                              "device->host pull (byte-exact for the paper "
                              "protocol, which quantizes before shave/Y-PSNR).")
+    parser.add_argument("--pipeline_depth", type=int, default=2,
+                        help="Dispatch-ahead in the device-uint8 loop: overlap "
+                             "each frame's device->host pull, the next frame's "
+                             "PNG decode, and the host-side Y-PSNR/SSIM scoring "
+                             "with device compute (eval/pipeline.py; 1 = serial).")
     parser.add_argument("--report_json", type=str,
                         help="Write per-image and mean PSNR/SSIM to this JSON file "
                              "(used by tools/protocol_parity.py).")
@@ -114,31 +120,51 @@ def main(argv=None):
         print("%s: %d images are prepared" % (dataset, len(image_names)))
         log.write("%s: %d images are prepared\n" % (dataset, len(image_names)))
 
+        def _input_name(image_name):
+            if dataset == "DIV2K_val":
+                return os.path.splitext(image_name)[0] + "x%d" % scale + ".png"
+            return image_name
+
+        def _outputs():
+            """Yield (image_name, uint8 HWC SR frame) in dataset order."""
+            direct_u8 = (args.model != "msrr_test" and args.device_uint8
+                         and hasattr(model, "upscale_device"))
+            if direct_u8 and args.pipeline_depth > 1:
+                # dispatch-ahead: frame i's D2H pull + frame i+1's PNG
+                # decode + host scoring overlap device compute
+                # (eval/pipeline.py); byte-exact vs the serial branch.
+                def _items():
+                    for image_name in image_names:
+                        yield image_name, io.load_image_chw(
+                            os.path.join(input_path, _input_name(image_name)))
+                for image_name, output_image, _dt in pipelined_upscale(
+                        model, _items(), scale, uint8=True,
+                        depth=args.pipeline_depth, chw=False):
+                    yield image_name, output_image
+                return
+            for image_name in image_names:
+                input_image = io.load_image_chw(
+                    os.path.join(input_path, _input_name(image_name)))
+                # model.test returns an NHWC device batch; [0] -> HWC host image.
+                if args.model == "msrr_test":
+                    # [0,1]-range contract (reference test.py:132-146, tensor2uint :21-25)
+                    out = np.asarray(model.test([input_image / 255.0]))[0]
+                    output_image = np.uint8((np.clip(out, 0.0, 1.0) * 255.0).round())
+                elif direct_u8:
+                    # paper protocol quantizes to uint8 before shave/Y-PSNR
+                    # (reference test.py:152-157): on-device quantization
+                    # before the D2H pull is byte-exact, 4x less transfer
+                    output_image = np.asarray(model.upscale_device(
+                        [input_image], scale, uint8=True))[0]
+                else:
+                    out = np.asarray(model.test(input_list=[input_image]))[0]
+                    output_image = metrics.image_to_uint8(out)
+                yield image_name, output_image
+
         start_time = time.perf_counter()
         psnr_list, ssim_list = [], []
-        for image_index, image_name in enumerate(image_names):
-            stem = os.path.splitext(image_name)[0]
-            if dataset == "DIV2K_val":
-                input_name = stem + "x%d" % scale + ".png"
-            else:
-                input_name = image_name
-            input_image = io.load_image_chw(os.path.join(input_path, input_name))
+        for image_index, (image_name, output_image) in enumerate(_outputs()):
             truth_image = io.load_image_u8(os.path.join(truth_path, image_name))  # HWC
-
-            # model.test returns an NHWC device batch; [0] -> HWC host image.
-            if args.model == "msrr_test":
-                # [0,1]-range contract (reference test.py:132-146, tensor2uint :21-25)
-                out = np.asarray(model.test([input_image / 255.0]))[0]
-                output_image = np.uint8((np.clip(out, 0.0, 1.0) * 255.0).round())
-            elif args.device_uint8 and hasattr(model, "upscale_device"):
-                # paper protocol quantizes to uint8 before shave/Y-PSNR
-                # (reference test.py:152-157): on-device quantization
-                # before the D2H pull is byte-exact, 4x less transfer
-                output_image = np.asarray(model.upscale_device(
-                    [input_image], scale, uint8=True))[0]
-            else:
-                out = np.asarray(model.test(input_list=[input_image]))[0]
-                output_image = metrics.image_to_uint8(out)
 
             truth_fit = metrics.fit_truth_to_output(output_image, truth_image)
             truth_u8 = metrics.image_to_uint8(truth_fit)

@@ -19,15 +19,17 @@ import time
 import numpy as np
 
 
-def pipelined_upscale(model, items, scale, *, uint8=True, depth=2):
+def pipelined_upscale(model, items, scale, *, uint8=True, depth=2, chw=True):
     """Run `model`'s routed forward over `items` with dispatch-ahead.
 
     items: iterable of (payload, input_image_chw). The payload rides
     along untouched (truth image, filename, ...). Yields
-    (payload, output_chw, seconds) in input order, where `seconds` is
-    the wall-clock between consecutive completions — under overlap the
-    honest per-frame cost (their sum is the loop's wall time, matching
-    the serial loop's duration semantics).
+    (payload, output, seconds) in input order — output is CHW when
+    `chw` (the get_sr/PNG-writer contract) else HWC (the metrics
+    contract) — where `seconds` is the wall-clock between consecutive
+    completions; under overlap the honest per-frame cost (their sum is
+    the loop's wall time, matching the serial loop's duration
+    semantics).
 
     depth <= 1 degenerates to the serial loop (dispatch, pull, yield).
     """
@@ -41,9 +43,11 @@ def pipelined_upscale(model, items, scale, *, uint8=True, depth=2):
         out = np.asarray(dev)  # blocks on compute + D2H of THIS frame
         if out.ndim == 4:
             out = out[0]
+        if chw:
+            out = out.transpose(2, 0, 1)
         now = time.perf_counter()
         dt, t_last = now - t_last, now
-        return payload, out.transpose(2, 0, 1), dt
+        return payload, out, dt
 
     for payload, img in items:
         pending.append(

@@ -1,0 +1,114 @@
+"""Dispatch-ahead eval pipeline (eval/pipeline.py): byte-exactness vs
+the serial loop across get_sr and the paper-protocol test CLI.
+
+The pipeline only reorders WHEN outputs are pulled (dispatch-ahead),
+never what is computed, so every output must be byte-identical to the
+serial loop's and arrive in input order."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from larvanet_tpu.data import io
+
+TINY_EDSR = ["--edsr_conv_features", "8", "--edsr_res_blocks", "1"]
+
+
+@pytest.fixture
+def tiny_model(tmp_path):
+    from larvanet_tpu.core.registry import get_model
+
+    m = get_model("edsr")
+    m.parse_args(list(TINY_EDSR))
+    m.prepare(is_training=True, scales=[4])
+    m.global_step = 1
+    ckpt = m.save(os.path.join(str(tmp_path), "pl_ckpt"))
+    return m, ckpt
+
+
+def _frames(rng, n, shape=(10, 12, 3)):
+    return [rng.integers(0, 256, shape, dtype=np.uint8).astype(np.float32)
+            .transpose(2, 0, 1) for _ in range(n)]
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 99])
+def test_pipeline_matches_serial_and_preserves_order(tiny_model, rng, depth):
+    from larvanet_tpu.eval.pipeline import pipelined_upscale
+
+    model, _ = tiny_model
+    frames = _frames(rng, 5)
+    serial = [np.asarray(model.upscale_device([f], 4, uint8=True))[0]
+              for f in frames]
+
+    items = [(("tag", i), f) for i, f in enumerate(frames)]
+    got = list(pipelined_upscale(model, iter(items), 4, uint8=True,
+                                 depth=depth, chw=False))
+    assert [p for p, _, _ in got] == [("tag", i) for i in range(5)]
+    for (_, out, dt), ref in zip(got, serial):
+        assert out.dtype == np.uint8 and out.shape == ref.shape
+        np.testing.assert_array_equal(out, ref)
+        assert dt >= 0.0
+
+    # chw=True transposes only
+    got_chw = list(pipelined_upscale(model, iter(items), 4, uint8=True,
+                                     depth=depth, chw=True))
+    for (_, out, _), ref in zip(got_chw, serial):
+        np.testing.assert_array_equal(out, ref.transpose(2, 0, 1))
+
+
+def test_get_sr_pipeline_depth_byte_exact(tiny_model, tmp_path, rng):
+    """get_sr --pipeline_depth 3 writes byte-identical PNGs to the
+    serial loop (--pipeline_depth 1)."""
+    from larvanet_tpu.cli import get_sr
+
+    _, ckpt = tiny_model
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(3):
+        io.save_image_hwc(rng.integers(0, 256, (11, 9, 3), dtype=np.uint8),
+                          str(in_dir / ("f%02d.png" % i)))
+
+    outs = {}
+    for depth in ("1", "3"):
+        out_dir = str(tmp_path / ("sr_d" + depth))
+        get_sr.main([
+            "--model", "edsr", "--input_path", str(in_dir),
+            "--output_path", out_dir, "--restore_path", ckpt,
+            "--pipeline_depth", depth, *TINY_EDSR,
+        ])
+        outs[depth] = {n: open(os.path.join(out_dir, n), "rb").read()
+                       for n in sorted(os.listdir(out_dir))}
+    assert sorted(outs["1"]) == sorted(outs["3"]) and len(outs["1"]) == 3
+    for name in outs["1"]:
+        assert outs["1"][name] == outs["3"][name], name
+
+
+def test_test_cli_pipeline_depth_identical_report(tiny_model, tmp_path, rng):
+    """cli/test.py --pipeline_depth 2 produces the identical paper-
+    protocol report (PSNR/SSIM per image) as the serial loop."""
+    from larvanet_tpu.cli import test as test_cli
+
+    _, ckpt = tiny_model
+    lr_root, hr_root = tmp_path / "LR", tmp_path / "HR"
+    (lr_root / "Set5").mkdir(parents=True)
+    (hr_root / "Set5").mkdir(parents=True)
+    for i in range(3):
+        hr = rng.integers(0, 256, (40, 44, 3), dtype=np.uint8)
+        io.save_image_hwc(hr, str(hr_root / "Set5" / ("img%02d.png" % i)))
+        io.save_image_hwc(hr[::4, ::4], str(lr_root / "Set5" / ("img%02d.png" % i)))
+
+    reports = {}
+    for depth in ("1", "2"):
+        rpt = str(tmp_path / ("report_d%s.json" % depth))
+        test_cli.main([
+            "--model", "edsr", "--restore_path", ckpt,
+            "--input_root_path", str(lr_root), "--truth_root_path", str(hr_root),
+            "--output_root_path", str(tmp_path / ("out_d" + depth)),
+            "--datasets", "Set5", "--pipeline_depth", depth,
+            "--report_json", rpt, *TINY_EDSR,
+        ])
+        reports[depth] = json.load(open(rpt))
+    assert reports["1"] == reports["2"]
+    assert len(reports["1"]["Set5"]["per_image"]) == 3
