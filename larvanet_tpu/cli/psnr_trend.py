@@ -15,6 +15,7 @@ import numpy as np
 
 from larvanet_tpu.cli import common
 from larvanet_tpu.eval import metrics
+from larvanet_tpu.eval.pipeline import pipelined_upscale
 
 
 def _step_of(path: str) -> int:
@@ -30,6 +31,11 @@ def main(argv=None):
     parser.add_argument("--ema", type=int, default=0,
                         help="Sweep the EMA weights of --ema_decay "
                              "checkpoints instead of the live params.")
+    parser.add_argument("--pipeline_depth", type=int, default=2,
+                        help="Dispatch-ahead in the sweep loop (eval/pipeline.py): "
+                             "overlap D2H pulls and host PSNR with device compute; "
+                             "byte-exact (the trend quantizes to uint8 first). "
+                             "1 = serial f32-pull loop.")
     args, remaining = parser.parse_known_args(argv)
 
     scale_list = common.scales_of(args)
@@ -47,12 +53,28 @@ def main(argv=None):
         model.restore(ckpt_path=ckpt)
         common.maybe_use_ema(model, args)
         psnr_list = []
-        for idx in range(dataloader.get_num_images()):
-            inp, tru, _ = dataloader.get_image_pair(image_index=idx, scale=scale)
-            out = model.upscale(input_list=[inp], scale=scale)[0]
-            o8 = metrics.image_to_uint8(out)
-            t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
-            psnr_list.append(metrics.psnr_rgb(o8, t8))
+        if args.pipeline_depth > 1 and hasattr(model, "upscale_device"):
+            # device-uint8 + dispatch-ahead (eval/pipeline.py): the trend
+            # quantizes to uint8 before PSNR, so quantizing on device and
+            # overlapping pulls with compute is byte-exact and 4x less D2H.
+            def _items():
+                for idx in range(dataloader.get_num_images()):
+                    inp, tru, _ = dataloader.get_image_pair(
+                        image_index=idx, scale=scale)
+                    yield tru, inp
+
+            for tru, o8, _dt in pipelined_upscale(
+                    model, _items(), scale, uint8=True,
+                    depth=args.pipeline_depth, chw=True):
+                t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
+                psnr_list.append(metrics.psnr_rgb(o8, t8))
+        else:
+            for idx in range(dataloader.get_num_images()):
+                inp, tru, _ = dataloader.get_image_pair(image_index=idx, scale=scale)
+                out = model.upscale(input_list=[inp], scale=scale)[0]
+                o8 = metrics.image_to_uint8(out)
+                t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
+                psnr_list.append(metrics.psnr_rgb(o8, t8))
         mean_psnr = float(np.mean(psnr_list))
         trend.append((os.path.basename(ckpt), mean_psnr))
         print("%s: psnr=%.4f" % (os.path.basename(ckpt), mean_psnr))

@@ -20,6 +20,7 @@ import numpy as np
 from larvanet_tpu.cli import common
 from larvanet_tpu.data import io
 from larvanet_tpu.eval import metrics
+from larvanet_tpu.eval.pipeline import pipelined_upscale
 from larvanet_tpu.eval.tiling import TiledUpscaler, upscale_with_chop_forward
 
 
@@ -50,6 +51,11 @@ def main(argv=None):
                         help="Quantize SR frames to uint8 ON DEVICE before the "
                              "device->host pull in the direct path (the protocol "
                              "quantizes first anyway — byte-exact, 4x less transfer).")
+    parser.add_argument("--pipeline_depth", type=int, default=2,
+                        help="Dispatch-ahead in the direct device-uint8 loop: "
+                             "overlap each frame's device->host pull, the next "
+                             "frame's decode, the PNG write, and the host PSNR "
+                             "with device compute (eval/pipeline.py; 1 = serial).")
     parser.add_argument("--dp_devices", type=int, default=0,
                         help="Shard eval tile batches across N devices (data-parallel "
                              "serving; use with --tile_forward; 0 = off).")
@@ -190,7 +196,42 @@ def main(argv=None):
                 min_batch=max(1, args.dp_devices),
             )
         duration_list, psnr_list, name_list, int8_deltas = [], [], [], []
-        for image_index in range(num_images):
+
+        def _score(image_index, image_name, truth_image, output_image, duration):
+            duration_list.append(duration)
+            truth_u8 = metrics.image_to_uint8(truth_image)
+            output_u8 = metrics.image_to_uint8(output_image)
+            if args.save_path is not None:
+                out_dir = os.path.join(args.save_path, "x%d" % scale)
+                io.save_image_chw(output_u8, os.path.join(out_dir, image_name + ".png"))
+            truth_u8 = metrics.fit_truth_to_output(output_u8, truth_u8)
+            psnr = metrics.psnr_rgb(output_u8, truth_u8)
+            psnr_list.append(psnr)
+            name_list.append(image_name)
+            print("x%d, %d/%d, psnr=%.2f, duration=%.4f"
+                  % (scale, image_index + 1, num_images, psnr, duration))
+
+        serial_indices = range(num_images)
+        direct_u8 = (args.device_uint8 and hasattr(model, "upscale_device")
+                     and not args.chop_forward and tiler is None
+                     and not args.self_ensemble and not int8_report)
+        if direct_u8 and args.pipeline_depth > 1:
+            # dispatch-ahead (eval/pipeline.py): frame i's D2H pull, frame
+            # i+1's decode, the PNG write, and the host PSNR all overlap
+            # device compute; byte-exact vs the serial upscale_uint8 branch.
+            def _items():
+                for image_index in range(num_images):
+                    input_image, truth_image, image_name = \
+                        dataloader.get_image_pair(image_index=image_index, scale=scale)
+                    yield (image_index, image_name, truth_image), input_image
+
+            for (image_index, image_name, truth_image), out_u8, dt in \
+                    pipelined_upscale(model, _items(), scale, uint8=True,
+                                      depth=args.pipeline_depth, chw=True):
+                _score(image_index, image_name, truth_image, out_u8, dt)
+            serial_indices = ()  # handled
+
+        for image_index in serial_indices:
             input_image, truth_image, image_name = dataloader.get_image_pair(
                 image_index=image_index, scale=scale
             )

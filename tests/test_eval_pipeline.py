@@ -112,3 +112,59 @@ def test_test_cli_pipeline_depth_identical_report(tiny_model, tmp_path, rng):
         reports[depth] = json.load(open(rpt))
     assert reports["1"] == reports["2"]
     assert len(reports["1"]["Set5"]["per_image"]) == 3
+
+
+def test_validate_cli_pipeline_depth_identical_report(tiny_model, tmp_path, rng):
+    """cli/validate.py --pipeline_depth 2 produces the identical report
+    (and byte-identical saved PNGs) as the serial device-uint8 loop."""
+    from larvanet_tpu.cli import validate
+
+    _, ckpt = tiny_model
+    lr, hr = tmp_path / "LR", tmp_path / "HR"
+    (lr / "X4").mkdir(parents=True)
+    hr.mkdir()
+    for i in range(3):
+        img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        io.save_image_hwc(img, str(hr / ("%04d.png" % i)))
+        io.save_image_hwc(img[::4, ::4], str(lr / "X4" / ("%04dx4.png" % i)))
+
+    reports, pngs = {}, {}
+    for depth in ("1", "2"):
+        rpt = str(tmp_path / ("vrep_d%s.json" % depth))
+        sav = str(tmp_path / ("vout_d%s" % depth))
+        validate.main([
+            "--model", "edsr", "--restore_path", ckpt,
+            "--data_input_path", str(lr), "--data_truth_path", str(hr),
+            "--save_path", sav, "--pipeline_depth", depth,
+            "--report_json", rpt, *TINY_EDSR,
+        ])
+        reports[depth] = json.load(open(rpt))
+        d = os.path.join(sav, "x4")
+        pngs[depth] = {n: open(os.path.join(d, n), "rb").read()
+                       for n in sorted(os.listdir(d))}
+    assert reports["1"]["scales"] == reports["2"]["scales"]
+    assert pngs["1"] == pngs["2"] and len(pngs["1"]) == 3
+
+
+def test_psnr_trend_pipeline_matches_serial(tiny_model, tmp_path, rng):
+    """psnr_trend's pipelined device-uint8 sweep must produce the exact
+    trend of the serial f32-pull loop (the trend quantizes first)."""
+    from larvanet_tpu.cli import psnr_trend
+
+    _, ckpt = tiny_model
+    lr, hr = tmp_path / "LR", tmp_path / "HR"
+    (lr / "X4").mkdir(parents=True)
+    hr.mkdir()
+    for i in range(2):
+        img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        io.save_image_hwc(img, str(hr / ("%04d.png" % i)))
+        io.save_image_hwc(img[::4, ::4], str(lr / "X4" / ("%04dx4.png" % i)))
+
+    trends = {}
+    for depth in ("1", "2"):
+        trends[depth] = psnr_trend.main([
+            "--model", "edsr", "--restore_dir", os.path.dirname(ckpt),
+            "--data_input_path", str(lr), "--data_truth_path", str(hr),
+            "--pipeline_depth", depth, *TINY_EDSR,
+        ])
+    assert trends["1"] == trends["2"] and len(trends["1"]) == 1
