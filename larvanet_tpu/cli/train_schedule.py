@@ -137,22 +137,7 @@ def main(argv=None):
             duration = time.time() - t0
 
             if model.global_step % val_every == 0:
-                print("begin validation")
-                psnr_list = []
-                for idx in range(val_loader.get_num_images()):
-                    inp, tru, _ = val_loader.get_image_pair(image_index=idx, scale=scale)
-                    out = model.upscale([inp], scale)[0]
-                    o8 = metrics.image_to_uint8(out)
-                    t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
-                    psnr_list.append(metrics.psnr_rgb(o8, t8))
-                average_psnr = float(np.mean(psnr_list))
-                print("step %d, epoch %.0f, psnr=%.8f, lr = %.10f"
-                      % (model.global_step, model.global_step / step_per_epoch,
-                         average_psnr, model.get_learning_rate()))
-                if getattr(model, "lr_scheduler", None) is not None:
-                    model.lr_scheduler.step(average_psnr)
-                model.save(base_path=args.train_path)
-                print("saved a model checkpoint at step %d" % (model.global_step,))
+                _validate_and_step_scheduler(args, val_loader, model, scale, step_per_epoch)
 
             if model.global_step % args.log_freq == 0:
                 print("step %d, lr %.8f, loss %.6f (%.3f sec/batch)"
@@ -172,12 +157,28 @@ def _validate_and_step_scheduler(args, val_loader, model, scale, step_per_epoch)
     (reference train_schedule.py:139-164 semantics)."""
     print("begin validation")
     psnr_list = []
-    for idx in range(val_loader.get_num_images()):
-        inp, tru, _ = val_loader.get_image_pair(image_index=idx, scale=scale)
-        out = model.upscale([inp], scale)[0]
-        o8 = metrics.image_to_uint8(out)
-        t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
-        psnr_list.append(metrics.psnr_rgb(o8, t8))
+    if hasattr(model, "upscale_device"):
+        # device-uint8 + dispatch-ahead (eval/pipeline.py): the protocol
+        # quantizes to uint8 before PSNR, so the on-device quantize is
+        # byte-exact, and overlapping each frame's D2H pull + host PSNR
+        # with the next frame's compute keeps the device busy — this
+        # loop runs every --val_freq_epochs inside training time.
+        def _items():
+            for idx in range(val_loader.get_num_images()):
+                inp, tru, _ = val_loader.get_image_pair(image_index=idx, scale=scale)
+                yield tru, inp
+
+        for tru, o8, _dt in pipelined_upscale(model, _items(), scale,
+                                              uint8=True, depth=2, chw=True):
+            t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
+            psnr_list.append(metrics.psnr_rgb(o8, t8))
+    else:
+        for idx in range(val_loader.get_num_images()):
+            inp, tru, _ = val_loader.get_image_pair(image_index=idx, scale=scale)
+            out = model.upscale([inp], scale)[0]
+            o8 = metrics.image_to_uint8(out)
+            t8 = metrics.fit_truth_to_output(o8, metrics.image_to_uint8(tru))
+            psnr_list.append(metrics.psnr_rgb(o8, t8))
     average_psnr = float(np.mean(psnr_list))
     print("step %d, epoch %.0f, psnr=%.8f, lr = %.10f"
           % (model.global_step, model.global_step / step_per_epoch,
