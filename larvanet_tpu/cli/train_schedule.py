@@ -25,6 +25,7 @@ import numpy as np
 from larvanet_tpu.cli import common
 from larvanet_tpu.core.config import dump_arguments_json
 from larvanet_tpu.eval import metrics
+from larvanet_tpu.eval.pipeline import pipelined_upscale
 from larvanet_tpu.utils.summary import SummaryWriter
 
 

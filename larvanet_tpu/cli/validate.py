@@ -213,6 +213,7 @@ def main(argv=None):
 
         serial_indices = range(num_images)
         direct_u8 = (args.device_uint8 and hasattr(model, "upscale_device")
+                     and hasattr(model, "upscale_uint8")
                      and not args.chop_forward and tiler is None
                      and not args.self_ensemble and not int8_report)
         if direct_u8 and args.pipeline_depth > 1:
