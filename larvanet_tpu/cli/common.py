@@ -523,3 +523,52 @@ def warn_leftovers(remaining: Sequence[str]) -> None:
 
 def scales_of(args) -> List[int]:
     return parse_scale_list(args.scales)
+
+
+class ChunkRateMeter:
+    """Trusted steps/s for the fused device-pipeline loops.
+
+    On this tunnel the per-chunk `float(loss)` readback can ack in
+    milliseconds while the device still owns a backlog of dispatched
+    chunks (the next readback then absorbs it) — so instantaneous
+    n/dt rates are dispatch-ack noise (RECIPE_FULL r4 shipped 322k
+    "steps/s" readings; CLAUDE.md timing methodology). The
+    authoritative rate is DIFFERENCED wall clock over all post-compile
+    chunks: the loop is sequential, the enqueue backpressure bounds
+    how far dispatch runs ahead, so (steps since chunk 1)/(wall since
+    chunk 1) converges on the true device rate.
+
+    update() returns (inst_rate, avg_rate_or_None, trusted):
+    - chunk 1 (compile) starts the differenced clock; its inst rate is
+      reported as-is (compile-dominated, obviously slow, trusted).
+    - later chunks are untrusted when inst > TRUST_FACTOR * avg.
+    suffix() renders the canonical log suffix so every CLI prints the
+    same grammar that tools/recipe_full.py parses.
+    """
+
+    TRUST_FACTOR = 5.0
+
+    def __init__(self):
+        self._t0 = None
+        self._steps0 = None
+        self._chunks = 0
+
+    def update(self, global_step: int, n_steps: int, dt: float):
+        import time as _t
+
+        self._chunks += 1
+        now = _t.time()
+        inst = n_steps / max(dt, 1e-9)
+        if self._chunks == 1:
+            self._t0, self._steps0 = now, global_step
+            return inst, None, True
+        avg = (global_step - self._steps0) / max(now - self._t0, 1e-9)
+        return inst, avg, inst <= self.TRUST_FACTOR * avg
+
+    def suffix(self, avg, trusted) -> str:
+        s = ""
+        if avg is not None:
+            s += " avg %.1f steps/s" % avg
+        if not trusted:
+            s += " [untrusted]"
+        return s

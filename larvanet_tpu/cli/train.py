@@ -171,18 +171,23 @@ def _train_device_pipeline(args, dataloader, model, scale):
     base_key = jax.random.PRNGKey(getattr(dataloader.args, "data_seed", None) or 0)
     import time as _time
 
+    from larvanet_tpu.cli.common import ChunkRateMeter
+
+    meter = ChunkRateMeter()
     while model.global_step < args.max_steps:
         t0 = _time.time()
         sub = jax.random.fold_in(base_key, model.global_step)
         lr = model.get_learning_rate()
         model.params, model.opt_state, loss = chunk(model.params, model.opt_state, lr, sub)
         model.global_step += args.device_pipeline
-        # realize the loss BEFORE timing: the dispatch is async, so the
-        # chunk's wall time is paid in this readback, not in the call
+        # realize the loss before timing — but even that readback can ack
+        # early on this tunnel, so the meter differenciates wall clock and
+        # flags implausible instantaneous rates (CLAUDE.md methodology)
         loss_val = float(loss)
         dt = _time.time() - t0
-        print("step %d, lr %f, mean loss %.6f (%.1f steps/s)"
-              % (model.global_step, lr, loss_val, args.device_pipeline / dt))
+        inst, avg, trusted = meter.update(model.global_step, args.device_pipeline, dt)
+        print("step %d, lr %f, mean loss %.6f (%.1f steps/s)%s"
+              % (model.global_step, lr, loss_val, inst, meter.suffix(avg, trusted)))
         if args.save_freq and model.global_step % args.save_freq < args.device_pipeline:
             model.save(base_path=args.train_path)
             print("saved a model checkpoint at step %d" % (model.global_step,))

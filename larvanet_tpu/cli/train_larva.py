@@ -215,6 +215,7 @@ def _train_larva_device(args, dataloader, val_loader, model, scale, threaded, su
     base_key = jax.random.PRNGKey(getattr(dataloader.args, "data_seed", None) or 0)
     if model.global_step == 0 and val_loader is not None:
         model.validate_for_train(args, val_loader)
+    meter = common.ChunkRateMeter()
     while True:
         steps_to_val = max(1, math.ceil(
             (model.args.val_volume - model.temp_volume) / model.volume_per_step))
@@ -224,12 +225,15 @@ def _train_larva_device(args, dataloader, val_loader, model, scale, threaded, su
         model.params, model.opt_state, loss = run_chunk(n, sub, model.get_learning_rate())
         model.global_step += n
         model.temp_volume += n * model.volume_per_step
-        # realize the loss BEFORE timing: the dispatch is async, so the
-        # chunk's wall time is paid in this readback, not in the call
+        # realize the loss before timing — but even that readback can ack
+        # early on this tunnel, so the meter differenciates wall clock and
+        # flags implausible instantaneous rates (CLAUDE.md methodology)
         loss_val = float(loss)
         dt = time.time() - t0
-        print("step %d, mean loss %.6f, lr %.8f (%.1f steps/s)"
-              % (model.global_step, loss_val, model.get_learning_rate(), n / dt))
+        inst, avg, trusted = meter.update(model.global_step, n, dt)
+        print("step %d, mean loss %.6f, lr %.8f (%.1f steps/s)%s"
+              % (model.global_step, loss_val, model.get_learning_rate(), inst,
+                 meter.suffix(avg, trusted)))
 
         if model.temp_volume >= model.args.val_volume:
             model.total_volume += model.temp_volume

@@ -224,6 +224,7 @@ def _train_schedule_device(args, dataloader, val_loader, model, scale,
 
     # stateless chunk keys -> exact-resume sample stream
     base_key = jax.random.PRNGKey(getattr(dataloader.args, "data_seed", None) or 0)
+    meter = common.ChunkRateMeter()
     while model.global_step < args.max_steps:
         to_val = val_every - (model.global_step % val_every) or val_every
         n = max(1, min(args.device_pipeline, to_val,
@@ -233,9 +234,12 @@ def _train_schedule_device(args, dataloader, val_loader, model, scale,
         model.params, model.opt_state, loss = run_chunk(
             n, sub, model.get_learning_rate())
         model.global_step += n
+        loss_val = float(loss)  # realize before timing; meter flags early acks
         dt = time.time() - t0
-        print("step %d, lr %.8f, mean loss %.6f (%.1f steps/s)"
-              % (model.global_step, model.get_learning_rate(), float(loss), n / dt))
+        inst, avg, trusted = meter.update(model.global_step, n, dt)
+        print("step %d, lr %.8f, mean loss %.6f (%.1f steps/s)%s"
+              % (model.global_step, model.get_learning_rate(), loss_val, inst,
+                 meter.suffix(avg, trusted)))
         if model.global_step % val_every == 0 or model.global_step >= args.max_steps:
             _validate_and_step_scheduler(args, val_loader, model, scale, step_per_epoch)
             summary.scalar("loss", float(loss), model.global_step)
