@@ -455,6 +455,20 @@ LarvaLeg = _preset(
     default_min_lr=1e-7,
     default_cooldown=None,
 )
+# TPU-native extension (no reference counterpart): LarvaLeg's --leg
+# anytime inference (reference LarvaLeg.py:289-299) over the w64 trunk,
+# so the 128-lane packed width and the early-exit frontier compose.
+# Weight-compatible with LarvaNet_w64 checkpoints (same param tree).
+LarvaLegW64 = _preset(
+    "LarvaLeg_w64",
+    has_early_exit=True,
+    trunk_features=64,
+    width_flag=True,
+    default_lr=1e-4,
+    default_val_volume=3e9,
+    default_min_lr=1e-7,
+    default_cooldown=None,
+)
 LarvaLegV2 = _preset(
     "LarvaLegV2",
     __bases__=(_V2Mixin, LarvaNetBase),

@@ -417,9 +417,118 @@ def phase_b(args):
     return result
 
 
+def phase_v2(args):
+    """LarvaNetV2 at recipe scale through cli/train_larvaV2 (VERDICT r4
+    missing#3 / next#4): the epoch-steps injection (reference
+    train_larvaV2.py:74-81), the V2 tail exit (LarvaNetV2.py:108-118)
+    and the volume-driven validation staircase all exercised on-device,
+    with >= --want_vals genuine validations."""
+    train_path = os.path.join(REPO, "runs", "recipe_larvaV2")
+    log = os.path.join(REPO, "runs", "recipe_larvaV2.log")
+    os.makedirs(train_path, exist_ok=True)
+    val_volume = args.val_every * 110592
+    argv = ["larvanet_tpu.cli.train_larvaV2",
+            "--dataloader", "basic_loader",
+            "--data_input_path", os.path.join(FIXTURE, "x4", "input"),
+            "--data_truth_path", os.path.join(FIXTURE, "x4", "truth"),
+            "--val_dataloader", "basic_loader",
+            "--val_data_input_path", os.path.join(VAL_DIR, "input"),
+            "--val_data_truth_path", os.path.join(VAL_DIR, "truth"),
+            "--train_path", train_path,
+            "--model", "LarvaNetV2", "--num_modules", "2",
+            "--num_blocks", "16,16",
+            "--device_pipeline", str(args.val_every),
+            "--val_volume", str(val_volume),
+            "--async_checkpoint", "1",
+            "--max_steps", str(args.b_max_steps)]
+
+    def stop_when(events):
+        return len(events["validations"]) >= args.want_vals
+
+    print("[phase V2] LarvaNetV2 2x16 via train_larvaV2, validation every "
+          "%d steps" % args.val_every)
+    run = stream_cli(argv, log, stop_when=stop_when, timeout=args.timeout)
+    vals = run["validations"]
+    ckpts = [c for c in sorted(os.listdir(train_path)) if c.endswith(".ckpt")]
+    result = {
+        "config": {"model": "LarvaNetV2", "num_blocks": "16,16",
+                   "batch": 16, "patch": 48, "val_volume": val_volume,
+                   "recipe": "reference train_larvaV2.py:74-81 (epoch "
+                             "injection) + LarvaNetV2.py:108-118 (tail "
+                             "exit); volume scaled to the fixture"},
+        "run": {k: v for k, v in run.items()
+                if k not in ("chunks", "validations")},
+        "validations": vals,
+        "n_validations": len(vals),
+        "loss_series": _subsample(run["chunks"]),
+        "steps_per_sec": _rate_summary(run["chunks"]),
+        "checkpoints": ckpts,
+        "ok": run["ok"] and len(vals) >= args.want_vals,
+    }
+    if ckpts:
+        def step_of(name):
+            m = re.match(r"model_step(\d+)_", name)
+            return int(m.group(1)) if m else -1
+        newest = max(ckpts, key=step_of)
+        result["final_eval"] = _eval_ckpt(
+            "LarvaNetV2", ["--num_modules", "2", "--num_blocks", "16,16"],
+            os.path.join(train_path, newest), VAL_DIR)
+        result["final_ckpt"] = newest
+    return result
+
+
+# short-budget recipe checkpoints for the paper-table matrix (VERDICT r4
+# next#9): (model, flags, steps). Budgets are deliberately smaller than
+# phase A's 300k and labeled as such in the artifact.
+EXTRA_MODELS = [
+    ("msrr_reduced", [], 50000),
+    ("TreeNet", [], 50000),
+    ("LarvaNet_w64", ["--num_blocks", "9,9"], 50000),
+]
+
+
+def phase_extra(args):
+    """Short-budget recipe checkpoints for msrr_reduced / TreeNet /
+    LarvaNet_w64 through cli/train.py so tools/paper_table.py can score
+    a >=5-model matrix (VERDICT r4 next#9)."""
+    out = {}
+    for name, flags, steps in EXTRA_MODELS:
+        steps = args.extra_steps or steps
+        train_path = os.path.join(REPO, "runs", "recipe_%s" % name)
+        log = os.path.join(REPO, "runs", "recipe_%s.log" % name)
+        os.makedirs(train_path, exist_ok=True)
+        argv = ["larvanet_tpu.cli.train",
+                "--dataloader", "basic_loader", "--scales", "4",
+                "--data_input_path", os.path.join(FIXTURE, "x4", "input"),
+                "--data_truth_path", os.path.join(FIXTURE, "x4", "truth"),
+                "--train_path", train_path, "--model", name,
+                "--device_pipeline", str(args.chunk),
+                "--save_freq", str(steps),
+                "--async_checkpoint", "1",
+                "--max_steps", str(steps)] + flags
+        print("[phase extra] %s, %d steps (short budget)" % (name, steps))
+        run = stream_cli(argv, log, timeout=args.timeout)
+        final_ckpt = os.path.join(train_path, "model_%d.ckpt" % steps)
+        res = {
+            "config": {"model": name, "flags": flags, "steps": steps,
+                       "budget": "short (paper-table matrix breadth; "
+                                 "phase A is the full 300k recipe)"},
+            "run": {k: v for k, v in run.items() if k != "chunks"},
+            "loss_series": _subsample(run["chunks"], keep=20),
+            "steps_per_sec": _rate_summary(run["chunks"]),
+            "ok": run["ok"] and os.path.exists(final_ckpt),
+        }
+        if os.path.exists(final_ckpt):
+            res["final_eval"] = _eval_ckpt(name, flags, final_ckpt, VAL_DIR)
+        out[name] = res
+    out["ok"] = all(v["ok"] for k, v in out.items() if k != "ok")
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--phase", choices=("a", "b", "all"), default="all")
+    ap.add_argument("--phase", choices=("a", "b", "v2", "extra", "all"),
+                    default="all")
     ap.add_argument("--out", default=os.path.join(REPO, "RECIPE_FULL.json"))
     ap.add_argument("--max_steps", type=int, default=300000)
     ap.add_argument("--chunk", type=int, default=1000,
@@ -437,6 +546,9 @@ def main(argv=None):
     ap.add_argument("--b_max_steps", type=int, default=120000)
     ap.add_argument("--timeout", type=float, default=7200.0,
                     help="Per-CLI-run wall timeout.")
+    ap.add_argument("--extra_steps", type=int, default=0,
+                    help="Override the per-model step budget in phase "
+                         "extra (0 = per-model default).")
     args = ap.parse_args(argv)
 
     os.makedirs(os.path.join(REPO, "runs"), exist_ok=True)
@@ -447,21 +559,23 @@ def main(argv=None):
         with open(args.out) as f:
             report = json.load(f)
     t0 = time.time()
+    phases = []
     if args.phase in ("a", "all"):
-        report["edsr_recipe"] = phase_a(args)
+        phases.append(("edsr_recipe", phase_a))
+    if args.phase in ("b", "all"):
+        phases.append(("larva_recipe", phase_b))
+    if args.phase in ("v2", "all"):
+        phases.append(("larvaV2_recipe", phase_v2))
+    if args.phase in ("extra", "all"):
+        phases.append(("extra_recipes", phase_extra))
+    for key, fn in phases:
+        report[key] = fn(args)
+        report["total_wall_seconds"] = round(time.time() - t0, 1)
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
             f.write("\n")
-    if args.phase in ("b", "all"):
-        report["larva_recipe"] = phase_b(args)
-    report["total_wall_seconds"] = round(time.time() - t0, 1)
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
-        f.write("\n")
     print("wrote %s" % args.out)
-    ok = all(report.get(k, {}).get("ok") for k in
-             (["edsr_recipe"] if args.phase in ("a", "all") else []) +
-             (["larva_recipe"] if args.phase in ("b", "all") else []))
+    ok = all(report[key].get("ok") for key, _ in phases)
     print("RECIPE_FULL ok=%s" % ok)
     return report
 
