@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def pipelined_upscale(model, items, scale, *, uint8=True, depth=2, chw=True):
+def pipelined_upscale(model, items, scale, *, uint8=True, depth=2, chw=True,
+                      dispatch=None):
     """Run `model`'s routed forward over `items` with dispatch-ahead.
 
     items: iterable of (payload, input_image_chw). The payload rides
@@ -32,8 +33,14 @@ def pipelined_upscale(model, items, scale, *, uint8=True, depth=2, chw=True):
     semantics).
 
     depth <= 1 degenerates to the serial loop (dispatch, pull, yield).
+
+    dispatch: optional `f(input_list) -> device NHWC batch` overriding
+    the default `model.upscale_device` — lets variant forwards (e.g.
+    TreeNet's per-branch graphs, validate_tree.py) reuse the pipeline.
     """
     depth = max(1, int(depth))
+    if dispatch is None:
+        dispatch = lambda imgs: model.upscale_device(imgs, scale, uint8=uint8)
     pending = collections.deque()
     t_last = time.perf_counter()
 
@@ -50,8 +57,7 @@ def pipelined_upscale(model, items, scale, *, uint8=True, depth=2, chw=True):
         return payload, out, dt
 
     for payload, img in items:
-        pending.append(
-            (payload, model.upscale_device([img], scale, uint8=uint8)))
+        pending.append((payload, dispatch([img])))
         if len(pending) >= depth:
             yield pull()
     while pending:

@@ -217,14 +217,35 @@ class TreeNet(SRModel):
               % (self.global_step, self.total_volume / 1e9, average_psnr, self.get_learning_rate()))
         return average_psnr
 
+    def upscale_branch_device(self, input_list, scale, branch: int,
+                              uint8: bool = False):
+        """Dispatch branch `branch`'s forward, returning the DEVICE NHWC
+        batch without blocking — the per-branch analog of
+        base.upscale_device, so validate_tree's --pipeline_depth can
+        overlap D2H pulls with the next dispatch. Jits are cached per
+        branch (the old per-call jax.jit retraced on every image)."""
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_branch_jits"):
+            self._branch_jits = {}
+        key = (branch, uint8)
+        if key not in self._branch_jits:
+            def fwd(p, xx, _b=branch, _u8=uint8):
+                out = self.module.apply({"params": p}, xx, branches=_b)
+                if _u8:  # challenge-protocol quantize on device (byte-
+                    # exact vs host image_to_uint8 — models/base.py:516)
+                    out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+                return out
+
+            self._branch_jits[key] = jax.jit(fwd)
+        x = chw_list_to_nhwc(input_list)
+        return self._branch_jits[key](self.params, x)
+
     def upscale_branch(self, input_list, scale, branch: int):
         """Per-branch eval used by validate_tree (reference validate_tree.py:94-121)."""
-        x = chw_list_to_nhwc(input_list)
-        out = jax.jit(
-            lambda p, xx: self.module.apply({"params": p}, xx, branches=branch)
-        )(self.params, x)
         import numpy as np
 
+        out = self.upscale_branch_device(input_list, scale, branch)
         return np.asarray(out).transpose(0, 3, 1, 2)
 
     def _state_dict(self):
