@@ -373,6 +373,8 @@ class SRService:
             "mean_device_seconds": round(mean_s, 6),
             "device_seconds": dev,
             "queue_wait_seconds": wait,
+            "host_rss_mb": host_rss_mb(),
+            "device_memory_mb": device_memory_mb(),
         }
 
 
@@ -435,6 +437,33 @@ class ArtifactService(SRService):
         return out
 
 
+def host_rss_mb():
+    """Server-process resident set (MB) — the endurance-soak leak signal
+    (tools/serve_soak.py watches its trend over >=30 min of load)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024.0, 1)
+    except (OSError, ValueError, IndexError):
+        return None
+    return None
+
+
+def device_memory_mb():
+    """Bytes in use on device 0, if the backend exposes memory_stats
+    (the axon tunnel may not — None is an honest answer, not an error)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            return round(stats["bytes_in_use"] / 1e6, 1)
+    except Exception:
+        return None
+    return None
+
+
 def prometheus_metrics(info: dict) -> bytes:
     """Render /info as Prometheus text exposition (counters + summary
     quantiles) so a standard scraper can watch the server without a
@@ -455,6 +484,11 @@ def prometheus_metrics(info: dict) -> bytes:
         "# TYPE lvt_mean_batch_size gauge",
         "lvt_mean_batch_size %s" % info.get("mean_batch_size", 0.0),
     ]
+    for gauge, key in (("lvt_host_rss_mb", "host_rss_mb"),
+                       ("lvt_device_memory_mb", "device_memory_mb")):
+        if info.get(key) is not None:
+            lines += ["# TYPE %s gauge" % gauge,
+                      "%s %s" % (gauge, info[key])]
     for name, key in (("lvt_device_seconds", "device_seconds"),
                       ("lvt_queue_wait_seconds", "queue_wait_seconds")):
         lines.append("# TYPE %s summary" % name)

@@ -81,6 +81,15 @@ CONFIGS = [
     # shedding onset: a tiny queue bound + offered load past it
     ("edsr_shed_270p", "edsr", [], ["--max_queue", "2"], "270p", 16,
      (2, 4, 8)),
+    # early-exit serving (reference LarvaLeg.py:289-299): leg 1 runs one
+    # of the two body modules; leg 2 is the full forward — the serving
+    # side of the anytime-inference frontier (tools/leg_frontier.py)
+    ("larvaleg_leg1_270p", "LarvaLeg",
+     ["--num_modules", "2", "--num_blocks", "16,16", "--leg", "1"], [],
+     "270p", 12, (1, 2, 4)),
+    ("larvaleg_leg2_270p", "LarvaLeg",
+     ["--num_modules", "2", "--num_blocks", "16,16", "--leg", "2"], [],
+     "270p", 12, (1, 2, 4)),
     # smoke_*: excluded from the default sweep; CPU-sized config for the
     # tool's own test (tests/test_serve_bench.py with LVT_PLATFORM=cpu)
     ("smoke_tiny", "edsr",
