@@ -478,12 +478,15 @@ def phase_v2(args):
 
 
 # short-budget recipe checkpoints for the paper-table matrix (VERDICT r4
-# next#9): (model, flags, steps). Budgets are deliberately smaller than
-# phase A's 300k and labeled as such in the artifact.
+# next#9): (model, model_flags, steps, train_flags). Budgets are
+# deliberately smaller than phase A's 300k and labeled as such in the
+# artifact. train_flags go only to the training CLI (e.g. --ema_decay,
+# which gives paper_table's --ema column a real EMA state to restore).
 EXTRA_MODELS = [
-    ("msrr_reduced", [], 50000),
-    ("TreeNet", [], 50000),
-    ("LarvaNet_w64", ["--num_blocks", "9,9"], 50000),
+    ("msrr_reduced", [], 50000, ["--ema_decay", "0.999"]),
+    ("TreeNet", [], 50000, []),
+    ("LarvaNet_w64", ["--num_blocks", "9,9"], 50000,
+     ["--ema_decay", "0.999"]),
 ]
 
 
@@ -491,8 +494,11 @@ def phase_extra(args):
     """Short-budget recipe checkpoints for msrr_reduced / TreeNet /
     LarvaNet_w64 through cli/train.py so tools/paper_table.py can score
     a >=5-model matrix (VERDICT r4 next#9)."""
+    want = {m for m in args.extra_models.split(",") if m}
     out = {}
-    for name, flags, steps in EXTRA_MODELS:
+    for name, flags, steps, train_flags in EXTRA_MODELS:
+        if want and name not in want:
+            continue
         steps = args.extra_steps or steps
         train_path = os.path.join(REPO, "runs", "recipe_%s" % name)
         log = os.path.join(REPO, "runs", "recipe_%s.log" % name)
@@ -505,12 +511,13 @@ def phase_extra(args):
                 "--device_pipeline", str(args.chunk),
                 "--save_freq", str(steps),
                 "--async_checkpoint", "1",
-                "--max_steps", str(steps)] + flags
+                "--max_steps", str(steps)] + flags + train_flags
         print("[phase extra] %s, %d steps (short budget)" % (name, steps))
         run = stream_cli(argv, log, timeout=args.timeout)
         final_ckpt = os.path.join(train_path, "model_%d.ckpt" % steps)
         res = {
-            "config": {"model": name, "flags": flags, "steps": steps,
+            "config": {"model": name, "flags": flags,
+                       "train_flags": train_flags, "steps": steps,
                        "budget": "short (paper-table matrix breadth; "
                                  "phase A is the full 300k recipe)"},
             "run": {k: v for k, v in run.items() if k != "chunks"},
@@ -549,6 +556,9 @@ def main(argv=None):
     ap.add_argument("--extra_steps", type=int, default=0,
                     help="Override the per-model step budget in phase "
                          "extra (0 = per-model default).")
+    ap.add_argument("--extra_models", default="",
+                    help="Comma filter of phase-extra model names "
+                         "(default: all).")
     args = ap.parse_args(argv)
 
     os.makedirs(os.path.join(REPO, "runs"), exist_ok=True)
@@ -569,7 +579,16 @@ def main(argv=None):
     if args.phase in ("extra", "all"):
         phases.append(("extra_recipes", phase_extra))
     for key, fn in phases:
-        report[key] = fn(args)
+        result = fn(args)
+        if key == "extra_recipes" and isinstance(report.get(key), dict):
+            # a filtered re-run (--extra_models) must not drop the other
+            # models' previously recorded entries
+            merged = dict(report[key])
+            merged.update(result)
+            merged["ok"] = all(v.get("ok") for k, v in merged.items()
+                               if k != "ok" and isinstance(v, dict))
+            result = merged
+        report[key] = result
         report["total_wall_seconds"] = round(time.time() - t0, 1)
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
