@@ -451,14 +451,32 @@ class MSRRReduced(_ReducedStepwise):
         return self.scheduler.lr if getattr(self, "scheduler", None) is not None else self.args.lr
 
     # Volume-driven single-exit training: borrow the LarvaNet machinery.
+    # Only methods that never call zero-arg super() may be borrowed as
+    # unbound functions — super()'s __class__ cell binds to the class the
+    # function was DEFINED in (LarvaNetBase), so calling a borrowed
+    # _state_dict on an MSRRReduced instance raises
+    # "super(type, obj): obj must be an instance or subtype of type"
+    # (shipped round-5 crash: cli/train's final save with this model).
     from larvanet_tpu.models.larvanet import LarvaNetBase as _LB
 
     train_step_larva = _LB.train_step_larva
     validate_for_train = _LB.validate_for_train
     checkpoint_name = _LB.checkpoint_name
-    _state_dict = _LB._state_dict
-    _load_state_dict = _LB._load_state_dict
     del _LB
+
+    def _state_dict(self):
+        # same scheduler persistence as LarvaNetBase._state_dict
+        # (larvanet.py:393-397), re-defined here so super() resolves
+        # through MSRRReduced's own MRO.
+        state = super()._state_dict()
+        if self.scheduler is not None:
+            state["scheduler"] = self.scheduler.state_dict()
+        return state
+
+    def _load_state_dict(self, state, strict=True):
+        super()._load_state_dict(state, strict=strict)
+        if self.scheduler is not None and "scheduler" in state:
+            self.scheduler.load_state_dict(state["scheduler"])
 
 
 @register_model("msrr_reduced")

@@ -224,3 +224,28 @@ def test_larvanet_lr_domain_loss_equals_hr(rng):
                          np.asarray(jax.flatten_util.ravel_pytree(grads)[0]))
         assert abs(got[0][0] - got[1][0]) < 1e-4 * max(got[0][0], 1.0), name
         np.testing.assert_array_equal(got[1][1], got[0][1], err_msg=name)
+
+
+def test_msrr_reduced_training_save_restore_roundtrip(tmp_path):
+    """msrr_reduced borrows LarvaNetBase's volume-driven machinery, but
+    _state_dict/_load_state_dict must be defined on the class itself:
+    borrowing them as unbound functions left zero-arg super() bound to
+    LarvaNetBase's __class__ cell, so cli/train's final save crashed
+    with "super(type, obj): obj must be an instance or subtype of type"
+    (round-5 regression on the real recipe; msrr.py:459)."""
+    from larvanet_tpu.core.registry import get_model
+
+    m = get_model("msrr_reduced")
+    m.parse_args(["--num_blocks", "2"])
+    m.prepare(is_training=True, scales=[4])
+    m.global_step, m.total_volume = 7, 3.0e9
+    m.scheduler.step(20.0)  # give the plateau scheduler history to persist
+    path = m.save(str(tmp_path))
+    assert path.endswith("model_step7_vol3G.ckpt")
+
+    m2 = get_model("msrr_reduced")
+    m2.parse_args(["--num_blocks", "2"])
+    m2.prepare(is_training=True, scales=[4])
+    m2.restore(ckpt_path=path)
+    assert m2.global_step == 7 and m2.total_volume == 3.0e9
+    assert m2.scheduler.state_dict() == m.scheduler.state_dict()

@@ -479,6 +479,15 @@ def phase_v2(args):
 
 # short-budget recipe checkpoints for the paper-table matrix (VERDICT r4
 # next#9): (model, model_flags, steps, train_flags). Budgets are
+def _newest_any_ckpt(train_path, names):
+    """Newest checkpoint by embedded step, across both naming schemes."""
+    def step_of(name):
+        m = re.search(r"model_(?:step)?(\d+)", name)
+        return int(m.group(1)) if m else -1
+
+    return os.path.join(train_path, max(names, key=step_of))
+
+
 # deliberately smaller than phase A's 300k and labeled as such in the
 # artifact. train_flags go only to the training CLI (e.g. --ema_decay,
 # which gives paper_table's --ema column a real EMA state to restore).
@@ -514,7 +523,14 @@ def phase_extra(args):
                 "--max_steps", str(steps)] + flags + train_flags
         print("[phase extra] %s, %d steps (short budget)" % (name, steps))
         run = stream_cli(argv, log, timeout=args.timeout)
+        # LarvaNet-family models name checkpoints by volume
+        # (model_step<N>_vol<V>G.ckpt — larvanet.py:checkpoint_name);
+        # the rest use cli/train's model_<step>.ckpt. Accept either.
         final_ckpt = os.path.join(train_path, "model_%d.ckpt" % steps)
+        if not os.path.exists(final_ckpt):
+            cands = [c for c in os.listdir(train_path) if c.endswith(".ckpt")]
+            if cands:
+                final_ckpt = _newest_any_ckpt(train_path, cands)
         res = {
             "config": {"model": name, "flags": flags,
                        "train_flags": train_flags, "steps": steps,
