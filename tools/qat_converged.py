@@ -123,7 +123,13 @@ def qat_finetune_converged(model_name, flags, ckpt, lrs, hrs, finetune_steps,
             model.params, model.opt_state, lr_now, sub)
         done += todo
         model.global_step += todo
+    # stop the clock only after a scalar readback forces the chained
+    # chunks to completion — dispatch returns early and block_until_ready
+    # acks before execution on this tunnel (CLAUDE.md timing methodology)
+    float(loss)
     report["finetune_wall_s"] = round(time.time() - t0, 1)
+    report["finetune_wall_note"] = ("includes first-chunk compile unless "
+                                    "the persistent XLA cache was warm")
     print("  QAT fine-tune %d steps in %.1fs, final chunk loss %.3f"
           % (done, report["finetune_wall_s"], float(loss)))
 
