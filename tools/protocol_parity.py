@@ -404,6 +404,10 @@ REALISTIC_FAMILIES = {
     "edsr": {"flags": [], "validate": True, "chop": True, "test": False},
     "LarvaNet": {"flags": ["--num_modules", "2", "--num_blocks", "8,8"],
                  "validate": True, "chop": True, "test": True},
+    # V2 topology: shared tail exit fed by the module sum (reference
+    # LarvaNetV2.py:108-118); partial/strict=False restore semantics
+    "LarvaNetV2": {"flags": ["--num_modules", "2", "--num_blocks", "8,8"],
+                   "validate": True, "chop": True, "test": True},
     "msrr_reduced": {"flags": [], "validate": True, "chop": True, "test": False},
     "msrr": {"flags": [], "validate": True, "chop": True, "test": True},
     "msrr_test": {"flags": [], "validate": False, "chop": False, "test": True},
@@ -553,6 +557,18 @@ def main(argv: Optional[List[str]] = None):
                           % (name, ds, r["ref_mean_psnr"], r["ours_mean_psnr"],
                              r["psnr"]["max_abs_delta"], r["ssim"]["max_abs_delta"]))
 
+    # merge-on-rerun: a --families-filtered run must not drop the other
+    # families' previously recorded reports (same contract as
+    # tools/recipe_full.py phase_extra / lr_domain_sweep)
+    if args.families and os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            done = {r.get("model") for r in reports}
+            reports = [r for r in prev.get("reports", [])
+                       if r.get("model") not in done] + reports
+        except (ValueError, KeyError):
+            pass
     with open(out_path, "w") as f:
         json.dump({"fixture": src_fixture, "realistic": bool(args.realistic),
                    "max_images": max_images, "reports": reports},
