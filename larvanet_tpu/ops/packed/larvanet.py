@@ -189,16 +189,19 @@ def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
     make_int8_edsr_forward; the residual stream, head, pixel shuffle,
     and bicubic base stay bf16). At the packed 96-channel shape int8
     sustains 220 TOPS vs 116 TF/s bf16 on v5e (1.9x, BASELINE.md).
-    Supports plain-body configs without tail; raises ValueError
-    otherwise (callers fall back). Topology in _larvanet_walk."""
+    Supports plain-body configs; raises ValueError otherwise (callers
+    fall back). V2 tail topologies (LarvaNetV2.py:108-118) quantize the
+    body pairs while the 3-conv tail runs unpacked bf16 — the same
+    quantize-the-trunk / keep-the-odd-structure-bf16 pattern as
+    mamnet's attention. Topology in _larvanet_walk."""
     from flax import serialization
 
     from larvanet_tpu.models.larvanet import SCALE
     from larvanet_tpu.models.layers import interpolated_base
 
     mod = model.module
-    if mod.body_style != "plain" or mod.use_tail:
-        raise ValueError("int8 path supports plain-body no-tail configs")
+    if mod.body_style != "plain":
+        raise ValueError("int8 path supports plain-body configs")
     exits = None
     if getattr(model, "has_early_exit", False):
         exits = int(getattr(model.args, "leg", len(mod.num_blocks)))
@@ -207,6 +210,11 @@ def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
             return lambda params, x: interpolated_base(
                 x.astype(dtype), SCALE, mod.interpolate)
     n_run = exits if exits is not None else len(mod.num_blocks)
+    # V2 default inference exits through the TAIL (walk's tail_out):
+    # no leg pair executes, so none is calibrated. An explicit --leg k
+    # (LarvaLegV2 — early exit never uses the tail, reference
+    # LarvaLegV2.py forward) exits through leg k as usual.
+    serving_tail = mod.use_tail and exits is None
 
     sp0 = serialization.to_state_dict(model.params)
     pairs = []
@@ -215,7 +223,9 @@ def make_int8_larvanet_forward(model, calib_batch, dtype=jnp.bfloat16):
         for bidx in range(mod.num_blocks[i]):
             pairs.append((body["block_%d" % bidx]["conv1"],
                           body["block_%d" % bidx]["conv2"]))
-    if mod.leg_style in ("2conv", "skip"):
+    if serving_tail:
+        pass
+    elif mod.leg_style in ("2conv", "skip"):
         leg = sp0["leg_%d" % (n_run - 1)]
         pairs.append((leg["recon1"], leg["recon2"]))
     elif mod.leg_style == "resblock":

@@ -192,6 +192,25 @@ def test_int8_edsr_smoke_close_to_exact(rng):
     assert psnr > 45.0, psnr  # quantized-vs-exact within the usual envelope
 
 
+def test_int8_larvanetv2_routes_and_is_close_to_exact(rng):
+    """Round 5: the V2 tail topology quantizes its body pairs (tail
+    stays bf16 unpacked) instead of silently falling back to exact —
+    reference LarvaNetV2.py:108-118 forward-through-tail semantics."""
+    m = _model("LarvaNetV2", ["--num_blocks", "2,2"])
+    calib = rng.uniform(0, 255, (2, 12, 12, 3)).astype(np.float32)
+    q, desc = build_fast_forward(m, jnp.float32, int8_trunk=True, calib=calib)
+    assert "int8" in desc
+    exact, _ = build_fast_forward(m, jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 12, 12, 3)).astype(np.float32))
+    a = np.asarray(q(m.params, x)).astype(np.float64)
+    b = np.asarray(exact(m.params, x)).astype(np.float64)
+    assert a.shape == b.shape
+    diff = np.mean((a - b) ** 2)
+    assert diff > 0.0, "int8 output bit-identical to exact: fallback?"
+    psnr = 10 * np.log10(255.0 ** 2 / max(diff, 1e-12))
+    assert psnr > 45.0, psnr
+
+
 def test_upscale_uint8_matches_host_quantization(rng):
     """base.upscale_uint8 — the serving D2H path (cli/serve.py,
     cli/get_sr.py --device_uint8) — must byte-match host
